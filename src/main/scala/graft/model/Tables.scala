@@ -1,0 +1,47 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * These tables stand in for the reference's inputs (see FIXTURES.md §3):
+  * `events` replaces the Kafka topics / OHLCV bar stream (key = `user_id`,
+  * event time = `ts`, price = `value`); `documents` / `embeddings` back the
+  * document-pipeline superset operators; the TPC-H-ish tables back the
+  * generic relational surface.
+  *
+  * All loads are plain parquet scans so Catalyst's filter pushdown and
+  * column pruning reach the file readers — at 100 TB this is what turns a
+  * full-table scan into a row-group-pruned, column-projected read.
+  */
+object Tables {
+  /** Timestamp columns stored as parquet TIMESTAMP(NANOS) per table. Spark
+    * has no nanosecond timestamp type, so we read them as longs
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
+    * the same truncation DuckDB applies, keeping the oracle bit-aligned. */
+  private val nanoTsCols: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"),
+    "lineitem" -> Seq("l_shipdate"),
+    "orders" -> Seq("o_orderdate"))
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    nanoTsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+      if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+      else df
+    }
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+}

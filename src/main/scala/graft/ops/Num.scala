@@ -27,6 +27,8 @@ object Num {
   /** floor(x·10^n + 0.5)/10^n — deterministic cross-engine quantization.
     * DuckDB equivalent: `floor(x * 1eN + 0.5) / 1eN`. */
   private def rN(c: Column, scale: Double): Column = floor(c * scale + lit(0.5)) / scale
+  def r1(c: Column): Column = rN(c, 1e1)
+  def r2(c: Column): Column = rN(c, 1e2)
   def r4(c: Column): Column = rN(c, 1e4)
   def r6(c: Column): Column = rN(c, 1e6)
 

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.MarketOps
+
+/** SURVEY §2.4/§2.5 market-analytics queries (A1, A2, J1, J2/W3, W1, W2, T3
+  * batch oracle) over the `events` stand-in table. */
+object MarketQueries extends QueryPack {
+
+  /** Daily OHLCV bars from `events` — mirrors [[MarketOps.dailyBars]]. */
+  private val BARS_CTE =
+    """bars AS (
+      |  SELECT user_id AS ticker, CAST(ts AS DATE) AS date,
+      |         arg_min(value, ts) AS open, max(value) AS high,
+      |         min(value) AS low, arg_max(value, ts) AS close,
+      |         count(*) AS volume
+      |  FROM events GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** min-periods rolling MA over window alias `w` — mirrors
+    * [[MarketOps.rollingMa]] (DECIMAL-accumulated, see [[graft.ops.Num]]). */
+  private def maSql(n: Int, w: String): String =
+    s"CASE WHEN count(*) OVER $w = $n THEN " +
+      s"CAST(sum(CAST(close AS DECIMAL(27,2))) OVER $w AS DOUBLE) / $n ELSE 0.0 END"
+
+  private def maWindows =
+    """WINDOW w10 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+      |       w50 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+      |       w200 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- A1+J1+A2: per-key daily OHLCV + variation vs previous close -------
+    "daily_ohlcv_summary" -> ((s, dir) =>
+      MarketOps.dailySummary(Tables.events(s, dir))),
+
+    // -- J1: previous-bar lag self-join ------------------------------------
+    "lag_join_prev_day" -> ((s, dir) =>
+      MarketOps
+        .withPrevClose(MarketOps.dailyBars(Tables.events(s, dir)))
+        .select("ticker", "date", "close", "prev_close")),
+
+    // -- A2: guarded pct-change --------------------------------------------
+    "pct_change" -> ((s, dir) =>
+      MarketOps
+        .withPrevClose(MarketOps.dailyBars(Tables.events(s, dir)))
+        .select(
+          col("ticker"), col("date"),
+          MarketOps.pctChange(col("close"), col("prev_close")).as("variation_pct"))),
+
+    // -- W1: rolling MA 10/50/200 with min-periods NaN→0.0 -----------------
+    "rolling_ma_10_50_200" -> ((s, dir) =>
+      MarketOps.withRollingMas(MarketOps.dailyBars(Tables.events(s, dir)))
+        .select("ticker", "date", "close", "ma_10", "ma_50", "ma_200")),
+
+    // -- W2: trend bucket vs rolling mean ----------------------------------
+    "trend_classify" -> ((s, dir) =>
+      MarketOps.withRollingMas(MarketOps.dailyBars(Tables.events(s, dir)))
+        .select(
+          col("ticker"), col("date"), col("close"),
+          MarketOps.trend(col("close"), col("ma_10")).as("trend"))),
+
+    // -- W3/J2: multi-horizon momentum via lag offsets ---------------------
+    "momentum_multihorizon" -> ((s, dir) =>
+      MarketOps.momentum(Tables.events(s, dir))
+        .select(
+          "user_id", "event_id", "ts", "value",
+          "price_10min_ago", "price_30min_ago", "price_1h_ago",
+          "price_3h_ago", "price_6h_ago",
+          "chg_10min", "chg_30min", "chg_1h", "chg_3h", "chg_6h",
+          "dir_10min", "dir_30min", "dir_1h", "dir_3h", "dir_6h")),
+
+    // -- T3 batch oracle: latest snapshot per key --------------------------
+    "latest_snapshot_state" -> ((s, dir) =>
+      MarketOps.latestSnapshot(Tables.events(s, dir))
+        .select("user_id", "event_id", "ts", "event_type", "value"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "daily_ohlcv_summary" ->
+      s"""WITH $BARS_CTE
+         |SELECT ticker, date, open, high, low, close, volume,
+         |       lag(close) OVER w AS prev_close,
+         |       ${pctSql("close", "lag(close) OVER w")} AS variation_pct
+         |FROM bars WINDOW w AS (PARTITION BY ticker ORDER BY date)""".stripMargin,
+
+    "lag_join_prev_day" ->
+      s"""WITH $BARS_CTE
+         |SELECT ticker, date, close, lag(close) OVER w AS prev_close
+         |FROM bars WINDOW w AS (PARTITION BY ticker ORDER BY date)""".stripMargin,
+
+    "pct_change" ->
+      s"""WITH $BARS_CTE
+         |SELECT ticker, date,
+         |       ${pctSql("close", "lag(close) OVER w")} AS variation_pct
+         |FROM bars WINDOW w AS (PARTITION BY ticker ORDER BY date)""".stripMargin,
+
+    "rolling_ma_10_50_200" ->
+      s"""WITH $BARS_CTE
+         |SELECT ticker, date, close,
+         |       ${maSql(10, "w10")} AS ma_10,
+         |       ${maSql(50, "w50")} AS ma_50,
+         |       ${maSql(200, "w200")} AS ma_200
+         |FROM bars
+         |$maWindows""".stripMargin,
+
+    "trend_classify" ->
+      s"""WITH $BARS_CTE
+         |SELECT ticker, date, close,
+         |       CASE WHEN ${maSql(10, "w10")} = 0.0 THEN 'NEUTRAL'
+         |            WHEN close > ${maSql(10, "w10")} THEN 'BULLISH'
+         |            WHEN close < ${maSql(10, "w10")} THEN 'BEARISH'
+         |            ELSE 'NEUTRAL' END AS trend
+         |FROM bars
+         |$maWindows""".stripMargin,
+
+    "momentum_multihorizon" ->
+      s"""WITH lagged AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         coalesce(lag(value, 2)  OVER w, 0.0) AS price_10min_ago,
+         |         coalesce(lag(value, 6)  OVER w, 0.0) AS price_30min_ago,
+         |         coalesce(lag(value, 12) OVER w, 0.0) AS price_1h_ago,
+         |         coalesce(lag(value, 36) OVER w, 0.0) AS price_3h_ago,
+         |         coalesce(lag(value, 72) OVER w, 0.0) AS price_6h_ago
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |)
+         |SELECT user_id, event_id, ts, value,
+         |       price_10min_ago, price_30min_ago, price_1h_ago, price_3h_ago, price_6h_ago,
+         |       ${pctSql("value", "price_10min_ago")} AS chg_10min,
+         |       ${pctSql("value", "price_30min_ago")} AS chg_30min,
+         |       ${pctSql("value", "price_1h_ago")} AS chg_1h,
+         |       ${pctSql("value", "price_3h_ago")} AS chg_3h,
+         |       ${pctSql("value", "price_6h_ago")} AS chg_6h,
+         |       CASE WHEN ${pctSql("value", "price_10min_ago")} > 0 THEN 'UP' WHEN ${pctSql("value", "price_10min_ago")} < 0 THEN 'DOWN' ELSE 'FLAT' END AS dir_10min,
+         |       CASE WHEN ${pctSql("value", "price_30min_ago")} > 0 THEN 'UP' WHEN ${pctSql("value", "price_30min_ago")} < 0 THEN 'DOWN' ELSE 'FLAT' END AS dir_30min,
+         |       CASE WHEN ${pctSql("value", "price_1h_ago")} > 0 THEN 'UP' WHEN ${pctSql("value", "price_1h_ago")} < 0 THEN 'DOWN' ELSE 'FLAT' END AS dir_1h,
+         |       CASE WHEN ${pctSql("value", "price_3h_ago")} > 0 THEN 'UP' WHEN ${pctSql("value", "price_3h_ago")} < 0 THEN 'DOWN' ELSE 'FLAT' END AS dir_3h,
+         |       CASE WHEN ${pctSql("value", "price_6h_ago")} > 0 THEN 'UP' WHEN ${pctSql("value", "price_6h_ago")} < 0 THEN 'DOWN' ELSE 'FLAT' END AS dir_6h
+         |FROM lagged""".stripMargin,
+
+    "latest_snapshot_state" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin
+  )
+}

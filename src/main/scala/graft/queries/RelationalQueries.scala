@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.{DedupOps, FilterOps}
+
+/** SURVEY §2.2 projection/filter (P1-P8), §2.6 sort/limit/set (O1-O4),
+  * §2.4 A3 upsert-dedup, §2.3 J3 seen-id anti-join, §2.9 T4 retention —
+  * all over the `events` stand-in table.
+  *
+  * The synthetic duplicate-id column for the dedup family is
+  * `event_id % 1000` (FIXTURES.md §3), giving ~1000 keys with duplicates at
+  * every scale factor.
+  */
+object RelationalQueries extends QueryPack {
+
+  /** Seconds-since-epoch, floored — Spark `cast(ts as long)`;
+    * DuckDB `CAST(floor(extract(epoch FROM ts)) AS BIGINT)`. */
+  private val EPOCH_SQL = "CAST(floor(extract(epoch FROM ts)) AS BIGINT)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- P1: project the last bar per key to a typed record ----------------
+    // One partial-aggregatable max_by instead of a sort: at scale this is a
+    // single shuffle with map-side combine, not a per-key sort.
+    "project_last_bar" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id").as("ticker"))
+        .agg(
+          max(col("ts")).as("last_ts"),
+          max_by(col("value"), col("ts")).cast("double").as("last_value"),
+          max_by(col("event_id"), col("ts")).cast("int").as("last_event_id"))),
+
+    // -- P2: metadata flatten + coercion (consumer.py:50-84) ---------------
+    "metadata_coercion" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        FilterOps.coerceString(col("event_type"), "unknown").as("type"),
+        FilterOps.truncDoc(concat(col("event_type"), lit(":"), col("props"))).as("doc"),
+        FilterOps.coerceDouble(regexp_extract(col("props"), "\"k\": (\\d+)", 1)).as("k_val"),
+        FilterOps.coerceDouble(
+          when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+          .as("value_clean"))),
+
+    // -- P3: timestamp := publish_time when 0 (consumer.py:79-80) ----------
+    "timestamp_coalesce" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          when(col("event_type") === "error", lit(0L))
+            .otherwise(col("ts").cast("long")).as("timestamp"),
+          col("ts").cast("long").as("publish_time"))
+        .select(
+          col("event_id"),
+          FilterOps.coalesceTimestamp(col("timestamp"), col("publish_time"))
+            .as("timestamp_fixed"))),
+
+    // -- P4: conjunctive time-range predicate ------------------------------
+    "filter_time_window" -> ((s, dir) =>
+      FilterOps.timeWindow(
+        Tables.events(s, dir), col("ts"),
+        "2024-01-10 00:00:00", "2024-01-20 00:00:00")),
+
+    // -- P5: + optional key equality ---------------------------------------
+    "filter_ticker_eq" -> ((s, dir) =>
+      FilterOps.tickerEq(
+        FilterOps.timeWindow(
+          Tables.events(s, dir), col("ts"),
+          "2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+        col("user_id"), 7L)),
+
+    // -- P6: latest row for one (key, type) — sidebar k=1 lookup -----------
+    "filter_latest_metric" -> ((s, dir) =>
+      FilterOps.latestMetric(
+        Tables.events(s, dir), col("user_id"), col("event_type"),
+        3L, "purchase", col("ts"), col("event_id"))),
+
+    // -- P7: retention delete (30d TTL analog; 15d to bite in 30d data) ----
+    "retention_delete" -> ((s, dir) =>
+      FilterOps.retentionDelete(
+        Tables.events(s, dir), col("event_type"), "view", col("ts"), 15)),
+
+    // -- P8: drop rows whose coerced numeric is null (main.py:110) ---------
+    "dropna_ohlc" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("value_clean",
+          when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+        .na.drop(Seq("value_clean"))
+        .select("event_id", "user_id", "value_clean")),
+
+    // -- O1: sort by date (driver compare is set-based; this exercises the
+    //        plan: a range-partitioned global sort) ------------------------
+    "sort_by_date" -> ((s, dir) =>
+      graft.ops.MarketOps.dailyBars(Tables.events(s, dir)).orderBy("ticker", "date")),
+
+    // -- O2: top-n head via TakeOrderedAndProject --------------------------
+    "limit_head_n" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .orderBy(col("ts").desc, col("event_id").desc).limit(20)),
+
+    // -- O3: stream-union of topic subsets with missing columns ------------
+    "union_topics" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts", "event_type")
+      purchases.unionByName(signups, allowMissingColumns = true)
+    }),
+
+    // -- O4: retrieval dedup keep-first by score (rag_engine.py:230-239) ---
+    "distinct_dedup_hash" -> ((s, dir) =>
+      DedupOps.keepFirst(
+        Tables.events(s, dir)
+          .withColumn("ts_int", col("ts").cast("long")),
+        keys = Seq(col("user_id"), col("ts_int"), col("event_type")),
+        order = Seq(col("value").desc, col("event_id")))
+        .select("event_id", "user_id", "ts_int", "event_type", "value")),
+
+    // -- A3: upsert-by-id latest-wins (consumer.py:176-181) ----------------
+    "dedup_latest_wins" -> ((s, dir) =>
+      DedupOps.latestWins(
+        Tables.events(s, dir).withColumn("id", col("event_id") % 1000),
+        id = col("id"), order = Seq(col("ts").desc, col("event_id").desc))
+        .select("id", "event_id", "user_id", "ts", "value")),
+
+    // -- J3: seen-id anti-join = keep first occurrence (producer.py:98-100)
+    "dedup_antijoin_seen" -> ((s, dir) =>
+      DedupOps.keepFirst(
+        Tables.events(s, dir).withColumn("id", col("event_id") % 1000),
+        keys = Seq(col("id")), order = Seq(col("ts"), col("event_id")))
+        .select("id", "event_id", "user_id", "ts", "value")),
+
+    // -- T4 batch oracle: 30-day TTL on one type (consumer.py:115-130) -----
+    "retention_ttl" -> ((s, dir) =>
+      FilterOps.retentionDelete(
+        Tables.events(s, dir), col("event_type"), "click", col("ts"), 20))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "project_last_bar" ->
+      """SELECT user_id AS ticker, max(ts) AS last_ts,
+        |       arg_max(value, ts) AS last_value,
+        |       CAST(arg_max(event_id, ts) AS INTEGER) AS last_event_id
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "metadata_coercion" ->
+      """SELECT event_id,
+        |       coalesce(event_type, 'unknown') AS type,
+        |       substring(event_type || ':' || props, 1, 150) AS doc,
+        |       coalesce(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE), 0.0) AS k_val,
+        |       coalesce(CASE WHEN event_type = 'error' THEN NULL ELSE value END, 0.0) AS value_clean
+        |FROM events""".stripMargin,
+
+    "timestamp_coalesce" ->
+      s"""SELECT event_id,
+         |       CASE WHEN (CASE WHEN event_type = 'error' THEN 0 ELSE $EPOCH_SQL END) = 0
+         |                  AND $EPOCH_SQL > 0
+         |            THEN $EPOCH_SQL
+         |            ELSE (CASE WHEN event_type = 'error' THEN 0 ELSE $EPOCH_SQL END)
+         |       END AS timestamp_fixed
+         |FROM events""".stripMargin,
+
+    "filter_time_window" ->
+      """SELECT * FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+    "filter_ticker_eq" ->
+      """SELECT * FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+        |  AND user_id = 7""".stripMargin,
+
+    "filter_latest_metric" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+        |  SELECT *, row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id = 3 AND event_type = 'purchase'
+        |) WHERE rn = 1""".stripMargin,
+
+    "retention_delete" ->
+      s"""WITH c AS (SELECT CAST(floor(extract(epoch FROM max(ts))) AS BIGINT) - 15*86400 AS cutoff_sec FROM events)
+         |SELECT events.* FROM events, c
+         |WHERE NOT (event_type = 'view' AND $EPOCH_SQL < c.cutoff_sec)""".stripMargin,
+
+    "dropna_ohlc" ->
+      """SELECT event_id, user_id, value AS value_clean
+        |FROM events WHERE event_type <> 'error' AND value IS NOT NULL""".stripMargin,
+
+    "sort_by_date" ->
+      """SELECT user_id AS ticker, CAST(ts AS DATE) AS date,
+        |       arg_min(value, ts) AS open, max(value) AS high,
+        |       min(value) AS low, arg_max(value, ts) AS close,
+        |       count(*) AS volume
+        |FROM events GROUP BY 1, 2 ORDER BY ticker, date""".stripMargin,
+
+    "limit_head_n" ->
+      "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 20",
+
+    "union_topics" ->
+      """SELECT event_id, user_id, ts, event_type, value
+        |FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, user_id, ts, event_type, NULL AS value
+        |FROM events WHERE event_type = 'signup'""".stripMargin,
+
+    "distinct_dedup_hash" ->
+      s"""SELECT event_id, user_id, ts_int, event_type, value FROM (
+         |  SELECT event_id, user_id, $EPOCH_SQL AS ts_int, event_type, value,
+         |         row_number() OVER (PARTITION BY user_id, $EPOCH_SQL, event_type
+         |                            ORDER BY value DESC, event_id) AS rn
+         |  FROM events
+         |) WHERE rn = 1""".stripMargin,
+
+    "dedup_latest_wins" ->
+      """SELECT id, event_id, user_id, ts, value FROM (
+        |  SELECT event_id % 1000 AS id, event_id, user_id, ts, value,
+        |         row_number() OVER (PARTITION BY event_id % 1000 ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
+
+    "dedup_antijoin_seen" ->
+      """SELECT id, event_id, user_id, ts, value FROM (
+        |  SELECT event_id % 1000 AS id, event_id, user_id, ts, value,
+        |         row_number() OVER (PARTITION BY event_id % 1000 ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
+
+    "retention_ttl" ->
+      s"""WITH c AS (SELECT CAST(floor(extract(epoch FROM max(ts))) AS BIGINT) - 20*86400 AS cutoff_sec FROM events)
+         |SELECT events.* FROM events, c
+         |WHERE NOT (event_type = 'click' AND $EPOCH_SQL < c.cutoff_sec)""".stripMargin
+  )
+}

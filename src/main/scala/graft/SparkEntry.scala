@@ -24,7 +24,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     MarketQueries,
     RelationalQueries,
-    FunctionQueries)
+    FunctionQueries,
+    VectorQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Composes the slice-0 pipeline of SURVEY §7: daily OHLCV summary +

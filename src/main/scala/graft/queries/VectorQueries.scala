@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.{DedupOps, VectorOps}
+
+/** SURVEY §2.8 vector/similarity queries (V1-V3, W4-W5) + the ANN/near-dup
+  * superset, over the `embeddings` table (vec_id, embedding float[64],
+  * label). The fixed query vector is vec_id = 0; decay age is vec_id·60 s —
+  * both deterministic so batch replays and oracles agree.
+  *
+  * Cosine is a serial left-fold in both engines (Spark `aggregate` HOF ≡
+  * DuckDB `list_reduce`), so scores are bit-exact and oracle-checkable with
+  * no tolerance. Only exp() needs 1e-6 quantization (libm ulp drift).
+  */
+object VectorQueries extends QueryPack {
+
+  private val DIMS = 64
+  private val PLANES = 8
+
+  // ---- shared Spark fragments -----------------------------------------
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+
+  private def queryVec(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+
+  private def withDist(s: SparkSession, dir: String): DataFrame =
+    VectorOps.withQueryVector(emb(s, dir), queryVec(s, dir))
+      .withColumn("dist", VectorOps.cosineDist(col("embedding"), col("q_emb")))
+
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    withDist(s, dir).withColumn(
+      "score",
+      VectorOps.timeDecayScore(col("dist"), col("vec_id").cast("double") * 60.0))
+
+  /** Pair frame with precomputed norms — one fold per vector, not three per
+    * pair; the non-equi self-join is the small-scale exact path (LSH below
+    * is the 100-TB path). */
+  private def pairs(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(
+      col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("n"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("n").as("a_n"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("n").as("b_n"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn(
+        "sim",
+        when(col("a_n") === 0.0 || col("b_n") === 0.0, lit(0.0))
+          .otherwise(VectorOps.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n"))))
+  }
+
+  // ---- shared oracle fragments ----------------------------------------
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+
+  private def cosSql(a: String, b: String): String =
+    s"CASE WHEN sqrt(${dotSql(a, a)}) = 0.0 OR sqrt(${dotSql(b, b)}) = 0.0 THEN 0.0 " +
+      s"ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END"
+
+  private val Q_CTE = "q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)"
+
+  private val DIST_CTE =
+    s"""$Q_CTE, dists AS (
+       |  SELECT vec_id, label, 1.0 - ${cosSql("embedding", "q_emb")} AS dist
+       |  FROM embeddings, q
+       |)""".stripMargin
+
+  private val SCORE_CTE =
+    s"""$DIST_CTE, scores AS (
+       |  SELECT vec_id, label, dist,
+       |         floor((0.6 * (1.0 - dist) + 0.4 * exp(-(CAST(vec_id AS DOUBLE) * 60.0) / 14400.0)) * 1000000 + 0.5) / 1000000 AS score
+       |  FROM dists
+       |)""".stripMargin
+
+  private val PAIR_CTE =
+    s"""norms AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS n
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |         CASE WHEN a.n = 0.0 OR b.n = 0.0 THEN 0.0
+       |              ELSE ${dotSql("a.embedding", "b.embedding")} / (a.n * b.n) END AS sim
+       |  FROM norms a, norms b WHERE a.vec_id < b.vec_id
+       |)""".stripMargin
+
+  /** DuckDB list literal for plane p — identical integers to
+    * [[VectorOps.planeWeight]]. */
+  private def planeSql(p: Int): String =
+    (0 until DIMS).map(d => s"${VectorOps.planeWeight(p, d)}.0")
+      .mkString("[", ", ", "]::DOUBLE[]")
+
+  private val BUCKET_SQL: String =
+    (0 until PLANES).map { p =>
+      s"(CASE WHEN ${dotSql("embedding", planeSql(p))} > 0.0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  // ---- registry --------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- V2: cosine similarity vs the query vector -------------------------
+    "cosine_similarity" -> ((s, dir) =>
+      VectorOps.withQueryVector(emb(s, dir), queryVec(s, dir))
+        .select(
+          col("vec_id"),
+          VectorOps.cosine(col("embedding"), col("q_emb")).as("sim"))),
+
+    // -- V1: metadata-prefiltered exact k-NN, k=20 -------------------------
+    "knn_filtered_search" -> ((s, dir) =>
+      VectorOps.knn(
+        VectorOps.withQueryVector(
+          emb(s, dir).filter(col("label").between(2, 6)), queryVec(s, dir)),
+        VectorOps.cosineDist(col("embedding"), col("q_emb")),
+        k = 20, tieBreak = col("vec_id"))
+        .select("vec_id", "label", "dist")),
+
+    // -- W5: time-decay re-rank score --------------------------------------
+    "time_decay_score" -> ((s, dir) =>
+      scored(s, dir).select("vec_id", "dist", "score")),
+
+    // -- W4: top-8 by rescored score ---------------------------------------
+    "topk_rescored" -> ((s, dir) =>
+      scored(s, dir)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(8)
+        .select("vec_id", "score")),
+
+    // -- V3: idempotent vector upsert (latest-wins by synthetic id) --------
+    "upsert_vectors" -> ((s, dir) =>
+      DedupOps.latestWins(
+        emb(s, dir).withColumn("id", col("vec_id") % 100),
+        id = col("id"), order = Seq(col("vec_id").desc))
+        .select("id", "vec_id", "label")),
+
+    // -- superset: brute-force ANN baseline, top-5 per query ---------------
+    "ann_bruteforce_topk" -> ((s, dir) => {
+      val queries10 = emb(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cands = emb(s, dir).crossJoin(broadcast(queries10))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("dist", VectorOps.cosineDist(col("embedding"), col("q_emb")))
+      VectorOps.topKPerQuery(
+        cands, col("q_id"), Seq(col("dist"), col("vec_id")), k = 5)
+        .select("q_id", "vec_id", "dist")
+    }),
+
+    // -- superset: exact near-dup pairs by cosine > 0.4 --------------------
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      pairs(s, dir).filter(col("sim") > 0.4).select("a_id", "b_id", "sim")),
+
+    // -- superset: LSH-bucketed near-dup (the 100-TB path: equi-join on
+    //    bucket id instead of an all-pairs product) -------------------------
+    "ann_lsh_bucketed" -> ((s, dir) => {
+      val e = emb(s, dir).select(
+        col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("n"),
+        VectorOps.lshBucket(col("embedding"), PLANES, DIMS).as("bucket"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("n").as("a_n"), col("bucket").as("a_bucket"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("n").as("b_n"), col("bucket").as("b_bucket"))
+      a.join(b, col("a_bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+        .withColumn(
+          "sim",
+          when(col("a_n") === 0.0 || col("b_n") === 0.0, lit(0.0))
+            .otherwise(VectorOps.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n"))))
+        .filter(col("sim") > 0.3)
+        .select(col("a_id"), col("b_id"), col("a_bucket").as("bucket"), col("sim"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "cosine_similarity" ->
+      s"""WITH $Q_CTE
+         |SELECT vec_id, ${cosSql("embedding", "q_emb")} AS sim
+         |FROM embeddings, q""".stripMargin,
+
+    "knn_filtered_search" ->
+      s"""WITH $Q_CTE
+         |SELECT vec_id, label, 1.0 - ${cosSql("embedding", "q_emb")} AS dist
+         |FROM embeddings, q
+         |WHERE label BETWEEN 2 AND 6
+         |ORDER BY dist, vec_id LIMIT 20""".stripMargin,
+
+    "time_decay_score" ->
+      s"""WITH $SCORE_CTE
+         |SELECT vec_id, dist, score FROM scores""".stripMargin,
+
+    "topk_rescored" ->
+      s"""WITH $SCORE_CTE
+         |SELECT vec_id, score FROM scores
+         |ORDER BY score DESC, vec_id LIMIT 8""".stripMargin,
+
+    "upsert_vectors" ->
+      """SELECT id, vec_id, label FROM (
+        |  SELECT vec_id % 100 AS id, vec_id, label,
+        |         row_number() OVER (PARTITION BY vec_id % 100 ORDER BY vec_id DESC) AS rn
+        |  FROM embeddings
+        |) WHERE rn = 1""".stripMargin,
+
+    "ann_bruteforce_topk" ->
+      s"""WITH qs AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10
+         |), cands AS (
+         |  SELECT q_id, vec_id, 1.0 - ${cosSql("embedding", "q_emb")} AS dist
+         |  FROM embeddings, qs WHERE vec_id <> q_id
+         |)
+         |SELECT q_id, vec_id, dist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+         |  FROM cands
+         |) WHERE rn <= 5""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH $PAIR_CTE
+         |SELECT a_id, b_id, sim FROM pairs WHERE sim > 0.4""".stripMargin,
+
+    "ann_lsh_bucketed" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS n,
+         |         $BUCKET_SQL AS bucket
+         |  FROM embeddings
+         |)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
+         |       CASE WHEN a.n = 0.0 OR b.n = 0.0 THEN 0.0
+         |            ELSE ${dotSql("a.embedding", "b.embedding")} / (a.n * b.n) END AS sim
+         |FROM bucketed a JOIN bucketed b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE (CASE WHEN a.n = 0.0 OR b.n = 0.0 THEN 0.0
+         |            ELSE ${dotSql("a.embedding", "b.embedding")} / (a.n * b.n) END) > 0.3""".stripMargin
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.VectorOps
+
+/** Unit specs for the vector layer: exact cosine identities, zero-vector
+  * guard, decay weights/τ (rag_engine.py:161-163), LSH bucket range. */
+class VectorOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def vec(xs: Double*) = xs.map(_.toFloat).toArray
+
+  test("cosine: orthogonal -> 0, parallel -> 1, antiparallel -> -1") {
+    val df = Seq(
+      (vec(1, 0, 0, 0), vec(0, 1, 0, 0)),
+      (vec(1, 2, 3, 4), vec(2, 4, 6, 8)),
+      (vec(1, 0, 0, 0), vec(-1, 0, 0, 0)))
+      .toDF("a", "b")
+      .select(VectorOps.cosine($"a", $"b").as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0)) < 1e-15)
+    assert(math.abs(got(1) - 1.0) < 1e-15)
+    assert(math.abs(got(2) + 1.0) < 1e-15)
+  }
+
+  test("cosine: zero vector -> 0.0 guard") {
+    val df = Seq((vec(0, 0), vec(1, 1))).toDF("a", "b")
+      .select(VectorOps.cosine($"a", $"b").as("c"))
+    assert(df.collect().head.getDouble(0) == 0.0)
+  }
+
+  test("timeDecayScore: weights 0.6/0.4 and tau=14400 (rag_engine.py:161-163)") {
+    val df = Seq((0.0, 0.0), (0.0, 14400.0)).toDF("dist", "age")
+      .select(VectorOps.timeDecayScore($"dist", $"age").as("s"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(got(0) == 1.0) // sim=1, age=0 -> 0.6 + 0.4
+    // age = tau -> 0.6 + 0.4/e, quantized at 1e-6
+    assert(math.abs(got(1) - (0.6 + 0.4 / math.E)) < 1e-6)
+  }
+
+  test("lshBucket: deterministic, in [0, 2^planes), identical vectors collide") {
+    val df = Seq(
+      ("x", vec(1, 2, 3, 4, 5, 6, 7, 8)),
+      ("y", vec(1, 2, 3, 4, 5, 6, 7, 8)),
+      ("z", vec(-1, -2, -3, -4, -5, -6, -7, -8)))
+      .toDF("id", "e")
+      .select($"id", VectorOps.lshBucket($"e", planes = 8, dims = 8).as("b"))
+    val got = df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got("x") == got("y"))
+    assert(got.values.forall(b => b >= 0 && b < 256))
+    // expected bucket recomputed from the plane-weight formula
+    val xs = (1 to 8).map(_.toDouble)
+    val expected = (0 until 8).map { p =>
+      val d = xs.zipWithIndex.map { case (v, i) => v * VectorOps.planeWeight(p, i) }.sum
+      if (d > 0.0) 1 << p else 0
+    }.sum
+    assert(got("x") == expected)
+  }
+}

@@ -25,7 +25,10 @@ object SparkEntry {
     MarketQueries,
     RelationalQueries,
     FunctionQueries,
-    VectorQueries)
+    VectorQueries,
+    TextQueries,
+    EnrichmentQueries,
+    JoinQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Composes the slice-0 pipeline of SURVEY §7: daily OHLCV summary +

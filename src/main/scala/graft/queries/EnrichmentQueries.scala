@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.{EnrichOps, TextOps}
+
+/** Enrichment queries (SURVEY §2.4 A4/A5, §2.7 F9, multimodal superset)
+  * over the `documents` table. Model-backed steps (embed, translate,
+  * image/audio decode) are deterministic stubs behind real column
+  * interfaces — see [[graft.ops.EnrichOps]] — so they stay oracle-checkable
+  * offline. */
+object EnrichmentQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  /** Valence CASE chain — mirrors EnrichOps.lexicon exactly. */
+  private val VAL_SQL: String =
+    EnrichOps.lexicon.foldRight("0.0") { case ((w, v), els) =>
+      s"CASE WHEN t = '$w' THEN $v ELSE $els END"
+    }
+
+  private def polySql(s: String): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % ${TextOps.P})"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- A4: lexicon sentiment with VADER normalization --------------------
+    "sentiment_score" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        EnrichOps.sentimentScore(TextOps.tokens(col("text"))).as("sentiment"))),
+
+    // -- A5: deterministic pseudo-embedding (model-UDF stand-in) -----------
+    "embed_text" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        EnrichOps.embedText(col("text")).as("embedding"))),
+
+    // -- F9: translation stub (identity for en, tagged passthrough) --------
+    "translate_en" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        EnrichOps.translateEn(col("text"), col("lang")).as("translated"))),
+
+    // -- multimodal: blob packing + stub feature extraction ----------------
+    "multimodal_features" -> ((s, dir) => {
+      val blobbed = docs(s, dir).withColumn("blob", EnrichOps.toBlob(col("text")))
+      EnrichOps.blobFeatures(col("blob"), col("text"))
+        .foldLeft(blobbed) { case (df, (name, c)) => df.withColumn(name, c) }
+        .select("doc_id", "n_bytes", "first_byte", "checksum")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "sentiment_score" ->
+      s"""WITH scores AS (
+         |  SELECT doc_id,
+         |         list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(string_split(text, ' '), t -> CAST($VAL_SQL AS DOUBLE)),
+         |                     (acc, v) -> acc + v) AS s
+         |  FROM documents)
+         |SELECT doc_id, s / sqrt(s * s + 15.0) AS sentiment FROM scores""".stripMargin,
+
+    "embed_text" -> {
+      val dims = (0 until 16).map { d =>
+        s"CAST((fp * ${d + 1}) % 1000 AS DOUBLE) / 1000.0 - 0.5"
+      }.mkString("[", ", ", "]")
+      s"""WITH fps AS (SELECT doc_id, ${polySql("text")} AS fp FROM documents)
+         |SELECT doc_id, $dims AS embedding FROM fps""".stripMargin
+    },
+
+    "translate_en" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN lang = 'en' THEN text ELSE '[en] ' || text END AS translated
+        |FROM documents""".stripMargin,
+
+    "multimodal_features" ->
+      s"""SELECT doc_id,
+         |       octet_length(encode(text)) AS n_bytes,
+         |       CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
+         |       ${polySql("text")} AS checksum
+         |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Tables
+
+/** Join / aggregation natives and composite scans: the as-of range join
+  * (SURVEY §2.3 J2's irregular-series formulation), the CSV history scan
+  * (S3), event-time windowed aggregation (T5's upgrade path), and the
+  * "absent in reference, provided by Spark natives" surface SURVEY §2.3/2.4
+  * inventories: broadcast join, shuffle (sort-merge) join, semi/anti joins,
+  * rollup/cube/grouping-sets, distinct counts, and TPC-H-q1-style pricing.
+  *
+  * Scale notes: the dimension side of every star join is broadcast; fact
+  * aggregations are decimal-accumulated partial aggs (map-side combine
+  * before the shuffle); the as-of join is a bounded range join + per-key
+  * top-1 — no unbounded state, no cross product.
+  */
+object JoinQueries extends QueryPack {
+
+  /** Exact revenue: Σ price·(1-discount), decimal-accumulated (see Num).
+    * DECIMAL(9,2)·DECIMAL(3,2) → DECIMAL(13,4): exact in both engines. */
+  private def revenue: org.apache.spark.sql.Column =
+    sum(col("l_extendedprice").cast(DecimalType(9, 2)) *
+      (lit(1.0) - col("l_discount")).cast(DecimalType(3, 2))).cast("double")
+
+  private val REV_SQL =
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE)"
+
+  private val CSV_DIR = "/tmp/graft_scan_history"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- J2: as-of lookback join on an irregular series --------------------
+    // Daily-noon grid per key; latest event within a 6 h tolerance window.
+    // Bounded range join + per-key top-1 — the at-scale as-of shape.
+    "asof_lookback_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val grid = ev.select(
+        col("user_id"),
+        (to_date(col("ts")).cast("timestamp") + expr("INTERVAL 12 HOURS")).as("g_ts"))
+        .distinct()
+      val joined = grid.alias("g").join(
+        ev.alias("e"),
+        col("g.user_id") === col("e.user_id") &&
+          col("e.ts") >= col("g_ts") - expr("INTERVAL 6 HOURS") &&
+          col("e.ts") <= col("g_ts"),
+        "left")
+      joined
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("g.user_id"), col("g_ts"))
+            .orderBy(col("e.ts").desc, col("e.event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(
+          col("g.user_id").as("user_id"), col("g_ts"),
+          coalesce(col("e.value"), lit(0.0)).as("asof_value"),
+          col("e.event_id").as("asof_event"))
+    }),
+
+    // -- S3: CSV history scan with header rename + coercion + dropna -------
+    // Writes a deterministic CSV (with dirty Close cells) then reads it
+    // back the way the reference reads data/history/*.csv
+    // (main.py:96-110): header, numeric coercion, drop null OHLC rows.
+    "scan_history_csv" -> ((s, dir) => {
+      val bars = graft.ops.MarketOps.dailyBars(Tables.events(s, dir))
+        .withColumn("Close",
+          when(col("volume") % 7 === 0, lit(null)).otherwise(col("close")))
+        .select(
+          col("date"), col("ticker"), col("open").as("Open"),
+          col("high").as("High"), col("low").as("Low"), col("Close"),
+          col("volume").as("Volume"))
+      bars.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(CSV_DIR)
+      s.read.option("header", "true").csv(CSV_DIR)
+        .select(
+          to_date(col("date")).as("date"),
+          col("ticker").cast("long").as("ticker"),
+          col("Open").cast("double").as("Open"),
+          col("High").cast("double").as("High"),
+          col("Low").cast("double").as("Low"),
+          col("Close").cast("double").as("Close"),
+          col("Volume").cast("long").as("Volume"))
+        .na.drop(Seq("Open", "High", "Low", "Close"))
+    }),
+
+    // -- T5 upgrade: event-time tumbling-window aggregation ----------------
+    "event_time_window_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 day"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          graft.ops.Num.dsum(col("value")).as("sum_value"))
+        .select(
+          col("window.start").as("ws"), col("user_id"),
+          col("n"), col("sum_value"))),
+
+    // -- native: broadcast hash join (dim side broadcast) ------------------
+    "join_broadcast" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), revenue.as("revenue"))),
+
+    // -- native: shuffle sort-merge join on the fact-fact key --------------
+    "join_shuffle" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .hint("merge")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), revenue.as("revenue"))),
+
+    // -- native: left-semi (EXISTS) ----------------------------------------
+    "join_semi" -> ((s, dir) => {
+      val withOrders = Tables.customer(s, dir).join(
+        Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      withOrders.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // -- native: left-anti (NOT EXISTS) ------------------------------------
+    "join_anti" -> ((s, dir) => {
+      val noOrders = Tables.customer(s, dir).join(
+        Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      noOrders.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // -- native: rollup over the region/nation hierarchy -------------------
+    "agg_rollup" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      c.rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"), graft.ops.Num.dsum(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    // -- native: cube ------------------------------------------------------
+    "agg_cube" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("user_bucket", col("user_id") % 5)
+        .cube(col("event_type"), col("user_bucket"))
+        .agg(count(lit(1)).as("n"), graft.ops.Num.dsum(col("value")).as("sum_value"))),
+
+    // -- native: explicit grouping sets ------------------------------------
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("graft_events_gs")
+      s.sql(
+        """SELECT event_type, user_id % 5 AS user_bucket, count(*) AS n
+          |FROM graft_events_gs
+          |GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())""".stripMargin)
+    }),
+
+    // -- native: exact distinct count --------------------------------------
+    "distinct_count" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"))),
+
+    // -- native: TPC-H q1-style pricing summary (decimal-exact) ------------
+    "tpch_q1_pricing" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2024-11-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          graft.ops.Num.dsum(col("l_quantity")).as("sum_qty"),
+          graft.ops.Num.dsum(col("l_extendedprice")).as("sum_base_price"),
+          revenue.as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          (graft.ops.Num.dsum(col("l_quantity")) / count(lit(1))).as("avg_qty")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "asof_lookback_join" ->
+      """WITH grid AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 12 HOUR AS g_ts
+        |  FROM events
+        |)
+        |SELECT user_id, g_ts, asof_value, asof_event FROM (
+        |  SELECT g.user_id, g.g_ts,
+        |         coalesce(e.value, 0.0) AS asof_value,
+        |         e.event_id AS asof_event,
+        |         row_number() OVER (PARTITION BY g.user_id, g.g_ts
+        |                            ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST) AS rn
+        |  FROM grid g LEFT JOIN events e
+        |    ON g.user_id = e.user_id
+        |   AND e.ts >= g.g_ts - INTERVAL 6 HOUR AND e.ts <= g.g_ts
+        |) WHERE rn = 1""".stripMargin,
+
+    "scan_history_csv" ->
+      s"""SELECT CAST(date AS DATE) AS date, ticker, Open, High, Low,
+         |       TRY_CAST(Close AS DOUBLE) AS Close, Volume
+         |FROM read_csv('$CSV_DIR/*.csv', header = true,
+         |              columns = {'date': 'VARCHAR', 'ticker': 'BIGINT',
+         |                         'Open': 'DOUBLE', 'High': 'DOUBLE', 'Low': 'DOUBLE',
+         |                         'Close': 'VARCHAR', 'Volume': 'BIGINT'})
+         |WHERE Open IS NOT NULL AND High IS NOT NULL AND Low IS NOT NULL
+         |  AND TRY_CAST(Close AS DOUBLE) IS NOT NULL""".stripMargin,
+
+    "event_time_window_agg" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, user_id, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "join_broadcast" ->
+      s"""SELECT p_brand, count(*) AS n, $REV_SQL AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin,
+
+    "join_shuffle" ->
+      s"""SELECT o_orderpriority, count(*) AS n, $REV_SQL AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT event_type, user_id % 5 AS user_bucket, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY CUBE (event_type, user_id % 5)""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT event_type, user_id % 5 AS user_bucket, count(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())""".stripMargin,
+
+    "distinct_count" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "tpch_q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
+         |       $REV_SQL AS sum_disc_price,
+         |       count(*) AS count_order,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / count(*) AS avg_qty
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin
+  )
+}

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.TextOps
+
+/** Text-analysis + document-dedup queries (the training-data-pipeline
+  * superset) over the `documents` table (doc_id, text, lang, source,
+  * n_chars): token counting, language-ID heuristic, quality scoring,
+  * fingerprinting, exact dedup, token-set Jaccard near-dup, MinHash+LSH
+  * near-dup, SimHash signatures.
+  *
+  * Scale notes: Jaccard near-dup blocks on `lang` so the pair join is
+  * per-block, and MinHash+LSH replaces the all-pairs product with an
+  * equi-join on band buckets — only bucket-colliding candidates get the
+  * exact verify. SimHash/fingerprint are single-pass map-side. These are
+  * the shapes that survive 100 TB; the thresholds (0.95 Jaccard, 4×2
+  * bands) are tuned to the testdata's 31-word vocabulary.
+  */
+object TextQueries extends QueryPack {
+
+  private val P = TextOps.P
+  private val MINHASH_A = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  private val MINHASH_B = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+  private val JACCARD_T = 0.95
+  private val MINHASH_VERIFY_T = 0.8
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  /** doc_id + distinct token set + its size — the Jaccard input. */
+  private def tokenSets(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      TextOps.distinctTokens(col("text")).as("ts"))
+      .withColumn("n", size(col("ts")))
+
+  // ---- oracle fragments -------------------------------------------------
+
+  /** Polynomial rolling hash of a string expr — mirrors TextOps.polyHash. */
+  private def polySql(s: String): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % $P)"
+
+  private val TOK_CTE =
+    "tok AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ts FROM documents)"
+
+  private val HASHES_CTE =
+    s"""$TOK_CTE, hashed AS (
+       |  SELECT doc_id, lang, ts,
+       |         list_transform(ts, t -> ${polySql("t")}) AS hs
+       |  FROM tok
+       |)""".stripMargin
+
+  private def jacSql(aTs: String, bTs: String): String =
+    s"CAST(len(list_filter($aTs, t -> list_contains($bTs, t))) AS DOUBLE) / " +
+      s"(len($aTs) + len($bTs) - len(list_filter($aTs, t -> list_contains($bTs, t))))"
+
+  private def minhashSql(i: Int): String =
+    s"list_min(list_transform(hs, x -> (x * ${MINHASH_A(i)} + ${MINHASH_B(i)}) % $P))"
+
+  // ---- registry ---------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- token counting: whitespace + distinct + regex words ---------------
+    "text_token_count" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        // cast to long: DuckDB len() is BIGINT and the driver checks schema
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        size(TextOps.distinctTokens(col("text"))).cast("long").as("n_distinct"),
+        size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("long").as("n_words"))),
+
+    // -- language-ID heuristic (argmax of profile-word hits) ---------------
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(
+          col("doc_id"), col("lang"),
+          TextOps.langId(col("toks")).as("lang_pred"))),
+
+    // -- quality scoring (length/diversity ratios) -------------------------
+    "text_quality_score" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+
+    // -- document fingerprint (polynomial rolling hash) --------------------
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextOps.polyHash(col("text")).as("fp"))),
+
+    // -- exact dedup: hash-groupBy on full text ----------------------------
+    "dedup_exact" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+        .select("rep_id", "n_copies", "text")),
+
+    // -- token-set Jaccard near-dup, blocked by lang -----------------------
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val t = tokenSets(s, dir)
+      val a = t.select(col("doc_id").as("a_id"), col("lang"), col("ts").as("a_ts"), col("n").as("a_n"))
+      val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("ts").as("b_ts"), col("n").as("b_n"))
+      a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+        .withColumn("inter", size(array_intersect(col("a_ts"), col("b_ts"))))
+        .withColumn("jac",
+          col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
+        .filter(col("jac") >= JACCARD_T)
+        .select("a_id", "b_id", "jac")
+    }),
+
+    // -- MinHash + LSH banding near-dup (the 100-TB path) ------------------
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val hashed = docs(s, dir).select(
+        col("doc_id"),
+        TextOps.distinctTokens(col("text")).as("ts"),
+        TextOps.tokenHashes(col("text")).as("hs"))
+      val withMh = MINHASH_A.indices.foldLeft(hashed) { (df, i) =>
+        df.withColumn(s"mh$i", TextOps.minHash(col("hs"), MINHASH_A(i), MINHASH_B(i)))
+      }
+      // 4 bands of 2 rows: bucket key = "band:mh_{2j}_{2j+1}"
+      val bands = withMh.select(
+        col("doc_id"), col("ts"),
+        explode(array((0 until 4).map { j =>
+          concat_ws("_", lit(j), col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))
+        }: _*)).as("bucket"))
+      val cand = bands.alias("x")
+        .join(bands.alias("y"),
+          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+        .select(
+          col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          col("x.ts").as("a_ts"), col("y.ts").as("b_ts"))
+        .dropDuplicates("a_id", "b_id")
+      cand
+        .withColumn("inter", size(array_intersect(col("a_ts"), col("b_ts"))))
+        .withColumn("jac",
+          col("inter").cast("double") / (size(col("a_ts")) + size(col("b_ts")) - col("inter")))
+        .filter(col("jac") >= MINHASH_VERIFY_T)
+        .select("a_id", "b_id", "jac")
+    }),
+
+    // -- SimHash signatures (occurrence-weighted bit votes) ----------------
+    "dedup_simhash" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextOps.simHash(TextOps.tokenHashes(col("text"))).as("simhash")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "text_token_count" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |       len(regexp_extract_all(text, '\w+')) AS n_words
+        |FROM documents""".stripMargin,
+
+    "text_langid" -> {
+      val hits = TextOps.langProfiles.map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        lang -> s"len(list_filter(string_split(text, ' '), t -> list_contains($inList, t)))"
+      }
+      def caseChain(i: Int): String =
+        if (i == hits.length - 1) s"'${hits(i)._1}'"
+        else {
+          val (lang, h) = hits(i)
+          val cond = hits.drop(i + 1).map { case (_, o) => s"$h >= $o" }.mkString(" AND ")
+          s"CASE WHEN $cond THEN '$lang' ELSE ${caseChain(i + 1)} END"
+        }
+      s"SELECT doc_id, lang, ${caseChain(0)} AS lang_pred FROM documents"
+    },
+
+    "text_quality_score" ->
+      """SELECT doc_id,
+        |       0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0)
+        |       + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |       + 0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 400.0) AS quality
+        |FROM documents""".stripMargin,
+
+    "text_fingerprint" ->
+      s"SELECT doc_id, ${polySql("text")} AS fp FROM documents",
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS n_copies, text
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $TOK_CTE
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       ${jacSql("a.ts", "b.ts")} AS jac
+         |FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE ${jacSql("a.ts", "b.ts")} >= $JACCARD_T""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $HASHES_CTE, banded AS (
+         |  ${(0 until 4).map { j =>
+        s"SELECT doc_id, ts, CAST($j AS VARCHAR) || '_' || ${minhashSql(2 * j)} || '_' || ${minhashSql(2 * j + 1)} AS bucket FROM hashed"
+      }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |)
+         |SELECT c.a_id, c.b_id, ${jacSql("ta.ts", "tb.ts")} AS jac
+         |FROM cand c
+         |JOIN tok ta ON ta.doc_id = c.a_id
+         |JOIN tok tb ON tb.doc_id = c.b_id
+         |WHERE ${jacSql("ta.ts", "tb.ts")} >= $MINHASH_VERIFY_T""".stripMargin,
+
+    "dedup_simhash" -> {
+      val bits = (0 until 16).map { b =>
+        s"(CASE WHEN list_sum(list_transform(hs, x -> ((x // ${1L << b}) % 2) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH $HASHES_CTE
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hashed""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.ops.DedupOps
+
+/** Structured Streaming wiring (SURVEY §2.9 T1-T6, §2.1 S1-S2).
+  *
+  * The reference's pipeline is: Kafka JSON topics keyed by ticker →
+  * per-message enrich → upsert-by-id into the store, with a 60 s producer
+  * cadence (src/config.py:19), unbounded in-memory dedup state
+  * (producer.py:98-100,513), singleton-id latest snapshots
+  * (producer.py:268,331) and an eager 30-day retention delete
+  * (consumer.py:115-130).
+  *
+  * Design: every transform in graft.ops is a pure DataFrame => DataFrame,
+  * so the SAME code runs in batch (where the DuckDB oracle checks it) and
+  * here under streaming. This file adds only the streaming-specific parts:
+  * source/sink config, watermarked dedup (bounded state, unlike the
+  * reference's ever-growing seen-sets), and the foreachBatch merge that
+  * makes the at-least-once delivery idempotent.
+  */
+object StreamOps {
+
+  /** JSON value schema for the unioned topic family (FIXTURES.md §1):
+    * news/technical/metrics/summary messages share this superset. */
+  val messageSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("ticker", StringType),
+    StructField("type", StringType),
+    StructField("title", StringType),
+    StructField("summary", StringType),
+    StructField("publish_time", LongType),
+    StructField("current_price", DoubleType),
+    StructField("market_state", StringType),
+    StructField("currency", StringType)))
+
+  /** S2: Kafka source for the 4-topic family — earliest offsets + JSON
+    * decode, exactly the consumer's subscription shape
+    * (consumer.py:197-208). Not exercisable offline; returned unstarted. */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topics: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(
+        col("key").cast("string").as("kafka_key"),
+        from_json(col("value").cast("string"), messageSchema).as("msg"),
+        col("timestamp").as("ingest_ts"))
+      .select(col("kafka_key"), col("ingest_ts"), col("msg.*"))
+
+  /** S1: Kafka sink — JSON value, ticker key (producer.py:62-75). */
+  def kafkaSink(df: DataFrame, bootstrap: String, topic: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.select(
+        col("ticker").cast("string").as("key"),
+        to_json(struct(df.columns.map(col): _*)).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .trigger(Trigger.ProcessingTime("60 seconds")) // T1: the 60 s cadence
+
+  /** T2: bounded-state streaming dedup — replaces the reference's unbounded
+    * seen-id sets. Watermark caps how late a duplicate can arrive; state
+    * for ids older than the watermark is evicted. */
+  def dedupWithWatermark(stream: DataFrame, tsCol: String, delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay).dropDuplicates("id", tsCol)
+
+  /** T3+T4+V3: the idempotent foreachBatch merge: union the incoming batch
+    * with the current store, keep the latest row per id (A3), apply the
+    * retention filter (P7), write back. At-least-once delivery + this merge
+    * = effectively-once state, the reference's upsert semantic
+    * (consumer.py:176-181). */
+  def upsertBatch(store: DataFrame, batch: DataFrame,
+                  retainType: String, retainDays: Int): DataFrame = {
+    val merged = DedupOps.latestWins(
+      store.unionByName(batch, allowMissingColumns = true),
+      id = col("id"),
+      order = Seq(col("publish_time").desc))
+    graft.ops.FilterOps.retentionDelete(
+      merged, col("type"), retainType,
+      col("publish_time").cast("timestamp"), retainDays)
+  }
+
+  /** T5: event-time tumbling daily aggregation with watermark — the
+    * upgrade of the reference's producer-side daily summary to true
+    * event-time processing. Emits finalized windows only (append mode). */
+  def dailySummaryStream(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("volume"))
+      .select(col("window.start").as("ws"), col("user_id"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+
+case class Msg(id: String, ticker: String, `type`: String, publish_time: Long, current_price: Double)
+case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+
+/** Streaming semantics (SURVEY §2.9) driven through MemoryStream:
+  * replay-safe dedup (T2), latest-wins upsert merge (T3/V3), retention
+  * (T4), event-time windowed aggregation with watermark (T5). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("T2: dropDuplicates over a replayed stream emits each id once") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Msg]
+    val deduped = in.toDF()
+      .withColumn("event_ts", col("publish_time").cast("timestamp"))
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicates("id")
+    val q = deduped.writeStream.format("memory")
+      .queryName("t2_out").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Msg("a", "X", "news", 1000L, 1.0), Msg("b", "X", "news", 1010L, 2.0))
+      q.processAllAvailable()
+      // replay of id=a (at-least-once duplicate) plus a new id
+      in.addData(Msg("a", "X", "news", 1000L, 1.0), Msg("c", "Y", "news", 1020L, 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("t2_out").select("id").as[String].collect().sorted
+      assert(ids.toSeq == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
+  test("T3/V3/T4: foreachBatch upsert merge is idempotent, latest-wins, retained") {
+    val store0 = Seq.empty[Msg].toDF()
+    val batch = Seq(
+      Msg("LATEST_TECH_X", "X", "technical", 2000L, 10.0),
+      Msg("LATEST_TECH_X", "X", "technical", 3000L, 11.0), // later wins
+      Msg("OLD_SUMMARY", "X", "daily_summary", 100L, 1.0)  // beyond retention
+    ).toDF()
+    // retention: 30 days before max publish_time (3000 s) keeps everything
+    // newer than -2591997; the OLD row at 100 s is still inside -> craft a
+    // tighter bound by using 0 days: cutoff = 3000 -> drops the 100 s row.
+    val merged = StreamOps.upsertBatch(store0, batch, "daily_summary", 0)
+    val rows = merged.orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("id")).toSeq == Seq("LATEST_TECH_X"))
+    assert(rows.head.getAs[Double]("current_price") == 11.0)
+    // idempotence: applying the same batch again changes nothing
+    val again = StreamOps.upsertBatch(merged, batch, "daily_summary", 0)
+    assert(again.orderBy("id").collect().toSeq == rows.toSeq)
+  }
+
+  test("T5: watermarked daily window emits finalized OHLCV per key-day") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = StreamOps.dailySummaryStream(in.toDF())
+    val q = agg.writeStream.format("memory")
+      .queryName("t5_out").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(1L, ts("2024-01-01 09:00:00"), 1L, 10.0),
+        Ev(1L, ts("2024-01-01 17:00:00"), 2L, 20.0))
+      q.processAllAvailable()
+      // event 2 days later pushes the watermark past Jan 1 -> window closes
+      in.addData(Ev(1L, ts("2024-01-03 09:00:00"), 3L, 30.0))
+      q.processAllAvailable()
+      val out = spark.table("t5_out").orderBy("ws").collect()
+      assert(out.length == 1) // Jan 1 finalized; Jan 3 still open
+      val r = out.head
+      assert(r.getAs[Double]("open") == 10.0)
+      assert(r.getAs[Double]("close") == 20.0)
+      assert(r.getAs[Long]("volume") == 2L)
+    } finally q.stop()
+  }
+}

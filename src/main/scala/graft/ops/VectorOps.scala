@@ -36,6 +36,16 @@ object VectorOps {
       zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Dot product over arrays that are ALREADY double — higher-order
+    * functions are interpreted (not codegen'd), so on all-pairs workloads
+    * pre-cast each vector once with [[castDouble]] instead of paying two
+    * per-pair transforms inside [[dot]]. */
+  def dotRaw(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** One-time element cast for reuse across many pair computations. */
+  def castDouble(a: Column): Column = asDouble(a)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity, 0.0 on a zero vector (guard mirrors the oracle). */

@@ -99,12 +99,24 @@ object TextQueries extends QueryPack {
         .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
         .select("rep_id", "n_copies", "text")),
 
-    // -- token-set Jaccard near-dup, blocked by lang -----------------------
+    // -- token-set Jaccard near-dup, blocked by (lang, |tokens|) -----------
+    // jac >= 19/20 forces |A| and |B| to differ by at most 1 (inter <= min,
+    // union >= max), so the join key is (lang, size-bucket) with the right
+    // side replicated into buckets n-1/n/n+1 — a band join as an EQUI-join.
+    // vs. joining on lang alone: 5 distinct keys = 5 busy tasks and an
+    // all-pairs nested loop per language; bucketing restores parallelism
+    // and enumerates only size-compatible pairs.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val t = tokenSets(s, dir)
-      val a = t.select(col("doc_id").as("a_id"), col("lang"), col("ts").as("a_ts"), col("n").as("a_n"))
-      val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("ts").as("b_ts"), col("n").as("b_n"))
-      a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+      val a = t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"), col("ts").as("a_ts"),
+        col("n").as("a_n"), col("n").as("a_bucket"))
+      val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("ts").as("b_ts"),
+        col("n").as("b_n"))
+        .withColumn("b_bucket", explode(array(col("b_n") - 1, col("b_n"), col("b_n") + 1)))
+      a.join(b,
+        col("a_lang") === col("b_lang") && col("a_bucket") === col("b_bucket") &&
+          col("a_id") < col("b_id") &&
+          col("a_n") * 20 >= col("b_n") * 19 && col("b_n") * 20 >= col("a_n") * 19)
         .withColumn("inter", size(array_intersect(col("a_ts"), col("b_ts"))))
         .withColumn("jac",
           col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
@@ -113,31 +125,40 @@ object TextQueries extends QueryPack {
     }),
 
     // -- MinHash + LSH banding near-dup (the 100-TB path) ------------------
+    // The band self-join carries ONLY (doc_id, bucket) — shuffling the
+    // token arrays through 4 exploded bands and deduping on them was the
+    // dominant cost. Candidates are deduped as bare id pairs, size-pruned
+    // (jac >= 4/5 forces 5·min >= 4·max), and only survivors re-join the
+    // token sets for the exact-Jaccard verify.
     "dedup_minhash_lsh" -> ((s, dir) => {
+      val t = tokenSets(s, dir)
       val hashed = docs(s, dir).select(
         col("doc_id"),
-        TextOps.distinctTokens(col("text")).as("ts"),
         TextOps.tokenHashes(col("text")).as("hs"))
       val withMh = MINHASH_A.indices.foldLeft(hashed) { (df, i) =>
         df.withColumn(s"mh$i", TextOps.minHash(col("hs"), MINHASH_A(i), MINHASH_B(i)))
       }
-      // 4 bands of 2 rows: bucket key = "band:mh_{2j}_{2j+1}"
-      val bands = withMh.select(
-        col("doc_id"), col("ts"),
+      // 4 bands of 2 rows: bucket key = "band:mh_{2j}_{2j+1}". The band rows
+      // carry the token-set size so candidates are size-pruned (jac >= 4/5
+      // forces 5·min >= 4·max) BEFORE the pair-dedup shuffle.
+      val sizes = t.select(col("doc_id"), col("n"))
+      val bands = withMh.join(sizes, "doc_id").select(
+        col("doc_id"), col("n"),
         explode(array((0 until 4).map { j =>
           concat_ws("_", lit(j), col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))
         }: _*)).as("bucket"))
       val cand = bands.alias("x")
         .join(bands.alias("y"),
-          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-        .select(
-          col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-          col("x.ts").as("a_ts"), col("y.ts").as("b_ts"))
+          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id") &&
+            col("x.n") * 5 >= col("y.n") * 4 && col("y.n") * 5 >= col("x.n") * 4)
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .dropDuplicates("a_id", "b_id")
-      cand
+      val ta = t.select(col("doc_id").as("a_id"), col("ts").as("a_ts"), col("n").as("a_n"))
+      val tb = t.select(col("doc_id").as("b_id"), col("ts").as("b_ts"), col("n").as("b_n"))
+      cand.join(ta, "a_id").join(tb, "b_id")
         .withColumn("inter", size(array_intersect(col("a_ts"), col("b_ts"))))
         .withColumn("jac",
-          col("inter").cast("double") / (size(col("a_ts")) + size(col("b_ts")) - col("inter")))
+          col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
         .filter(col("jac") >= MINHASH_VERIFY_T)
         .select("a_id", "b_id", "jac")
     }),
@@ -191,6 +212,7 @@ object TextQueries extends QueryPack {
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |       ${jacSql("a.ts", "b.ts")} AS jac
          |FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  AND len(a.ts) * 20 >= len(b.ts) * 19 AND len(b.ts) * 20 >= len(a.ts) * 19
          |WHERE ${jacSql("a.ts", "b.ts")} >= $JACCARD_T""".stripMargin,
 
     "dedup_minhash_lsh" ->

@@ -37,20 +37,26 @@ object VectorQueries extends QueryPack {
       "score",
       VectorOps.timeDecayScore(col("dist"), col("vec_id").cast("double") * 60.0))
 
-  /** Pair frame with precomputed norms — one fold per vector, not three per
-    * pair; the non-equi self-join is the small-scale exact path (LSH below
-    * is the 100-TB path). */
+  /** Pair frame with precomputed norms and pre-cast double vectors — one
+    * fold + one cast per VECTOR, not per pair (HOFs are interpreted, so
+    * per-pair casts dominate all-pairs cost); the non-equi self-join is the
+    * small-scale exact path (LSH below is the 100-TB path). */
   private def pairs(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(
-      col("vec_id"), col("embedding"),
+      col("vec_id"),
+      VectorOps.castDouble(col("embedding")).as("ed"),
       VectorOps.norm(col("embedding")).as("n"))
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("n").as("a_n"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("n").as("b_n"))
+    // repartition: the non-equi self-join plans as a nested-loop join that
+    // parallelizes over LEFT partitions — a single-file scan would run the
+    // whole O(n²) loop in one task.
+    val a = e.select(col("vec_id").as("a_id"), col("ed").as("a_emb"), col("n").as("a_n"))
+      .repartition(32)
+    val b = e.select(col("vec_id").as("b_id"), col("ed").as("b_emb"), col("n").as("b_n"))
     a.join(b, col("a_id") < col("b_id"))
       .withColumn(
         "sim",
         when(col("a_n") === 0.0 || col("b_n") === 0.0, lit(0.0))
-          .otherwise(VectorOps.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n"))))
+          .otherwise(VectorOps.dotRaw(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n"))))
   }
 
   // ---- shared oracle fragments ----------------------------------------

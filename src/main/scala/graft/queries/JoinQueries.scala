@@ -159,6 +159,15 @@ object JoinQueries extends QueryPack {
           countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n"))),
 
+    // -- §2.10 UDAF superset: typed custom aggregate (VWAP) ----------------
+    // weight = props.k + 1 (k ∈ 0..100 from the JSON payload)
+    "agg_vwap_custom" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("w",
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long") + 1)
+        .groupBy(col("user_id"))
+        .agg(graft.ops.VwapAggregator.vwapColumn(col("value"), col("w")).as("vwap"))),
+
     // -- native: TPC-H q1-style pricing summary (decimal-exact) ------------
     "tpch_q1_pricing" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -248,6 +257,13 @@ object JoinQueries extends QueryPack {
     "distinct_count" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "agg_vwap_custom" ->
+      """SELECT user_id,
+        |       CASE WHEN sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) + 1) = 0 THEN 0.0
+        |            ELSE CAST(sum(CAST(value AS DECIMAL(27,2)) * (CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) + 1)) AS DOUBLE)
+        |                 / sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) + 1) END AS vwap
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "tpch_q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,

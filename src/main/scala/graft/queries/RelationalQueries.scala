@@ -135,7 +135,16 @@ object RelationalQueries extends QueryPack {
     // -- T4 batch oracle: 30-day TTL on one type (consumer.py:115-130) -----
     "retention_ttl" -> ((s, dir) =>
       FilterOps.retentionDelete(
-        Tables.events(s, dir), col("event_type"), "click", col("ts"), 20))
+        Tables.events(s, dir), col("event_type"), "click", col("ts"), 20)),
+
+    // -- T2 batch oracle: streaming dedup state = first occurrence per id
+    //    (the watermarked dropDuplicates semantic; streaming form covered
+    //    by StreamingSpec) ------------------------------------------------
+    "stream_dedup_state" -> ((s, dir) =>
+      DedupOps.keepFirst(
+        Tables.events(s, dir).withColumn("id", col("event_id") % 500),
+        keys = Seq(col("id")), order = Seq(col("ts"), col("event_id")))
+        .select("id", "event_id", "user_id", "ts", "value"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -228,6 +237,13 @@ object RelationalQueries extends QueryPack {
     "retention_ttl" ->
       s"""WITH c AS (SELECT CAST(floor(extract(epoch FROM max(ts))) AS BIGINT) - 20*86400 AS cutoff_sec FROM events)
          |SELECT events.* FROM events, c
-         |WHERE NOT (event_type = 'click' AND $EPOCH_SQL < c.cutoff_sec)""".stripMargin
+         |WHERE NOT (event_type = 'click' AND $EPOCH_SQL < c.cutoff_sec)""".stripMargin,
+
+    "stream_dedup_state" ->
+      """SELECT id, event_id, user_id, ts, value FROM (
+        |  SELECT event_id % 500 AS id, event_id, user_id, ts, value,
+        |         row_number() OVER (PARTITION BY event_id % 500 ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin
   )
 }

@@ -138,14 +138,18 @@ object TextQueries extends QueryPack {
       val withMh = MINHASH_A.indices.foldLeft(hashed) { (df, i) =>
         df.withColumn(s"mh$i", TextOps.minHash(col("hs"), MINHASH_A(i), MINHASH_B(i)))
       }
-      // 4 bands of 2 rows: bucket key = "band:mh_{2j}_{2j+1}". The band rows
-      // carry the token-set size so candidates are size-pruned (jac >= 4/5
-      // forces 5·min >= 4·max) BEFORE the pair-dedup shuffle.
+      // 2 bands of 4 rows: bucket key = "band:mh_{4j}.._{4j+3}". 4-row bands
+      // keep false candidates ~P(collide)^4 — on a 31-word vocabulary 2-row
+      // bands degenerate into giant buckets and a quadratic enumeration.
+      // The band rows carry the token-set size so candidates are
+      // size-pruned (jac >= 4/5 forces 5·min >= 4·max) BEFORE the pair-
+      // dedup shuffle.
       val sizes = t.select(col("doc_id"), col("n"))
       val bands = withMh.join(sizes, "doc_id").select(
         col("doc_id"), col("n"),
-        explode(array((0 until 4).map { j =>
-          concat_ws("_", lit(j), col(s"mh${2 * j}"), col(s"mh${2 * j + 1}"))
+        explode(array((0 until 2).map { j =>
+          concat_ws("_", lit(j), col(s"mh${4 * j}"), col(s"mh${4 * j + 1}"),
+            col(s"mh${4 * j + 2}"), col(s"mh${4 * j + 3}"))
         }: _*)).as("bucket"))
       val cand = bands.alias("x")
         .join(bands.alias("y"),
@@ -217,8 +221,8 @@ object TextQueries extends QueryPack {
 
     "dedup_minhash_lsh" ->
       s"""WITH $HASHES_CTE, banded AS (
-         |  ${(0 until 4).map { j =>
-        s"SELECT doc_id, ts, CAST($j AS VARCHAR) || '_' || ${minhashSql(2 * j)} || '_' || ${minhashSql(2 * j + 1)} AS bucket FROM hashed"
+         |  ${(0 until 2).map { j =>
+        s"SELECT doc_id, ts, CAST($j AS VARCHAR) || '_' || ${minhashSql(4 * j)} || '_' || ${minhashSql(4 * j + 1)} || '_' || ${minhashSql(4 * j + 2)} || '_' || ${minhashSql(4 * j + 3)} AS bucket FROM hashed"
       }.mkString("\n  UNION ALL\n  ")}
          |), cand AS (
          |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.CosineSimilarity.cosineSim
 import graft.model.Tables
 import graft.ops.{DedupOps, VectorOps}
 
@@ -28,35 +29,31 @@ object VectorQueries extends QueryPack {
   private def queryVec(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
 
+  /** Distances via the codegen'd [[graft.expressions.CosineSimilarity]] —
+    * bit-identical to the HOF formulation (same fold order) but fused into
+    * whole-stage codegen. */
   private def withDist(s: SparkSession, dir: String): DataFrame =
     VectorOps.withQueryVector(emb(s, dir), queryVec(s, dir))
-      .withColumn("dist", VectorOps.cosineDist(col("embedding"), col("q_emb")))
+      .withColumn("dist", lit(1.0) - cosineSim(col("embedding"), col("q_emb")))
 
   private def scored(s: SparkSession, dir: String): DataFrame =
     withDist(s, dir).withColumn(
       "score",
       VectorOps.timeDecayScore(col("dist"), col("vec_id").cast("double") * 60.0))
 
-  /** Pair frame with precomputed norms and pre-cast double vectors — one
-    * fold + one cast per VECTOR, not per pair (HOFs are interpreted, so
-    * per-pair casts dominate all-pairs cost); the non-equi self-join is the
-    * small-scale exact path (LSH below is the 100-TB path). */
+  /** All-pairs frame over the codegen'd cosine: one fused dot/norm/norm
+    * loop per pair inside whole-stage codegen (bit-identical to the HOF
+    * fold). The non-equi self-join plans as a nested-loop join that
+    * parallelizes over LEFT partitions, hence the repartition — a
+    * single-file scan would run the whole O(n²) loop in one task. This is
+    * the small-scale exact path; LSH below is the 100-TB path. */
   private def pairs(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(
-      col("vec_id"),
-      VectorOps.castDouble(col("embedding")).as("ed"),
-      VectorOps.norm(col("embedding")).as("n"))
-    // repartition: the non-equi self-join plans as a nested-loop join that
-    // parallelizes over LEFT partitions — a single-file scan would run the
-    // whole O(n²) loop in one task.
-    val a = e.select(col("vec_id").as("a_id"), col("ed").as("a_emb"), col("n").as("a_n"))
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
       .repartition(32)
-    val b = e.select(col("vec_id").as("b_id"), col("ed").as("b_emb"), col("n").as("b_n"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn(
-        "sim",
-        when(col("a_n") === 0.0 || col("b_n") === 0.0, lit(0.0))
-          .otherwise(VectorOps.dotRaw(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n"))))
+      .withColumn("sim", cosineSim(col("a_emb"), col("b_emb")))
   }
 
   // ---- shared oracle fragments ----------------------------------------
@@ -108,12 +105,20 @@ object VectorQueries extends QueryPack {
   // ---- registry --------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // -- V2: cosine similarity vs the query vector -------------------------
+    // -- V2: cosine similarity vs the query vector (HOF reference impl) ----
     "cosine_similarity" -> ((s, dir) =>
       VectorOps.withQueryVector(emb(s, dir), queryVec(s, dir))
         .select(
           col("vec_id"),
           VectorOps.cosine(col("embedding"), col("q_emb")).as("sim"))),
+
+    // -- V2 via the custom codegen'd Catalyst expression: same semantics,
+    //    same bits, whole-stage-codegen'd (graft.expressions) --------------
+    "cosine_similarity_native" -> ((s, dir) =>
+      VectorOps.withQueryVector(emb(s, dir), queryVec(s, dir))
+        .select(
+          col("vec_id"),
+          cosineSim(col("embedding"), col("q_emb")).as("sim"))),
 
     // -- V1: metadata-prefiltered exact k-NN, k=20 -------------------------
     "knn_filtered_search" -> ((s, dir) =>
@@ -148,7 +153,7 @@ object VectorQueries extends QueryPack {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val cands = emb(s, dir).crossJoin(broadcast(queries10))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("dist", VectorOps.cosineDist(col("embedding"), col("q_emb")))
+        .withColumn("dist", lit(1.0) - cosineSim(col("embedding"), col("q_emb")))
       VectorOps.topKPerQuery(
         cands, col("q_id"), Seq(col("dist"), col("vec_id")), k = 5)
         .select("q_id", "vec_id", "dist")
@@ -163,17 +168,13 @@ object VectorQueries extends QueryPack {
     "ann_lsh_bucketed" -> ((s, dir) => {
       val e = emb(s, dir).select(
         col("vec_id"), col("embedding"),
-        VectorOps.norm(col("embedding")).as("n"),
         VectorOps.lshBucket(col("embedding"), PLANES, DIMS).as("bucket"))
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-        col("n").as("a_n"), col("bucket").as("a_bucket"))
+        col("bucket").as("a_bucket"))
       val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-        col("n").as("b_n"), col("bucket").as("b_bucket"))
+        col("bucket").as("b_bucket"))
       a.join(b, col("a_bucket") === col("b_bucket") && col("a_id") < col("b_id"))
-        .withColumn(
-          "sim",
-          when(col("a_n") === 0.0 || col("b_n") === 0.0, lit(0.0))
-            .otherwise(VectorOps.dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n"))))
+        .withColumn("sim", cosineSim(col("a_emb"), col("b_emb")))
         .filter(col("sim") > 0.3)
         .select(col("a_id"), col("b_id"), col("a_bucket").as("bucket"), col("sim"))
     })
@@ -181,6 +182,11 @@ object VectorQueries extends QueryPack {
 
   def oracleSql: Map[String, String] = Map(
     "cosine_similarity" ->
+      s"""WITH $Q_CTE
+         |SELECT vec_id, ${cosSql("embedding", "q_emb")} AS sim
+         |FROM embeddings, q""".stripMargin,
+
+    "cosine_similarity_native" ->
       s"""WITH $Q_CTE
          |SELECT vec_id, ${cosSql("embedding", "q_emb")} AS sim
          |FROM embeddings, q""".stripMargin,

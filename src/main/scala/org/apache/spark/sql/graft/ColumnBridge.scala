@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `new Column(expr)` constructor; the blessed
+  * converter (`org.apache.spark.sql.classic.ExpressionUtils`) is
+  * private[sql]. This bridge lives inside the sql package namespace to
+  * expose the two conversions custom Catalyst expressions need — the same
+  * technique Spark extension libraries use. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

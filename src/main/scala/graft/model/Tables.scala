@@ -34,6 +34,19 @@ object Tables {
     }
   }
 
+  /** `events` with the raw nanosecond column kept as `ts_nanos`. Predicates
+    * on the converted `ts` cannot reach the parquet scan (the conversion
+    * expression blocks pushdown), so range filters should ALSO constrain
+    * `ts_nanos` — that predicate pushes down and prunes row groups, which
+    * is the difference between a pruned read and a full scan at 100 TB.
+    * Callers drop `ts_nanos` after filtering. */
+  def eventsWithRawTs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_nanos", org.apache.spark.sql.functions.col("ts"))
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

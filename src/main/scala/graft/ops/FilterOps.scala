@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object FilterOps {
 
-  /** Null/empty/uncastable → 0.0 double coercion (consumer.py:69-77). */
+  /** Null/empty/uncastable → 0.0 double coercion (consumer.py:69-77).
+    * try_cast, not cast: Spark 4 runs ANSI mode by default, where a plain
+    * cast THROWS on malformed strings instead of yielding null. */
   def coerceDouble(c: Column): Column =
-    coalesce(c.cast("double"), lit(0.0))
+    coalesce(c.try_cast("double"), lit(0.0))
 
   /** String field with default (consumer.py:54-60). */
   def coerceString(c: Column, default: String): Column =

@@ -34,9 +34,10 @@ object ScalarOps {
       open, close, low, high, Num.r2(variation), volume)
 
   /** F1: regex-extract one numeric field back out of the summary text
-    * (rag_engine.py:295-317). */
+    * (rag_engine.py:295-317). try_cast: a non-matching regex yields an
+    * empty string, which ANSI-mode cast would throw on. */
   def extractField(doc: Column, field: String): Column =
-    regexp_extract(doc, s"$field:\\s*(-?[\\d\\.]+)", 1).cast("double")
+    regexp_extract(doc, s"$field:\\s*(-?[\\d\\.]+)", 1).try_cast("double")
 
   /** F3: try several datetime formats in order (rag_engine.py:40-57). */
   def parseDateMultiformat(c: Column): Column =

@@ -77,11 +77,11 @@ object JoinQueries extends QueryPack {
         .select(
           to_date(col("date")).as("date"),
           col("ticker").cast("long").as("ticker"),
-          col("Open").cast("double").as("Open"),
-          col("High").cast("double").as("High"),
-          col("Low").cast("double").as("Low"),
-          col("Close").cast("double").as("Close"),
-          col("Volume").cast("long").as("Volume"))
+          col("Open").try_cast("double").as("Open"),
+          col("High").try_cast("double").as("High"),
+          col("Low").try_cast("double").as("Low"),
+          col("Close").try_cast("double").as("Close"),
+          col("Volume").try_cast("long").as("Volume"))
         .na.drop(Seq("Open", "High", "Low", "Close"))
     }),
 

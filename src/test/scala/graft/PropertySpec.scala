@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.ops.{DedupOps, MarketOps, ScalarOps, VectorOps}
+
+/** Property-based checks (SURVEY §5.3): idempotence of the upsert/dedup
+  * merge, order-insensitivity of latest-wins, the F2∘F1 format/extract
+  * round-trip, monotonic time decay, and the guarded pct-change. Each
+  * property materializes ONE small DataFrame per case, so trials are capped
+  * to keep Spark job count sane. */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private val rowGen = for {
+    id <- Gen.choose(0L, 20L)  // small key space forces collisions
+    ts <- Gen.choose(1L, 1000L)
+    v <- Gen.choose(0, 10000)
+  } yield (id, ts, v / 100.0)
+
+  private val rowsGen = Gen.nonEmptyListOf(rowGen)
+
+  property("latestWins is idempotent: applying the merge twice = once") =
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("id", "ts", "v")
+      val once = DedupOps.latestWins(df, col("id"), Seq(col("ts").desc, col("v").desc))
+      val twice = DedupOps.latestWins(once, col("id"), Seq(col("ts").desc, col("v").desc))
+      once.except(twice).isEmpty && twice.except(once).isEmpty
+    }
+
+  property("latestWins is input-order insensitive (total per-key ordering)") =
+    forAll(rowsGen) { rows =>
+      val a = DedupOps.latestWins(
+        rows.toDF("id", "ts", "v"), col("id"), Seq(col("ts").desc, col("v").desc))
+      val b = DedupOps.latestWins(
+        rows.reverse.toDF("id", "ts", "v"), col("id"), Seq(col("ts").desc, col("v").desc))
+      a.except(b).isEmpty && b.except(a).isEmpty
+    }
+
+  private val barGen = for {
+    open <- Gen.choose(1, 99999)
+    close <- Gen.choose(1, 99999)
+    low <- Gen.choose(1, 99999)
+    high <- Gen.choose(1, 99999)
+    vol <- Gen.choose(0L, 10000000L)
+    vari <- Gen.choose(-9999, 9999)
+  } yield (open / 100.0, close / 100.0, low / 100.0, high / 100.0, vari / 100.0, vol)
+
+  property("F2∘F1 round-trip: regex-extract recovers the formatted OHLCV") =
+    forAll(Gen.listOfN(20, barGen)) { bars =>
+      val df = bars.toDF("open", "close", "low", "high", "vari", "vol")
+        .withColumn("summary", ScalarOps.formatSummaryText(
+          $"open", $"close", $"low", $"high", $"vari", $"vol"))
+        .select(
+          $"open", $"close", $"vari", $"vol",
+          ScalarOps.extractField($"summary", "Open").as("open_x"),
+          ScalarOps.extractField($"summary", "Close").as("close_x"),
+          ScalarOps.extractField($"summary", "Variation").as("vari_x"),
+          ScalarOps.extractField($"summary", "Volume").cast("long").as("vol_x"))
+      df.filter(
+        $"open" =!= $"open_x" || $"close" =!= $"close_x" ||
+          $"vari" =!= $"vari_x" || $"vol" =!= $"vol_x").isEmpty
+    }
+
+  property("time-decay score is non-increasing in age") =
+    forAll(Gen.listOfN(30, Gen.choose(0L, 100000L))) { ages =>
+      val df = ages.distinct.toDF("age")
+        .select($"age", VectorOps.timeDecayScore(lit(0.2), $"age".cast("double")).as("s"))
+        .orderBy($"age")
+      val ss = df.collect().map(_.getDouble(1))
+      ss.sliding(2).forall { case Array(a, b) => a >= b; case _ => true }
+    }
+
+  property("pctChange: zero/missing base -> 0.0, else exact ratio") =
+    forAll(Gen.choose(0, 10000), Gen.choose(0, 10000)) { (c, p) =>
+      val cur = c / 100.0
+      val prev = p / 100.0
+      val got = Seq((cur, prev)).toDF("c", "p")
+        .select(MarketOps.pctChange($"c", $"p")).collect().head.getDouble(0)
+      if (prev == 0.0) got == 0.0
+      else got == (cur - prev) / prev * 100
+    }
+
+  property("negative variation round-trips with sign") = Prop.passed && {
+    val df = Seq((10.0, 5.0, 4.0, 11.0, -42.37, 7L))
+      .toDF("open", "close", "low", "high", "vari", "vol")
+      .withColumn("summary", ScalarOps.formatSummaryText(
+        $"open", $"close", $"low", $"high", $"vari", $"vol"))
+      .select(ScalarOps.extractField($"summary", "Variation").as("v"))
+    df.collect().head.getDouble(0) == -42.37
+  }
+}

@@ -59,6 +59,28 @@ object JoinQueries extends QueryPack {
           col("e.event_id").as("asof_event"))
     }),
 
+    // -- J2 via the custom physical operator (graft.plans.AsOfJoinExec):
+    //    same semantics as asof_lookback_join, but one co-partitioned
+    //    streaming merge instead of range-join-then-rank ------------------
+    "asof_join_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+        .withColumn("r_us", unix_micros(col("ts")))
+      val grid = ev
+        .select(
+          col("user_id").as("g_user"),
+          (to_date(col("ts")).cast("timestamp") + expr("INTERVAL 12 HOURS")).as("g_ts"))
+        .distinct()
+        .withColumn("g_us", unix_micros(col("g_ts")))
+      graft.plans.AsOfJoin(
+        grid, ev, "g_user", "user_id", "g_us", "r_us",
+        tolerance = 6L * 3600L * 1000000L)
+        .select(
+          col("g_user").as("user_id"), col("g_ts"),
+          coalesce(col("value"), lit(0.0)).as("asof_value"),
+          col("event_id").as("asof_event"))
+    }),
+
     // -- S3: CSV history scan with header rename + coercion + dropna -------
     // Writes a deterministic CSV (with dirty Close cells) then reads it
     // back the way the reference reads data/history/*.csv
@@ -183,6 +205,22 @@ object JoinQueries extends QueryPack {
 
   def oracleSql: Map[String, String] = Map(
     "asof_lookback_join" ->
+      """WITH grid AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 12 HOUR AS g_ts
+        |  FROM events
+        |)
+        |SELECT user_id, g_ts, asof_value, asof_event FROM (
+        |  SELECT g.user_id, g.g_ts,
+        |         coalesce(e.value, 0.0) AS asof_value,
+        |         e.event_id AS asof_event,
+        |         row_number() OVER (PARTITION BY g.user_id, g.g_ts
+        |                            ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST) AS rn
+        |  FROM grid g LEFT JOIN events e
+        |    ON g.user_id = e.user_id
+        |   AND e.ts >= g.g_ts - INTERVAL 6 HOUR AND e.ts <= g.g_ts
+        |) WHERE rn = 1""".stripMargin,
+
+    "asof_join_native" ->
       """WITH grid AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 12 HOUR AS g_ts
         |  FROM events

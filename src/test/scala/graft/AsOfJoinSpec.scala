@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOfJoin
+
+/** The custom AsOfJoinExec must return exactly the rows of the composable
+  * range-join + row_number formulation, including the no-match (null)
+  * case, and handle tolerance boundaries inclusively. */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  test("as-of picks the latest right row within tolerance, nulls when none") {
+    val grid = Seq((1L, 1000L), (1L, 2000L), (2L, 1000L), (3L, 500L))
+      .toDF("g_user", "g_us")
+    val ev = Seq(
+      (1L, 900L, 10.0), (1L, 999L, 11.0), (1L, 1001L, 12.0),
+      (1L, 1500L, 13.0), (2L, 100L, 20.0))
+      .toDF("user_id", "r_us", "value")
+    val got = AsOfJoin(grid, ev, "g_user", "user_id", "g_us", "r_us", tolerance = 600L)
+      .select($"g_user", $"g_us", $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(got == Set(
+      (1L, 1000L, Some(11.0)),  // latest <= 1000 within 600
+      (1L, 2000L, Some(13.0)),  // 1500 within [1400, 2000]
+      (2L, 1000L, None),        // 100 < 1000-600 -> out of tolerance
+      (3L, 500L, None)))        // key has no right rows
+  }
+
+  test("native operator matches the composed range-join formulation on real data") {
+    val native = SparkEntry.queries("asof_join_native")(spark, "/root/testdata/sf0.001")
+    val composed = SparkEntry.queries("asof_lookback_join")(spark, "/root/testdata/sf0.001")
+    assert(native.count() == composed.count())
+    assert(native.except(composed).isEmpty && composed.except(native).isEmpty)
+  }
+
+  test("tolerance boundary is inclusive: rts == t - tol matches") {
+    val grid = Seq((1L, 1000L)).toDF("g_user", "g_us")
+    val ev = Seq((1L, 400L, 5.0)).toDF("user_id", "r_us", "value")
+    val got = AsOfJoin(grid, ev, "g_user", "user_id", "g_us", "r_us", tolerance = 600L)
+      .select($"value").collect().head
+    assert(!got.isNullAt(0) && got.getDouble(0) == 5.0)
+  }
+}

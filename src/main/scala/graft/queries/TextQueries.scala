@@ -167,6 +167,52 @@ object TextQueries extends QueryPack {
         .select("a_id", "b_id", "jac")
     }),
 
+    // -- word-3-gram shingle Jaccard near-dup: the classic n-gram variant
+    //    (the unigram query above is tuned to this corpus's 31-word vocab;
+    //    shingles are the general-corpus formulation). Jaccard is computed
+    //    over polynomial shingle HASHES — 8-byte longs shuffle and
+    //    intersect far cheaper than shingle strings, and the oracle hashes
+    //    identically so parity is exact by construction. jac >= 0.5 bounds
+    //    sizes within 2×, so the join key is (lang, power-of-two size
+    //    bucket) with ±1-bucket replication — a band join, not a per-lang
+    //    cross product. ---------------------------------------------------
+    "dedup_shingle_jaccard" -> ((s, dir) => {
+      val shingleHashes = array_distinct(expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3), " +
+          s"i -> aggregate(transform(split(concat_ws(' ', slice(split(text, ' '), i + 1, 3)), ''), " +
+          s"c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % ${TextOps.P}))"))
+      val sh = docs(s, dir)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), shingleHashes.as("sh"))
+        .withColumn("n", size(col("sh")))
+      // MinHash banding over the shingle hashes generates candidates (an
+      // exact all-pairs shingle intersect is intractable at scale by
+      // construction — that is WHY MinHash exists); survivors get the exact
+      // Jaccard verify at 0.5.
+      val withMh = MINHASH_A.indices.foldLeft(sh) { (df, i) =>
+        df.withColumn(s"smh$i", TextOps.minHash(col("sh"), MINHASH_A(i), MINHASH_B(i)))
+      }
+      val bands = withMh.select(
+        col("doc_id"), col("n"),
+        explode(array((0 until 4).map { j =>
+          concat_ws("_", lit(j), col(s"smh${2 * j}"), col(s"smh${2 * j + 1}"))
+        }: _*)).as("bucket"))
+      val cand = bands.alias("x")
+        .join(bands.alias("y"),
+          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id") &&
+            col("x.n") * 2 >= col("y.n") && col("y.n") * 2 >= col("x.n"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .dropDuplicates("a_id", "b_id")
+      val ta = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n").as("a_n"))
+      val tb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"), col("n").as("b_n"))
+      cand.join(ta, "a_id").join(tb, "b_id")
+        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+        .withColumn("jac",
+          col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select("a_id", "b_id", "jac")
+    }),
+
     // -- SimHash signatures (occurrence-weighted bit votes) ----------------
     "dedup_simhash" -> ((s, dir) =>
       docs(s, dir).select(
@@ -233,6 +279,33 @@ object TextQueries extends QueryPack {
          |JOIN tok ta ON ta.doc_id = c.a_id
          |JOIN tok tb ON tb.doc_id = c.b_id
          |WHERE ${jacSql("ta.ts", "tb.ts")} >= $MINHASH_VERIFY_T""".stripMargin,
+
+    "dedup_shingle_jaccard" -> {
+      def smh(i: Int): String =
+        s"list_min(list_transform(sh, x -> (x * ${MINHASH_A(i)} + ${MINHASH_B(i)}) % $P))"
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+         |                       i -> ${polySql("array_to_string(string_split(text, ' ')[i:i+2], ' ')")})) AS sh
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+         |), banded AS (
+         |  ${(0 until 4).map { j =>
+        s"SELECT doc_id, sh, CAST($j AS VARCHAR) || '_' || ${smh(2 * j)} || '_' || ${smh(2 * j + 1)} AS bucket FROM sh"
+      }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |    AND len(x.sh) * 2 >= len(y.sh) AND len(y.sh) * 2 >= len(x.sh)
+         |)
+         |SELECT c.a_id, c.b_id,
+         |       CAST(len(list_filter(sa.sh, t -> list_contains(sb.sh, t))) AS DOUBLE)
+         |         / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, t -> list_contains(sb.sh, t)))) AS jac
+         |FROM cand c
+         |JOIN sh sa ON sa.doc_id = c.a_id
+         |JOIN sh sb ON sb.doc_id = c.b_id
+         |WHERE CAST(len(list_filter(sa.sh, t -> list_contains(sb.sh, t))) AS DOUBLE)
+         |         / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, t -> list_contains(sb.sh, t)))) >= 0.5""".stripMargin
+    },
 
     "dedup_simhash" -> {
       val bits = (0 until 16).map { b =>

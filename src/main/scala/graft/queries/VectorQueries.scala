@@ -163,6 +163,34 @@ object VectorQueries extends QueryPack {
     "dedup_embedding_cosine" -> ((s, dir) =>
       pairs(s, dir).filter(col("sim") > 0.4).select("a_id", "b_id", "sim")),
 
+    // -- superset: IVF-style ANN — deterministic codebook (vec_id % 50),
+    //    assign each vector to its nearest centroid cell, probe the 2
+    //    nearest cells per query, exact-search only inside them. At scale
+    //    the cell id becomes the partition key: the probe is an equi-join
+    //    on cell, never a full scan. -----------------------------------------
+    "ann_ivf_probe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val assign = VectorOps.topKPerQuery(
+        e.crossJoin(broadcast(cents))
+          .withColumn("csim", cosineSim(col("embedding"), col("c_emb"))),
+        col("vec_id"), Seq(col("csim").desc, col("c_id")), k = 1)
+        .select(col("vec_id"), col("embedding"), col("c_id"))
+      val qprobe = VectorOps.topKPerQuery(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+          .crossJoin(broadcast(cents))
+          .withColumn("csim", cosineSim(col("q_emb"), col("c_emb"))),
+        col("q_id"), Seq(col("csim").desc, col("c_id")), k = 2)
+        .select(col("q_id"), col("q_emb"), col("c_id"))
+      val cands = qprobe.join(assign, "c_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("dist", lit(1.0) - cosineSim(col("q_emb"), col("embedding")))
+      VectorOps.topKPerQuery(cands, col("q_id"), Seq(col("dist"), col("vec_id")), k = 3)
+        .select("q_id", "vec_id", "dist")
+    }),
+
     // -- superset: LSH-bucketed near-dup (the 100-TB path: equi-join on
     //    bucket id instead of an all-pairs product) -------------------------
     "ann_lsh_bucketed" -> ((s, dir) => {
@@ -229,6 +257,36 @@ object VectorQueries extends QueryPack {
     "dedup_embedding_cosine" ->
       s"""WITH $PAIR_CTE
          |SELECT a_id, b_id, sim FROM pairs WHERE sim > 0.4""".stripMargin,
+
+    "ann_ivf_probe" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0
+         |), assign AS (
+         |  SELECT vec_id, embedding, c_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.c_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+         |    FROM embeddings e, cents c
+         |  ) WHERE rn = 1
+         |), qprobe AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT e.vec_id AS q_id, c.c_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+         |    FROM embeddings e, cents c WHERE e.vec_id < 5
+         |  ) WHERE rn <= 2
+         |), cands AS (
+         |  SELECT q.q_id, a.vec_id,
+         |         1.0 - ${cosSql("qe.embedding", "a.embedding")} AS dist
+         |  FROM qprobe q
+         |  JOIN assign a ON a.c_id = q.c_id
+         |  JOIN embeddings qe ON qe.vec_id = q.q_id
+         |  WHERE a.vec_id <> q.q_id
+         |)
+         |SELECT q_id, vec_id, dist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+         |  FROM cands
+         |) WHERE rn <= 3""".stripMargin,
 
     "ann_lsh_bucketed" ->
       s"""WITH bucketed AS (

@@ -145,7 +145,35 @@ object RelationalQueries extends QueryPack {
       DedupOps.keepFirst(
         Tables.events(s, dir).withColumn("id", col("event_id") % 500),
         keys = Seq(col("id")), order = Seq(col("ts"), col("event_id")))
-        .select("id", "event_id", "user_id", "ts", "value"))
+        .select("id", "event_id", "user_id", "ts", "value")),
+
+    // -- native set ops (SURVEY §2.6 "absent: intersect/except") -----------
+    "set_intersect" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "purchase").select("user_id")
+        .intersect(ev.filter(col("event_type") === "error").select("user_id"))
+    }),
+
+    "set_except" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "purchase").select("user_id")
+        .except(ev.filter(col("event_type") === "signup").select("user_id"))
+    }),
+
+    // -- §2.10 generator analog: fan-out one row per token (posexplode) ----
+    "explode_fanout" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("token"))),
+
+    // -- §7 superset: session windows (1 h inactivity gap) -----------------
+    "session_window_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n"), graft.ops.Num.dsum(col("value")).as("sum_value"))
+        .select(
+          col("session_window.start").as("session_start"),
+          col("user_id"), col("n"), col("sum_value")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -245,6 +273,42 @@ object RelationalQueries extends QueryPack {
         |  SELECT event_id % 500 AS id, event_id, user_id, ts, value,
         |         row_number() OVER (PARTITION BY event_id % 500 ORDER BY ts, event_id) AS rn
         |  FROM events
-        |) WHERE rn = 1""".stripMargin
+        |) WHERE rn = 1""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "set_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'signup'""".stripMargin,
+
+    "explode_fanout" ->
+      """WITH e AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[CAST(i AS INTEGER)] AS token
+        |FROM e""".stripMargin,
+
+    // gaps-and-islands mirror of Spark's session_window: a new session
+    // starts when the gap to the previous event is >= 1 h (Spark's session
+    // end bound is exclusive)
+    "session_window_agg" ->
+      """WITH marks AS (
+        |  SELECT user_id, ts, value, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 3600000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marks)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin
   )
 }

@@ -16,9 +16,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Normalize TIMESTAMP -> TIMESTAMP_NTZ before writing: Spark writes
+        // TimestampType as UTC-adjusted parquet, which pandas/pyarrow read
+        // back tz-aware while the DuckDB oracle returns naive timestamps —
+        // a spurious schema mismatch. Session TZ is UTC, so the wall-clock
+        // value is unchanged.
+        val ntz = df.schema.fields.foldLeft(df) { (d, f) =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            d.withColumn(f.name,
+              org.apache.spark.sql.functions.col(f.name).cast("timestamp_ntz"))
+          else d
+        }
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -30,12 +30,17 @@ object TextQueries extends QueryPack {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
-  /** doc_id + distinct token set + its size — the Jaccard input. */
+  /** doc_id + distinct token set + its size — the Jaccard input. Token
+    * HASHES (`th`, 8-byte longs) travel through joins and intersects
+    * instead of strings — same Jaccard by construction (both engines hash
+    * identically and dedup after hashing), several× cheaper to shuffle and
+    * compare. */
   private def tokenSets(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"), col("lang"),
-      TextOps.distinctTokens(col("text")).as("ts"))
-      .withColumn("n", size(col("ts")))
+      TextOps.distinctTokens(col("text")).as("ts"),
+      array_distinct(TextOps.tokenHashes(col("text"))).as("th"))
+      .withColumn("n", size(col("th")))
 
   // ---- oracle fragments -------------------------------------------------
 
@@ -49,7 +54,7 @@ object TextQueries extends QueryPack {
   private val HASHES_CTE =
     s"""$TOK_CTE, hashed AS (
        |  SELECT doc_id, lang, ts,
-       |         list_transform(ts, t -> ${polySql("t")}) AS hs
+       |         list_distinct(list_transform(ts, t -> ${polySql("t")})) AS hs
        |  FROM tok
        |)""".stripMargin
 
@@ -108,16 +113,16 @@ object TextQueries extends QueryPack {
     // and enumerates only size-compatible pairs.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val t = tokenSets(s, dir)
-      val a = t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"), col("ts").as("a_ts"),
+      val a = t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"), col("th").as("a_th"),
         col("n").as("a_n"), col("n").as("a_bucket"))
-      val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("ts").as("b_ts"),
+      val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("th").as("b_th"),
         col("n").as("b_n"))
         .withColumn("b_bucket", explode(array(col("b_n") - 1, col("b_n"), col("b_n") + 1)))
       a.join(b,
         col("a_lang") === col("b_lang") && col("a_bucket") === col("b_bucket") &&
           col("a_id") < col("b_id") &&
           col("a_n") * 20 >= col("b_n") * 19 && col("b_n") * 20 >= col("a_n") * 19)
-        .withColumn("inter", size(array_intersect(col("a_ts"), col("b_ts"))))
+        .withColumn("inter", size(array_intersect(col("a_th"), col("b_th"))))
         .withColumn("jac",
           col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
         .filter(col("jac") >= JACCARD_T)
@@ -157,10 +162,10 @@ object TextQueries extends QueryPack {
             col("x.n") * 5 >= col("y.n") * 4 && col("y.n") * 5 >= col("x.n") * 4)
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .dropDuplicates("a_id", "b_id")
-      val ta = t.select(col("doc_id").as("a_id"), col("ts").as("a_ts"), col("n").as("a_n"))
-      val tb = t.select(col("doc_id").as("b_id"), col("ts").as("b_ts"), col("n").as("b_n"))
+      val ta = t.select(col("doc_id").as("a_id"), col("th").as("a_th"), col("n").as("a_n"))
+      val tb = t.select(col("doc_id").as("b_id"), col("th").as("b_th"), col("n").as("b_n"))
       cand.join(ta, "a_id").join(tb, "b_id")
-        .withColumn("inter", size(array_intersect(col("a_ts"), col("b_ts"))))
+        .withColumn("inter", size(array_intersect(col("a_th"), col("b_th"))))
         .withColumn("jac",
           col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
         .filter(col("jac") >= MINHASH_VERIFY_T)
@@ -258,12 +263,12 @@ object TextQueries extends QueryPack {
         |FROM documents GROUP BY text""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      s"""WITH $TOK_CTE
+      s"""WITH $HASHES_CTE
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |       ${jacSql("a.ts", "b.ts")} AS jac
-         |FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |  AND len(a.ts) * 20 >= len(b.ts) * 19 AND len(b.ts) * 20 >= len(a.ts) * 19
-         |WHERE ${jacSql("a.ts", "b.ts")} >= $JACCARD_T""".stripMargin,
+         |       ${jacSql("a.hs", "b.hs")} AS jac
+         |FROM hashed a JOIN hashed b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  AND len(a.hs) * 20 >= len(b.hs) * 19 AND len(b.hs) * 20 >= len(a.hs) * 19
+         |WHERE ${jacSql("a.hs", "b.hs")} >= $JACCARD_T""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $HASHES_CTE, banded AS (
@@ -274,11 +279,11 @@ object TextQueries extends QueryPack {
          |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
          |  FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
          |)
-         |SELECT c.a_id, c.b_id, ${jacSql("ta.ts", "tb.ts")} AS jac
+         |SELECT c.a_id, c.b_id, ${jacSql("ta.hs", "tb.hs")} AS jac
          |FROM cand c
-         |JOIN tok ta ON ta.doc_id = c.a_id
-         |JOIN tok tb ON tb.doc_id = c.b_id
-         |WHERE ${jacSql("ta.ts", "tb.ts")} >= $MINHASH_VERIFY_T""".stripMargin,
+         |JOIN hashed ta ON ta.doc_id = c.a_id
+         |JOIN hashed tb ON tb.doc_id = c.b_id
+         |WHERE ${jacSql("ta.hs", "tb.hs")} >= $MINHASH_VERIFY_T""".stripMargin,
 
     "dedup_shingle_jaccard" -> {
       def smh(i: Int): String =

@@ -122,9 +122,8 @@ object TextQueries extends QueryPack {
         col("a_lang") === col("b_lang") && col("a_bucket") === col("b_bucket") &&
           col("a_id") < col("b_id") &&
           col("a_n") * 20 >= col("b_n") * 19 && col("b_n") * 20 >= col("a_n") * 19)
-        .withColumn("inter", size(array_intersect(col("a_th"), col("b_th"))))
         .withColumn("jac",
-          col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
+          graft.expressions.JaccardSimilarity.jaccardSim(col("a_th"), col("b_th")))
         .filter(col("jac") >= JACCARD_T)
         .select("a_id", "b_id", "jac")
     }),
@@ -136,7 +135,8 @@ object TextQueries extends QueryPack {
     // (jac >= 4/5 forces 5·min >= 4·max), and only survivors re-join the
     // token sets for the exact-Jaccard verify.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      val t = tokenSets(s, dir)
+      // cache: token hashing feeds the bands and both verify joins
+      val t = tokenSets(s, dir).cache()
       val hashed = docs(s, dir).select(
         col("doc_id"),
         TextOps.tokenHashes(col("text")).as("hs"))
@@ -162,12 +162,11 @@ object TextQueries extends QueryPack {
             col("x.n") * 5 >= col("y.n") * 4 && col("y.n") * 5 >= col("x.n") * 4)
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .dropDuplicates("a_id", "b_id")
-      val ta = t.select(col("doc_id").as("a_id"), col("th").as("a_th"), col("n").as("a_n"))
-      val tb = t.select(col("doc_id").as("b_id"), col("th").as("b_th"), col("n").as("b_n"))
+      val ta = t.select(col("doc_id").as("a_id"), col("th").as("a_th"))
+      val tb = t.select(col("doc_id").as("b_id"), col("th").as("b_th"))
       cand.join(ta, "a_id").join(tb, "b_id")
-        .withColumn("inter", size(array_intersect(col("a_th"), col("b_th"))))
         .withColumn("jac",
-          col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
+          graft.expressions.JaccardSimilarity.jaccardSim(col("a_th"), col("b_th")))
         .filter(col("jac") >= MINHASH_VERIFY_T)
         .select("a_id", "b_id", "jac")
     }),
@@ -186,10 +185,14 @@ object TextQueries extends QueryPack {
         "transform(sequence(0, size(split(text, ' ')) - 3), " +
           s"i -> aggregate(transform(split(concat_ws(' ', slice(split(text, ' '), i + 1, 3)), ''), " +
           s"c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % ${TextOps.P}))"))
+      // cache: the shingle-hash expression (a nested interpreted HOF fold
+      // per shingle) feeds the band generation AND both verify joins —
+      // without caching it is evaluated three times per document
       val sh = docs(s, dir)
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), shingleHashes.as("sh"))
         .withColumn("n", size(col("sh")))
+        .cache()
       // MinHash banding over the shingle hashes generates candidates (an
       // exact all-pairs shingle intersect is intractable at scale by
       // construction — that is WHY MinHash exists); survivors get the exact
@@ -208,12 +211,11 @@ object TextQueries extends QueryPack {
             col("x.n") * 2 >= col("y.n") && col("y.n") * 2 >= col("x.n"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .dropDuplicates("a_id", "b_id")
-      val ta = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n").as("a_n"))
-      val tb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"), col("n").as("b_n"))
+      val ta = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      val tb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
       cand.join(ta, "a_id").join(tb, "b_id")
-        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
         .withColumn("jac",
-          col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter")))
+          graft.expressions.JaccardSimilarity.jaccardSim(col("a_sh"), col("b_sh")))
         .filter(col("jac") >= 0.5)
         .select("a_id", "b_id", "jac")
     }),

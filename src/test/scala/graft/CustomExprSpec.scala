@@ -39,6 +39,32 @@ class CustomExprSpec extends AnyFunSuite {
     assert(got(2).getDouble(0) == 0.0)
   }
 
+  test("JaccardSimilarity: bit-identical to the composed intersect formula") {
+    import graft.expressions.JaccardSimilarity.jaccardSim
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val t = docs.select(
+      $"doc_id",
+      array_distinct(graft.ops.TextOps.tokenHashes($"text")).as("th"))
+    val a = t.limit(40).select($"doc_id".as("a_id"), $"th".as("a_th"))
+    val b = t.limit(40).select($"doc_id".as("b_id"), $"th".as("b_th"))
+    val pairs = a.join(b, $"a_id" < $"b_id")
+      .withColumn("native", jaccardSim($"a_th", $"b_th"))
+      .withColumn("inter", size(array_intersect($"a_th", $"b_th")))
+      .withColumn("composed",
+        $"inter".cast("double") / (size($"a_th") + size($"b_th") - $"inter"))
+    assert(pairs.filter($"native" =!= $"composed").count() == 0)
+  }
+
+  test("JaccardSimilarity: identical sets -> 1.0, disjoint -> 0.0, empty -> 0.0") {
+    import graft.expressions.JaccardSimilarity.jaccardSim
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),
+      (Array(1L, 2L), Array(3L, 4L)),
+      (Array.empty[Long], Array.empty[Long]))
+      .toDF("a", "b").select(jaccardSim($"a", $"b").as("j"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0, 0.0))
+  }
+
   test("VWAP aggregator matches the decimal closed form") {
     val df = Seq((1L, 10.00, 1L), (1L, 20.00, 3L), (2L, 5.50, 2L))
       .toDF("k", "price", "w")

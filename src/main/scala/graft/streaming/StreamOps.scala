@@ -7,6 +7,9 @@ import org.apache.spark.sql.types._
 
 import graft.ops.DedupOps
 
+/** Typed message for the keyed-state snapshot operator. */
+case class SnapshotMsg(ticker: String, publish_time: Long, current_price: Double)
+
 /** Structured Streaming wiring (SURVEY §2.9 T1-T6, §2.1 S1-S2).
   *
   * The reference's pipeline is: Kafka JSON topics keyed by ticker →
@@ -83,6 +86,27 @@ object StreamOps {
     graft.ops.FilterOps.retentionDelete(
       merged, col("type"), retainType,
       col("publish_time").cast("timestamp"), retainDays)
+  }
+
+  /** T3 (keyed-state form): the LATEST_* singleton snapshot as explicit
+    * streaming state — one state row per key holding the latest-by-event-
+    * time message, emitted on every update (the reference's singleton-id
+    * overwrite, producer.py:268,331, with per-key state instead of
+    * overwritten ids). Ties beyond event time are broken by price to stay
+    * deterministic under replay. */
+  def latestSnapshotStream(
+      stream: org.apache.spark.sql.Dataset[SnapshotMsg])
+      : org.apache.spark.sql.Dataset[SnapshotMsg] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val enc = org.apache.spark.sql.Encoders.product[SnapshotMsg]
+    stream.groupByKey(_.ticker)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: String, msgs: Iterator[SnapshotMsg], state: GroupState[SnapshotMsg]) => {
+          val candidates = msgs ++ state.getOption.iterator
+          val latest = candidates.maxBy(m => (m.publish_time, m.current_price))
+          state.update(latest)
+          Iterator.single(latest)
+        })
   }
 
   /** T5: event-time tumbling daily aggregation with watermark — the

@@ -58,6 +58,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(again.orderBy("id").collect().toSeq == rows.toSeq)
   }
 
+  test("T3 keyed-state: flatMapGroupsWithState keeps the latest snapshot per key") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SnapshotMsg
+    val in = MemoryStream[SnapshotMsg]
+    val q = StreamOps.latestSnapshotStream(in.toDS())
+      .writeStream.format("memory").queryName("t3_state_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(SnapshotMsg("X", 100L, 1.0), SnapshotMsg("X", 200L, 2.0))
+      q.processAllAvailable()
+      // an OLDER message arrives late: state must keep publish_time=200
+      in.addData(SnapshotMsg("X", 150L, 9.0), SnapshotMsg("Y", 50L, 5.0))
+      q.processAllAvailable()
+      val latest = spark.table("t3_state_out")
+        .groupBy("ticker").agg(max_by(struct($"publish_time", $"current_price"), $"publish_time").as("m"))
+        .select($"ticker", $"m.publish_time", $"m.current_price")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(latest("X") == (200L, 2.0)) // late 150 did not displace 200
+      assert(latest("Y") == (50L, 5.0))
+    } finally q.stop()
+  }
+
   test("T5: watermarked daily window emits finalized OHLCV per key-day") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]

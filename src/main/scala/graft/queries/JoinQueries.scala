@@ -30,7 +30,12 @@ object JoinQueries extends QueryPack {
   private val REV_SQL =
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE)"
 
+  /** CSV round-trip staging dir, suffixed with the scale-factor directory
+    * name so a later Bench run at another SF can't clobber the files the
+    * sf0.01 correctness oracle reads (the oracle SQL is a static string and
+    * pins the sf0.01 path — the driver contract's correctness SF). */
   private val CSV_DIR = "/tmp/graft_scan_history"
+  private def csvDir(dir: String): String = s"$CSV_DIR/${dir.split('/').last}"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- J2: as-of lookback join on an irregular series --------------------
@@ -94,8 +99,8 @@ object JoinQueries extends QueryPack {
           col("high").as("High"), col("low").as("Low"), col("Close"),
           col("volume").as("Volume"))
       bars.coalesce(1).write.mode("overwrite")
-        .option("header", "true").csv(CSV_DIR)
-      s.read.option("header", "true").csv(CSV_DIR)
+        .option("header", "true").csv(csvDir(dir))
+      s.read.option("header", "true").csv(csvDir(dir))
         .select(
           to_date(col("date")).as("date"),
           col("ticker").cast("long").as("ticker"),
@@ -239,7 +244,7 @@ object JoinQueries extends QueryPack {
     "scan_history_csv" ->
       s"""SELECT CAST(date AS DATE) AS date, ticker, Open, High, Low,
          |       TRY_CAST(Close AS DOUBLE) AS Close, Volume
-         |FROM read_csv('$CSV_DIR/*.csv', header = true,
+         |FROM read_csv('$CSV_DIR/sf0.01/*.csv', header = true,
          |              columns = {'date': 'VARCHAR', 'ticker': 'BIGINT',
          |                         'Open': 'DOUBLE', 'High': 'DOUBLE', 'Low': 'DOUBLE',
          |                         'Close': 'VARCHAR', 'Volume': 'BIGINT'})

@@ -12,5 +12,8 @@ object GraftFunctions {
     org.apache.spark.sql.graft.ColumnBridge.registerFunction(
       spark, "cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
+    org.apache.spark.sql.graft.ColumnBridge.registerFunction(
+      spark, "jaccard_sim",
+      exprs => graft.expressions.JaccardSimilarity(exprs(0), exprs(1)))
   }
 }

@@ -28,7 +28,8 @@ object SparkEntry {
     VectorQueries,
     TextQueries,
     EnrichmentQueries,
-    JoinQueries)
+    JoinQueries,
+    PipelineQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Composes the slice-0 pipeline of SURVEY §7: daily OHLCV summary +

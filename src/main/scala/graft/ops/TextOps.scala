@@ -28,19 +28,34 @@ object TextOps {
 
   /** Polynomial rolling hash of a string: fold (acc·31 + charCode) mod P.
     * DuckDB mirror: list_reduce([0] || list_transform(string_split(s, ''),
-    * c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc*31 + c) % P). */
-  def polyHash(s: Column): Column =
+    * c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc*31 + c) % P).
+    * Native codegen kernel; [[polyHashHof]] is the HOF reference form
+    * (bit-equal by spec). */
+  def polyHash(s: Column): Column = graft.expressions.TextHash.polyHash(s)
+
+  /** HOF reference formulation of [[polyHash]] — interpreted lambda
+    * evaluation, kept for the native-vs-HOF equality spec. */
+  def polyHashHof(s: Column): Column =
     aggregate(
       transform(split(s, ""), ch => ascii(ch).cast("long")),
       lit(0L), (acc, c) => (acc * 31 + c) % P)
 
   /** Per-token polynomial hashes (distinct tokens) — the MinHash/SimHash
-    * input. */
+    * input. Native codegen kernel. */
   def tokenHashes(text: Column): Column =
-    transform(distinctTokens(text), t => polyHash(t))
+    graft.expressions.TextHash.tokenHashes(text)
 
-  /** MinHash_i over token hashes with h_i(x) = (a·x + b) mod P. */
+  /** HOF reference formulation of [[tokenHashes]]. */
+  def tokenHashesHof(text: Column): Column =
+    transform(distinctTokens(text), t => polyHashHof(t))
+
+  /** MinHash_i over token hashes with h_i(x) = (a·x + b) mod P.
+    * Native codegen kernel. */
   def minHash(hashes: Column, a: Long, b: Long): Column =
+    graft.expressions.TextHash.minHash(hashes, a, b)
+
+  /** HOF reference formulation of [[minHash]]. */
+  def minHashHof(hashes: Column, a: Long, b: Long): Column =
     array_min(transform(hashes, x => (x * a + b) % P))
 
   /** One SimHash bit: sign of Σ_tokens (2·bit_b(hash) - 1). */
@@ -51,8 +66,15 @@ object TextOps {
     when(weight > 0, lit(1L << b)).otherwise(lit(0L))
   }
 
-  /** 16-bit SimHash signature from token hashes. */
+  /** 16-bit SimHash signature from token hashes — native single-pass
+    * kernel at the default width; the HOF bit ladder covers other
+    * widths and serves as the equality reference. */
   def simHash(hashes: Column, bits: Int = 16): Column =
+    if (bits == 16) graft.expressions.TextHash.simHash16(hashes)
+    else simHashHof(hashes, bits)
+
+  /** HOF reference formulation of [[simHash]] (16 interpreted folds). */
+  def simHashHof(hashes: Column, bits: Int = 16): Column =
     (0 until bits).map(simhashBit(hashes, _)).reduce(_ + _)
 
   /** Language-profile stopword sets, drawn from the testdata's 31-word

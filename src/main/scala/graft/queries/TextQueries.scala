@@ -156,9 +156,24 @@ object TextQueries extends QueryPack {
           concat_ws("_", lit(j), col(s"mh${4 * j}"), col(s"mh${4 * j + 1}"),
             col(s"mh${4 * j + 2}"), col(s"mh${4 * j + 3}"))
         }: _*)).as("bucket"))
-      val cand = bands.alias("x")
-        .join(bands.alias("y"),
-          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id") &&
+      // SALTED self-join: a low-cardinality corpus collapses the banding
+      // into a few giant buckets (at sf0.1: 48 buckets, the top one holding
+      // 77% of docs), and a plain join on `bucket` then enumerates ~15M
+      // candidate pairs in the 2 tasks that own the heavy keys — AQE can't
+      // split it because the skew is in join OUTPUT, not input partition
+      // size. Salting keys the join on (bucket, salt): each probe row
+      // keeps one of SALTS salts, the build side replicates to all of
+      // them, so every bucket's pair space splits SALTS ways while the
+      // pair set stays identical by construction.
+      val SALTS = 32
+      val x = bands
+        .withColumn("salt", pmod(hash(col("doc_id")), lit(SALTS)))
+      val y = bands
+        .withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
+      val cand = x.alias("x")
+        .join(y.alias("y"),
+          col("x.bucket") === col("y.bucket") && col("x.salt") === col("y.salt") &&
+            col("x.doc_id") < col("y.doc_id") &&
             col("x.n") * 5 >= col("y.n") * 4 && col("y.n") * 5 >= col("x.n") * 4)
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .dropDuplicates("a_id", "b_id")
@@ -181,16 +196,14 @@ object TextQueries extends QueryPack {
     //    bucket) with ±1-bucket replication — a band join, not a per-lang
     //    cross product. ---------------------------------------------------
     "dedup_shingle_jaccard" -> ((s, dir) => {
-      val shingleHashes = array_distinct(expr(
-        "transform(sequence(0, size(split(text, ' ')) - 3), " +
-          s"i -> aggregate(transform(split(concat_ws(' ', slice(split(text, ' '), i + 1, 3)), ''), " +
-          s"c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % ${TextOps.P}))"))
-      // cache: the shingle-hash expression (a nested interpreted HOF fold
-      // per shingle) feeds the band generation AND both verify joins —
-      // without caching it is evaluated three times per document
+      // Native codegen shingle hashing (graft.expressions.ShingleHashes):
+      // one Java loop per document instead of a nested interpreted HOF
+      // fold per shingle per character. Cache: the hashes feed the band
+      // generation AND both verify joins.
       val sh = docs(s, dir)
         .filter(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"), shingleHashes.as("sh"))
+        .select(col("doc_id"),
+          graft.expressions.TextHash.shingleHashes(col("text")).as("sh"))
         .withColumn("n", size(col("sh")))
         .cache()
       // MinHash banding over the shingle hashes generates candidates (an

@@ -65,6 +65,45 @@ class CustomExprSpec extends AnyFunSuite {
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0, 0.0))
   }
 
+  test("TextHash kernels: bit-identical to the HOF folds on real documents") {
+    import graft.ops.TextOps
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val shingleHof = array_distinct(expr(
+      "transform(sequence(0, size(split(text, ' ')) - 3), " +
+        s"i -> aggregate(transform(split(concat_ws(' ', slice(split(text, ' '), i + 1, 3)), ''), " +
+        s"c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % ${TextOps.P}))"))
+    val both = docs.filter(size(split($"text", " ")) >= 3).select(
+      TextOps.polyHash($"text").as("ph_n"), TextOps.polyHashHof($"text").as("ph_h"),
+      TextOps.tokenHashes($"text").as("th_n"), TextOps.tokenHashesHof($"text").as("th_h"),
+      graft.expressions.TextHash.shingleHashes($"text").as("sh_n"), shingleHof.as("sh_h"),
+      TextOps.minHash(TextOps.tokenHashes($"text"), 7L, 3L).as("mh_n"),
+      TextOps.minHashHof(TextOps.tokenHashesHof($"text"), 7L, 3L).as("mh_h"),
+      TextOps.simHash(TextOps.tokenHashes($"text")).as("si_n"),
+      TextOps.simHashHof(TextOps.tokenHashesHof($"text")).as("si_h"))
+    val bad = both.filter(
+      $"ph_n" =!= $"ph_h" || $"th_n" =!= $"th_h" || $"sh_n" =!= $"sh_h" ||
+        $"mh_n" =!= $"mh_h" || $"si_n" =!= $"si_h").count()
+    assert(bad == 0)
+  }
+
+  test("TextHash edge cases: empty string, short docs, empty-array minhash") {
+    import graft.expressions.TextHash
+    val df = Seq("", "one two", "a b c", "x  y").toDF("text").select(
+      TextHash.polyHash($"text").as("ph"),
+      TextHash.tokenHashes($"text").as("th"),
+      TextHash.shingleHashes($"text").as("sh"),
+      TextHash.minHash(TextHash.shingleHashes($"text"), 7L, 3L).as("mh"))
+    val got = df.collect()
+    assert(got(0).getLong(0) == 0L)          // polyHash("") = 0
+    assert(got(0).getSeq[Long](2).isEmpty)   // <3 tokens -> no shingles
+    assert(got(1).getSeq[Long](2).isEmpty)
+    assert(got(2).getSeq[Long](2).size == 1) // exactly one 3-gram
+    assert(got(0).isNullAt(3))               // minhash of empty = null (array_min)
+    assert(!got(2).isNullAt(3))
+    // "x  y" double space -> empty middle token is a real token
+    assert(got(3).getSeq[Long](1).size == 3)
+  }
+
   test("VWAP aggregator matches the decimal closed form") {
     val df = Seq((1L, 10.00, 1L), (1L, 20.00, 3L), (2L, 5.50, 2L))
       .toDF("k", "price", "w")

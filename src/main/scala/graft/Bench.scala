@@ -17,7 +17,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // A query's own cache build is timed above; dropping it afterwards
+      // keeps one query's working set from distorting the next (GC
+      // pressure from leaked caches skewed earlier runs by 5-8×).
+      try spark.catalog.clearCache() catch { case _: Throwable => }
+      name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -33,6 +33,10 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries cache intermediate frames for their own multi-use plans;
+      // drop them so one query's working set doesn't squat on executor
+      // memory for the rest of the run.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -34,12 +34,13 @@ object TextQueries extends QueryPack {
     * HASHES (`th`, 8-byte longs) travel through joins and intersects
     * instead of strings — same Jaccard by construction (both engines hash
     * identically and dedup after hashing), several× cheaper to shuffle and
-    * compare. */
+    * compare. Sorted ascending ONCE per document so the per-pair verify
+    * (millions of evaluations) can use the merge-scan Jaccard. */
   private def tokenSets(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"), col("lang"),
       TextOps.distinctTokens(col("text")).as("ts"),
-      array_distinct(TextOps.tokenHashes(col("text"))).as("th"))
+      array_sort(array_distinct(TextOps.tokenHashes(col("text")))).as("th"))
       .withColumn("n", size(col("th")))
 
   // ---- oracle fragments -------------------------------------------------
@@ -113,8 +114,15 @@ object TextQueries extends QueryPack {
     // and enumerates only size-compatible pairs.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val t = tokenSets(s, dir)
+      // repartition the probe side: a local small-file scan is ONE input
+      // partition, and with the dim side broadcast the whole quadratic
+      // pair enumeration would run as a single task. Round-robin to the
+      // session's shuffle parallelism — a negligible shuffle of bare
+      // (id, hashes) rows that restores CPU parallelism downstream; on a
+      // real multi-split input the scan already provides it.
       val a = t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"), col("th").as("a_th"),
         col("n").as("a_n"), col("n").as("a_bucket"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
       val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("th").as("b_th"),
         col("n").as("b_n"))
         .withColumn("b_bucket", explode(array(col("b_n") - 1, col("b_n"), col("b_n") + 1)))
@@ -123,7 +131,7 @@ object TextQueries extends QueryPack {
           col("a_id") < col("b_id") &&
           col("a_n") * 20 >= col("b_n") * 19 && col("b_n") * 20 >= col("a_n") * 19)
         .withColumn("jac",
-          graft.expressions.JaccardSimilarity.jaccardSim(col("a_th"), col("b_th")))
+          graft.expressions.JaccardSimilarity.jaccardSimSorted(col("a_th"), col("b_th")))
         .filter(col("jac") >= JACCARD_T)
         .select("a_id", "b_id", "jac")
     }),
@@ -166,10 +174,18 @@ object TextQueries extends QueryPack {
       // them, so every bucket's pair space splits SALTS ways while the
       // pair set stays identical by construction.
       val SALTS = 32
+      val nPart = s.sessionState.conf.numShufflePartitions
+      // The explicit repartition on (bucket, salt) does double duty: it
+      // co-partitions both sides for the join AND pins the partition
+      // count — AQE would otherwise coalesce this tiny-INPUT shuffle to
+      // ~3 partitions (the skew is in join OUTPUT bytes, which AQE can't
+      // see), re-serializing the enumeration the salt exists to spread.
       val x = bands
         .withColumn("salt", pmod(hash(col("doc_id")), lit(SALTS)))
+        .repartition(nPart, col("bucket"), col("salt"))
       val y = bands
         .withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
+        .repartition(nPart, col("bucket"), col("salt"))
       val cand = x.alias("x")
         .join(y.alias("y"),
           col("x.bucket") === col("y.bucket") && col("x.salt") === col("y.salt") &&
@@ -181,7 +197,7 @@ object TextQueries extends QueryPack {
       val tb = t.select(col("doc_id").as("b_id"), col("th").as("b_th"))
       cand.join(ta, "a_id").join(tb, "b_id")
         .withColumn("jac",
-          graft.expressions.JaccardSimilarity.jaccardSim(col("a_th"), col("b_th")))
+          graft.expressions.JaccardSimilarity.jaccardSimSorted(col("a_th"), col("b_th")))
         .filter(col("jac") >= MINHASH_VERIFY_T)
         .select("a_id", "b_id", "jac")
     }),
@@ -203,7 +219,7 @@ object TextQueries extends QueryPack {
       val sh = docs(s, dir)
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"),
-          graft.expressions.TextHash.shingleHashes(col("text")).as("sh"))
+          array_sort(graft.expressions.TextHash.shingleHashes(col("text"))).as("sh"))
         .withColumn("n", size(col("sh")))
         .cache()
       // MinHash banding over the shingle hashes generates candidates (an
@@ -228,7 +244,7 @@ object TextQueries extends QueryPack {
       val tb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
       cand.join(ta, "a_id").join(tb, "b_id")
         .withColumn("jac",
-          graft.expressions.JaccardSimilarity.jaccardSim(col("a_sh"), col("b_sh")))
+          graft.expressions.JaccardSimilarity.jaccardSimSorted(col("a_sh"), col("b_sh")))
         .filter(col("jac") >= 0.5)
         .select("a_id", "b_id", "jac")
     }),

@@ -104,6 +104,20 @@ class CustomExprSpec extends AnyFunSuite {
     assert(got(3).getSeq[Long](1).size == 3)
   }
 
+  test("sorted-merge Jaccard equals hash-probe Jaccard on sorted sets") {
+    import graft.expressions.JaccardSimilarity._
+    val rng = new scala.util.Random(42)
+    val rows = Seq.fill(200) {
+      val a = Seq.fill(rng.nextInt(30))(rng.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rng.nextInt(30))(rng.nextInt(40).toLong).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq.empty[Long])) :+ ((Seq(1L, 2L), Seq.empty[Long]))
+    val df = rows.toDF("a", "b").select(
+      jaccardSim($"a", $"b").as("probe"),
+      jaccardSimSorted($"a", $"b").as("merge"))
+    assert(df.filter($"probe" =!= $"merge").count() == 0)
+  }
+
   test("VWAP aggregator matches the decimal closed form") {
     val df = Seq((1L, 10.00, 1L), (1L, 20.00, 3L), (2L, 5.50, 2L))
       .toDF("k", "price", "w")

@@ -137,65 +137,56 @@ object TextQueries extends QueryPack {
     }),
 
     // -- MinHash + LSH banding near-dup (the 100-TB path) ------------------
-    // The band self-join carries ONLY (doc_id, bucket) — shuffling the
-    // token arrays through 4 exploded bands and deduping on them was the
-    // dominant cost. Candidates are deduped as bare id pairs, size-pruned
-    // (jac >= 4/5 forces 5·min >= 4·max), and only survivors re-join the
-    // token sets for the exact-Jaccard verify.
+    // 2 bands of 4 minhash rows: bucket key = "j_mh{4j}.._mh{4j+3}". 4-row
+    // bands keep false candidates ~P(collide)^4 — on a 31-word vocabulary
+    // 2-row bands degenerate into giant buckets and a quadratic
+    // enumeration. The band rows carry the token-set size so candidates
+    // are size-pruned (jac >= 4/5 forces 5·min >= 4·max) inside the join.
+    //
+    // FIRST-COLLISION-BAND dedup: a pair colliding in both bands must be
+    // emitted once, but a `dropDuplicates` on the pair stream shuffles a
+    // term that scales with the CANDIDATE COUNT (quadratic in bucket
+    // size — 70 MB and the dominant stage at sf0.1; unbounded at 100 TB).
+    // Instead every band row carries its band-0 key and the join emits a
+    // pair only from the FIRST band where it collides (band 0, or band 1
+    // with differing band-0 keys) — distinct by construction, turning the
+    // pair-dedup shuffle+hash-aggregate into a pipelined filter.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      // cache: token hashing feeds the bands and both verify joins
-      val t = tokenSets(s, dir).cache()
-      val hashed = docs(s, dir).select(
+      // one cached base: sorted distinct token hashes feed the minhashes
+      // (min is order/dup-insensitive), the size prune, AND the verify
+      val base = docs(s, dir).select(
         col("doc_id"),
-        TextOps.tokenHashes(col("text")).as("hs"))
-      val withMh = MINHASH_A.indices.foldLeft(hashed) { (df, i) =>
-        df.withColumn(s"mh$i", TextOps.minHash(col("hs"), MINHASH_A(i), MINHASH_B(i)))
+        array_sort(TextOps.tokenHashes(col("text"))).as("th"))
+        .withColumn("n", size(col("th")))
+        .cache()
+      val withMh = MINHASH_A.indices.foldLeft(base: DataFrame) { (df, i) =>
+        df.withColumn(s"mh$i", TextOps.minHash(col("th"), MINHASH_A(i), MINHASH_B(i)))
       }
-      // 2 bands of 4 rows: bucket key = "band:mh_{4j}.._{4j+3}". 4-row bands
-      // keep false candidates ~P(collide)^4 — on a 31-word vocabulary 2-row
-      // bands degenerate into giant buckets and a quadratic enumeration.
-      // The band rows carry the token-set size so candidates are
-      // size-pruned (jac >= 4/5 forces 5·min >= 4·max) BEFORE the pair-
-      // dedup shuffle.
-      val sizes = t.select(col("doc_id"), col("n"))
-      val bands = withMh.join(sizes, "doc_id").select(
-        col("doc_id"), col("n"),
-        explode(array((0 until 2).map { j =>
-          concat_ws("_", lit(j), col(s"mh${4 * j}"), col(s"mh${4 * j + 1}"),
-            col(s"mh${4 * j + 2}"), col(s"mh${4 * j + 3}"))
-        }: _*)).as("bucket"))
-      // SALTED self-join: a low-cardinality corpus collapses the banding
-      // into a few giant buckets (at sf0.1: 48 buckets, the top one holding
-      // 77% of docs), and a plain join on `bucket` then enumerates ~15M
-      // candidate pairs in the 2 tasks that own the heavy keys — AQE can't
-      // split it because the skew is in join OUTPUT, not input partition
-      // size. Salting keys the join on (bucket, salt): each probe row
-      // keeps one of SALTS salts, the build side replicates to all of
-      // them, so every bucket's pair space splits SALTS ways while the
-      // pair set stays identical by construction.
-      val SALTS = 32
+      def bandKey(j: Int) = concat_ws("_", lit(j) +: (0 until 4).map(k => col(s"mh${4 * j + k}")): _*)
+      val bands = withMh.select(
+        col("doc_id"), col("n"), bandKey(0).as("b0"),
+        explode(array(bandKey(0), bandKey(1))).as("bucket"))
+      // Enumeration join: at this scale the band table is small, so the
+      // probe side is round-robin repartitioned (a low-cardinality corpus
+      // collapses into ~48 buckets, the top one holding 77% of docs — the
+      // quadratic pair space of a heavy bucket spreads evenly because its
+      // probe ROWS do) against a broadcast build side; each partition's
+      // candidates flow straight into the verify with no pair shuffle at
+      // all. At cluster scale the same plan salts the build side and
+      // shuffles on (bucket, salt) — the first-band filter keeps the
+      // pair stream shuffle-free either way.
       val nPart = s.sessionState.conf.numShufflePartitions
-      // The explicit repartition on (bucket, salt) does double duty: it
-      // co-partitions both sides for the join AND pins the partition
-      // count — AQE would otherwise coalesce this tiny-INPUT shuffle to
-      // ~3 partitions (the skew is in join OUTPUT bytes, which AQE can't
-      // see), re-serializing the enumeration the salt exists to spread.
-      val x = bands
-        .withColumn("salt", pmod(hash(col("doc_id")), lit(SALTS)))
-        .repartition(nPart, col("bucket"), col("salt"))
-      val y = bands
-        .withColumn("salt", explode(array((0 until SALTS).map(lit): _*)))
-        .repartition(nPart, col("bucket"), col("salt"))
+      val x = bands.repartition(nPart)
       val cand = x.alias("x")
-        .join(y.alias("y"),
-          col("x.bucket") === col("y.bucket") && col("x.salt") === col("y.salt") &&
+        .join(broadcast(bands.alias("y")),
+          col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") < col("y.doc_id") &&
-            col("x.n") * 5 >= col("y.n") * 4 && col("y.n") * 5 >= col("x.n") * 4)
+            col("x.n") * 5 >= col("y.n") * 4 && col("y.n") * 5 >= col("x.n") * 4 &&
+            (col("x.bucket") === col("x.b0") || col("x.b0") =!= col("y.b0")))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .dropDuplicates("a_id", "b_id")
-      val ta = t.select(col("doc_id").as("a_id"), col("th").as("a_th"))
-      val tb = t.select(col("doc_id").as("b_id"), col("th").as("b_th"))
-      cand.join(ta, "a_id").join(tb, "b_id")
+      val ta = base.select(col("doc_id").as("a_id"), col("th").as("a_th"))
+      val tb = base.select(col("doc_id").as("b_id"), col("th").as("b_th"))
+      cand.join(broadcast(ta), "a_id").join(broadcast(tb), "b_id")
         .withColumn("jac",
           graft.expressions.JaccardSimilarity.jaccardSimSorted(col("a_th"), col("b_th")))
         .filter(col("jac") >= MINHASH_VERIFY_T)
@@ -229,20 +220,32 @@ object TextQueries extends QueryPack {
       val withMh = MINHASH_A.indices.foldLeft(sh) { (df, i) =>
         df.withColumn(s"smh$i", TextOps.minHash(col("sh"), MINHASH_A(i), MINHASH_B(i)))
       }
+      def bandKey(j: Int) =
+        concat_ws("_", lit(j), col(s"smh${2 * j}"), col(s"smh${2 * j + 1}"))
+      // Band rows carry all four band keys so a pair is emitted only from
+      // the FIRST band where it collides — distinct by construction, no
+      // pair-dedup shuffle (see dedup_minhash_lsh for the full rationale).
       val bands = withMh.select(
         col("doc_id"), col("n"),
-        explode(array((0 until 4).map { j =>
-          concat_ws("_", lit(j), col(s"smh${2 * j}"), col(s"smh${2 * j + 1}"))
-        }: _*)).as("bucket"))
-      val cand = bands.alias("x")
-        .join(bands.alias("y"),
+        bandKey(0).as("b0"), bandKey(1).as("b1"), bandKey(2).as("b2"),
+        explode(array((0 until 4).map(bandKey): _*)).as("bucket"))
+      val firstCollision =
+        col("x.bucket") === col("x.b0") ||
+          (col("x.bucket") === col("x.b1") && col("x.b0") =!= col("y.b0")) ||
+          (col("x.bucket") === col("x.b2") && col("x.b0") =!= col("y.b0") &&
+            col("x.b1") =!= col("y.b1")) ||
+          (col("x.b0") =!= col("y.b0") && col("x.b1") =!= col("y.b1") &&
+            col("x.b2") =!= col("y.b2"))
+      val nPart = s.sessionState.conf.numShufflePartitions
+      val cand = bands.repartition(nPart).alias("x")
+        .join(broadcast(bands.alias("y")),
           col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id") &&
-            col("x.n") * 2 >= col("y.n") && col("y.n") * 2 >= col("x.n"))
+            col("x.n") * 2 >= col("y.n") && col("y.n") * 2 >= col("x.n") &&
+            firstCollision)
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .dropDuplicates("a_id", "b_id")
       val ta = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
       val tb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-      cand.join(ta, "a_id").join(tb, "b_id")
+      cand.join(broadcast(ta), "a_id").join(broadcast(tb), "b_id")
         .withColumn("jac",
           graft.expressions.JaccardSimilarity.jaccardSimSorted(col("a_sh"), col("b_sh")))
         .filter(col("jac") >= 0.5)

@@ -98,8 +98,15 @@ object JoinQueries extends QueryPack {
           col("date"), col("ticker"), col("open").as("Open"),
           col("high").as("High"), col("low").as("Low"), col("Close"),
           col("volume").as("Volume"))
-      bars.coalesce(1).write.mode("overwrite")
-        .option("header", "true").csv(csvDir(dir))
+      // Stage once per SF: the CSV content is a deterministic function of
+      // the events table, so an existing _SUCCESS marker means the files
+      // are already exactly what this write would produce. The operator
+      // under test is the SCAN (S3 reads data/history/*.csv it didn't
+      // write); re-staging on every invocation just re-times the writer.
+      if (!new java.io.File(csvDir(dir), "_SUCCESS").exists()) {
+        bars.coalesce(1).write.mode("overwrite")
+          .option("header", "true").csv(csvDir(dir))
+      }
       s.read.option("header", "true").csv(csvDir(dir))
         .select(
           to_date(col("date")).as("date"),

@@ -212,7 +212,52 @@ object JoinQueries extends QueryPack {
           graft.ops.Num.dsum(col("l_extendedprice")).as("sum_base_price"),
           revenue.as("sum_disc_price"),
           count(lit(1)).as("count_order"),
-          (graft.ops.Num.dsum(col("l_quantity")) / count(lit(1))).as("avg_qty")))
+          (graft.ops.Num.dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))),
+
+    // -- native: TPC-H q3-style 3-way join + top-k -------------------------
+    // Filters applied BEFORE the joins so they push to the parquet scans;
+    // the filtered customer dim is broadcast; orderBy+limit plans as
+    // TakeOrderedAndProject (no global sort materialization). Tiebreak on
+    // (o_orderdate, l_orderkey) makes the top-10 deterministic.
+    "tpch_q3_shipping" -> ((s, dir) => {
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val building = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > cutoff)
+        .join(Tables.orders(s, dir).filter(col("o_orderdate") < cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(building), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // -- native: TPC-H q5-style 6-way star join ----------------------------
+    // The region→nation chain and supplier are broadcast (dim-sized at any
+    // SF); lineitem⨝orders is the one genuine shuffle; customer is left to
+    // AQE, which broadcasts it at bench scale and shuffles it at cluster
+    // scale. The c_nationkey = s_nationkey "local supplier" predicate rides
+    // the customer join, not a separate join.
+    "tpch_q5_local_supplier" -> ((s, dir) => {
+      val asiaNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(revenue.as("revenue"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -324,6 +369,31 @@ object JoinQueries extends QueryPack {
          |       CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / count(*) AS avg_qty
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
-         |GROUP BY l_returnflag, l_linestatus""".stripMargin
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch_q3_shipping" ->
+      s"""SELECT l_orderkey, o_orderdate, $REV_SQL AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "tpch_q5_local_supplier" ->
+      s"""SELECT n_name, $REV_SQL AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name""".stripMargin
   )
 }

@@ -234,6 +234,32 @@ object JoinQueries extends QueryPack {
         .limit(10)
     }),
 
+    // -- skew-join salting: the static answer to a hot key -----------------
+    // A synthetic 90%-hot key (l_orderkey%100 < 90 → 0) makes an unsalted
+    // shuffle join put 90% of the fact in ONE task. Salting shards the hot
+    // key's rows across 8 deterministic salts and replicates the dim row
+    // ×8 via explode, so the join key (k, salt) spreads the hot key over 8
+    // tasks. AQE's skew-join split is the runtime alternative; salting is
+    // the plan-level shape that works even where AQE can't (e.g. a
+    // skewed aggregation or a stateful streaming join). The merge hint
+    // forces the shuffle join — broadcast would hide the skew entirely.
+    "join_skew_salted" -> ((s, dir) => {
+      val SALTS = 8
+      val fact = Tables.lineitem(s, dir)
+        .withColumn("k",
+          when(col("l_orderkey") % 100 < 90, lit(0L))
+            .otherwise(col("l_orderkey") % 100))
+        .withColumn("salt", pmod(col("l_orderkey") + col("l_linenumber"), lit(SALTS)))
+      val dim = Tables.orders(s, dir)
+        .groupBy((col("o_orderkey") % 100).as("k"))
+        .agg(min(col("o_orderpriority")).as("label"))
+        .withColumn("salt", explode(array((0 until SALTS).map(lit(_)): _*)))
+      fact.hint("merge")
+        .join(dim, Seq("k", "salt"))
+        .groupBy(col("k"), col("label"))
+        .agg(count(lit(1)).as("n"), revenue.as("revenue"))
+    }),
+
     // -- native: TPC-H q5-style 6-way star join ----------------------------
     // The region→nation chain and supplier are broadcast (dim-sized at any
     // SF); lineitem⨝orders is the one genuine shuffle; customer is left to
@@ -382,6 +408,18 @@ object JoinQueries extends QueryPack {
          |GROUP BY l_orderkey, o_orderdate
          |ORDER BY revenue DESC, o_orderdate, l_orderkey
          |LIMIT 10""".stripMargin,
+
+    "join_skew_salted" ->
+      s"""WITH dim AS (
+         |  SELECT o_orderkey % 100 AS k, min(o_orderpriority) AS label
+         |  FROM orders GROUP BY 1
+         |)
+         |SELECT k, label, count(*) AS n, $REV_SQL AS revenue
+         |FROM (SELECT *, CASE WHEN l_orderkey % 100 < 90 THEN 0
+         |                     ELSE l_orderkey % 100 END AS k
+         |      FROM lineitem) f
+         |JOIN dim USING (k)
+         |GROUP BY k, label""".stripMargin,
 
     "tpch_q5_local_supplier" ->
       s"""SELECT n_name, $REV_SQL AS revenue

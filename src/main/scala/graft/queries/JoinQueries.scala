@@ -193,6 +193,33 @@ object JoinQueries extends QueryPack {
           countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n"))),
 
+    // -- native: HLL++ approximate distinct count --------------------------
+    // The 100 TB form of distinct_count: a bounded-memory mergeable sketch
+    // instead of a per-group hash set, so the shuffle carries ~KB sketches
+    // rather than the distinct keys themselves. Sketch estimates are
+    // engine-specific → no SQL oracle; the driver records the rows-only
+    // check, and the ScalaTest spec bounds the estimate against the exact
+    // count at the configured 2% target error.
+    "approx_distinct_hll" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
+          count(lit(1)).as("n"))),
+
+    // -- native: exact interpolated percentiles ----------------------------
+    // Exact `percentile` is the oracle-checkable form (bit-identical linear
+    // interpolation in both engines); at 100 TB the same query swaps in
+    // `approx_percentile` (KLL-style mergeable sketch) — same plan shape,
+    // bounded state.
+    "percentile_value" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"))),
+
     // -- §2.10 UDAF superset: typed custom aggregate (VWAP) ----------------
     // weight = props.k + 1 (k ∈ 0..100 from the JSON payload)
     "agg_vwap_custom" -> ((s, dir) =>
@@ -377,6 +404,16 @@ object JoinQueries extends QueryPack {
 
     "distinct_count" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // approx_distinct_hll: intentionally no oracle — HLL estimates are
+    // engine-specific (driver records the weaker rows-only check).
+
+    "percentile_value" ->
+      """SELECT event_type,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.9) AS p90,
+        |       quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
 
     "agg_vwap_custom" ->

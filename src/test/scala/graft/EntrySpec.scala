@@ -20,4 +20,18 @@ class EntrySpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet.diff(qs)
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
+
+  test("approx_distinct_hll estimate lands within 3x the 2% target rsd") {
+    val dir = "/root/testdata/sf0.001"
+    val approx = SparkEntry.queries("approx_distinct_hll")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("distinct_count")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, est) <- approx) {
+      val ex = exact(k).toDouble
+      assert(math.abs(est - ex) / ex <= 0.06,
+        s"$k: estimate $est vs exact $ex exceeds 6% relative error")
+    }
+  }
 }

@@ -50,6 +50,33 @@ object EnrichmentQueries extends QueryPack {
       EnrichOps.blobFeatures(col("blob"), col("text"))
         .foldLeft(blobbed) { case (df, (name, c)) => df.withColumn(name, c) }
         .select("doc_id", "n_bytes", "first_byte", "checksum")
+    }),
+
+    // -- multimodal: frame sampling via a typed mapPartitions kernel -------
+    // The video-decode shape: each payload fans out into ceil(len/16)
+    // fixed-width frames, of which every 4th is sampled. The sampler runs
+    // as a typed mapPartitions — the real batched-decoder plumbing (Encoder
+    // in, per-partition iteration, generator fan-out, no driver round-trip)
+    // where a production kernel would decode real frames; the STUB "frame"
+    // is a 16-byte slice of the payload. Per-frame features (width,
+    // checksum) stay in Catalyst expressions so everything downstream of
+    // the kernel is codegen'd. Narrow op: no shuffle — partitioning carries
+    // straight through from the scan.
+    "multimodal_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val frames = docs(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val nFrames = (text.length + 15) / 16
+          (0 until nFrames).iterator.filter(_ % 4 == 0).map { i =>
+            (id, i.toLong, text.substring(i * 16, math.min(text.length, i * 16 + 16)))
+          }
+        })
+        .toDF("doc_id", "frame_idx", "frame")
+      frames.select(
+        col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("n_frame_bytes"),
+        TextOps.polyHash(col("frame")).as("frame_checksum"))
     })
   )
 
@@ -80,6 +107,19 @@ object EnrichmentQueries extends QueryPack {
          |       octet_length(encode(text)) AS n_bytes,
          |       CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
          |       ${polySql("text")} AS checksum
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    "multimodal_frame_sample" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(range(0, (length(text) + 15) // 16), i -> i % 4 = 0)) AS frame_idx,
+         |         unnest(list_transform(list_filter(range(0, (length(text) + 15) // 16), i -> i % 4 = 0),
+         |                               i -> substring(text, CAST(i * 16 + 1 AS INT), 16))) AS frame
+         |  FROM documents
+         |)
+         |SELECT doc_id, frame_idx,
+         |       CAST(length(frame) AS BIGINT) AS n_frame_bytes,
+         |       ${polySql("frame")} AS frame_checksum
+         |FROM fr""".stripMargin
   )
 }

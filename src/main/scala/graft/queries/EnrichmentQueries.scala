@@ -52,6 +52,24 @@ object EnrichmentQueries extends QueryPack {
         .select("doc_id", "n_bytes", "first_byte", "checksum")
     }),
 
+    // -- multimodal: resize stub (nearest-neighbor downsample) -------------
+    // The image-resize shape: a payload of any width downsamples to a
+    // fixed 16-slot thumbnail by stride sampling (slot i reads position
+    // i·ceil(len/16)) — the nearest-neighbor kernel, expressed entirely in
+    // codegen'd expressions (sequence → transform → array_join), zero
+    // shuffle. A real decoder swaps the byte-slice read for pixel reads;
+    // the fixed-output-width contract and per-row arithmetic are what the
+    // engine exercises.
+    "multimodal_resize" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("thumbnail", expr(
+          "array_join(transform(sequence(0, 15), " +
+            "i -> substr(text, CAST(i * ((length(text) + 15) div 16) + 1 AS INT), 1)), '')"))
+        .select(
+          col("doc_id"), col("thumbnail"),
+          length(col("thumbnail")).cast("long").as("n_thumb_bytes"),
+          TextOps.polyHash(col("thumbnail")).as("thumb_checksum"))),
+
     // -- multimodal: frame sampling via a typed mapPartitions kernel -------
     // The video-decode shape: each payload fans out into ceil(len/16)
     // fixed-width frames, of which every 4th is sampled. The sampler runs
@@ -108,6 +126,18 @@ object EnrichmentQueries extends QueryPack {
          |       CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
          |       ${polySql("text")} AS checksum
          |FROM documents""".stripMargin,
+
+    "multimodal_resize" ->
+      s"""WITH th AS (
+         |  SELECT doc_id,
+         |         array_to_string(list_transform(range(0, 16),
+         |           i -> substring(text, CAST(i * ((length(text) + 15) // 16) + 1 AS INT), 1)), '') AS thumbnail
+         |  FROM documents
+         |)
+         |SELECT doc_id, thumbnail,
+         |       CAST(length(thumbnail) AS BIGINT) AS n_thumb_bytes,
+         |       ${polySql("thumbnail")} AS thumb_checksum
+         |FROM th""".stripMargin,
 
     "multimodal_frame_sample" ->
       s"""WITH fr AS (

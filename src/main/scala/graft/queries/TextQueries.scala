@@ -76,7 +76,13 @@ object TextQueries extends QueryPack {
         // cast to long: DuckDB len() is BIGINT and the driver checks schema
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
         size(TextOps.distinctTokens(col("text"))).cast("long").as("n_distinct"),
-        size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("long").as("n_words"))),
+        size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("long").as("n_words"),
+        // BPE-style pretokenizer count: runs of letters / digits / other,
+        // each optionally absorbing one leading space (the GPT-2 pattern
+        // family, ASCII form so Java regex and RE2 agree byte-for-byte)
+        size(regexp_extract_all(col("text"),
+          lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"), lit(0)))
+          .cast("long").as("n_bpe_tokens"))),
 
     // -- language-ID heuristic (argmax of profile-word hits) ---------------
     "text_langid" -> ((s, dir) =>
@@ -264,7 +270,8 @@ object TextQueries extends QueryPack {
       """SELECT doc_id,
         |       len(string_split(text, ' ')) AS n_tokens,
         |       len(list_distinct(string_split(text, ' '))) AS n_distinct,
-        |       len(regexp_extract_all(text, '\w+')) AS n_words
+        |       len(regexp_extract_all(text, '\w+')) AS n_words,
+        |       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe_tokens
         |FROM documents""".stripMargin,
 
     "text_langid" -> {

@@ -146,6 +146,34 @@ object JoinQueries extends QueryPack {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), revenue.as("revenue"))),
 
+    // -- native: shuffled hash join (no sort, build side hashed) -----------
+    // The third physical equi-join: when both sides are too big to
+    // broadcast but one side's PER-PARTITION build fits memory, hashing
+    // beats sort-merge (no sort of either side). The hint pins it so the
+    // plan is the demonstrated shape.
+    "join_shuffled_hash" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), revenue.as("revenue"))),
+
+    // -- native: theta join (equi prefix + inequality residual) ------------
+    // Same-region nation pairs: the equi key (region) drives the hash
+    // join and the inequality rides as a residual condition — the shape
+    // that keeps a theta join from degenerating into a cross product.
+    "join_theta" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir).select(
+        col("n_nationkey").as("a_key"), col("n_name").as("a_name"),
+        col("n_regionkey").as("a_region"))
+      val n2 = Tables.nation(s, dir).select(
+        col("n_nationkey").as("b_key"), col("n_name").as("b_name"),
+        col("n_regionkey").as("b_region"))
+      n1.join(broadcast(n2),
+        col("a_region") === col("b_region") && col("a_key") < col("b_key"))
+        .select("a_name", "b_name", "a_region")
+    }),
+
     // -- native: left-semi (EXISTS) ----------------------------------------
     "join_semi" -> ((s, dir) => {
       val withOrders = Tables.customer(s, dir).join(
@@ -370,6 +398,16 @@ object JoinQueries extends QueryPack {
       s"""SELECT o_orderpriority, count(*) AS n, $REV_SQL AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority""".stripMargin,
+
+    "join_shuffled_hash" ->
+      s"""SELECT o_orderstatus, count(*) AS n, $REV_SQL AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus""".stripMargin,
+
+    "join_theta" ->
+      """SELECT a.n_name AS a_name, b.n_name AS b_name, a.n_regionkey AS a_region
+        |FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey""".stripMargin,
 
     "join_semi" ->
       """SELECT c_mktsegment, count(*) AS n_customers

@@ -166,6 +166,23 @@ object RelationalQueries extends QueryPack {
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .select(col("doc_id"), col("pos"), col("col").as("token"))),
 
+    // -- §2.5 window natives absent in reference: rank/dense_rank/ntile/
+    //    first_value over a deterministic total order (value, event_id
+    //    tiebreak — rank functions are only oracle-stable under a total
+    //    order). One partition-wide shuffle on event_type, then all four
+    //    functions evaluate in a single Window exec pass. --------------
+    "window_rank_funcs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir).select(
+        col("event_id"), col("event_type"), col("value"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        first(col("value")).over(w).as("min_value_so_far"))
+    }),
+
     // -- §7 superset: session windows (1 h inactivity gap) -----------------
     "session_window_agg" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -292,6 +309,15 @@ object RelationalQueries extends QueryPack {
         |  FROM documents)
         |SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[CAST(i AS INTEGER)] AS token
         |FROM e""".stripMargin,
+
+    "window_rank_funcs" ->
+      """SELECT event_id, event_type, value,
+        |       CAST(rank() OVER w AS INTEGER) AS rnk,
+        |       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |       first_value(value) OVER w AS min_value_so_far
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin,
 
     // gaps-and-islands mirror of Spark's session_window: a new session
     // starts when the gap to the previous event is >= 1 h (Spark's session

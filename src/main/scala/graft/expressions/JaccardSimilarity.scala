@@ -78,9 +78,31 @@ case class JaccardSimilarity(left: Expression, right: Expression,
     inter
   }
 
+  /** The sorted-input contract is the caller's (see [[prettyName]], which
+    * surfaces it in every plan as `jaccard_sim_sorted`); unsorted input
+    * silently undercounts. With `-Dgraft.jaccard.checkSorted=true` the
+    * interpreted path verifies the contract and fails loudly — cheap
+    * enough for specs/debug runs, off in production codegen. */
+  override def prettyName: String =
+    if (assumeSorted) "jaccard_sim_sorted" else "jaccard_sim"
+
+  private def assertSorted(x: ArrayData, side: String): Unit = {
+    var i = 1
+    while (i < x.numElements()) {
+      if (x.getLong(i - 1) >= x.getLong(i))
+        throw new IllegalArgumentException(
+          s"jaccard_sim_sorted: $side input not strictly ascending at index $i " +
+            s"(${x.getLong(i - 1)} >= ${x.getLong(i)}); array_sort(array_distinct(...)) the source")
+      i += 1
+    }
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData]
     val xb = b.asInstanceOf[ArrayData]
+    if (assumeSorted && JaccardSimilarity.checkSorted) {
+      assertSorted(xa, "left"); assertSorted(xb, "right")
+    }
     val union = xa.numElements() + xb.numElements()
     if (union == 0) 0.0
     else {
@@ -140,6 +162,10 @@ case class JaccardSimilarity(left: Expression, right: Expression,
 }
 
 object JaccardSimilarity {
+  /** Debug flag: verify the sorted-input contract on the interpreted path. */
+  private[expressions] val checkSorted: Boolean =
+    java.lang.Boolean.getBoolean("graft.jaccard.checkSorted")
+
   /** Column-API entry point: `jaccard_sim(a, b)` over array<bigint> sets. */
   def jaccardSim(a: Column, b: Column): Column =
     ColumnBridge.column(

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Enrichment operators (SURVEY §2.4 A4/A5, §2.7 F9, plus the multimodal
@@ -48,6 +48,49 @@ object EnrichOps {
     array((0 until dims).map { d =>
       ((fp * (d + 1)) % 1000).cast("double") / 1000.0 - 0.5
     }: _*)
+  }
+
+  /** Scalar twin of [[embedText]]: the per-text "model" result. Shared by
+    * the expression path and the batched kernel so both are bit-equal. */
+  def embedVector(text: String, dims: Int = 16): Array[Double] = {
+    val fp = graft.expressions.TextHash.polyHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text))
+    Array.tabulate(dims)(d => ((fp * (d + 1)) % 1000).toDouble / 1000.0 - 0.5)
+  }
+
+  /** The batch "model" call: one invocation embeds a whole batch of texts.
+    * This is the seam a real encoder (MiniLM etc., reference
+    * consumer.py:171-172) plugs into — production swaps the body for a
+    * native-library forward pass over the batch; everything around it
+    * (batching, partitioning, schema) is engine-side and stays the same. */
+  def embedBatch(texts: Seq[String], dims: Int = 16): Seq[Array[Double]] =
+    texts.map(embedVector(_, dims))
+
+  /** A5 at scale: batched embedding inference as a `mapPartitions` kernel.
+    * Each partition's rows are grouped into `batchSize` batches and each
+    * batch goes to ONE model call — amortizing per-call overhead (model
+    * dispatch, JNI crossing, GPU transfer) the way a real inference
+    * operator must. Narrow op: no shuffle, partitioning carries through
+    * from the scan. Input must have (doc_id: long, text: string); output
+    * is (doc_id, embedding: array<double>).
+    *
+    * `model` is injectable so specs can count batch calls; the default is
+    * the deterministic stub, bit-equal to the [[embedText]] expression. */
+  def embedTextBatched(
+      df: DataFrame,
+      batchSize: Int = 64,
+      model: Seq[String] => Seq[Array[Double]] = embedBatch(_)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val embs = model(batch.map(_._2))
+          batch.iterator.zip(embs.iterator).map { case ((id, _), e) => (id, e) }
+        }
+      }
+      .toDF("doc_id", "embedding")
   }
 
   /** F9 STUB: translation behind an interface — identity for English,

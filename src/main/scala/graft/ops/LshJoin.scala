@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Candidate-generation + verify joins for banded LSH dedup
+  * (dedup_minhash_lsh / dedup_shingle_jaccard).
+  *
+  * Two physical strategies behind one logical shape, picked by the
+  * optimizer's size estimate of the banded table:
+  *
+  *  - '''broadcast''' (build side fits in memory): probe side round-robin
+  *    repartitioned against a broadcast build — a low-cardinality corpus
+  *    collapses into few buckets, and with the build broadcast the
+  *    quadratic pair space of a heavy bucket spreads evenly because its
+  *    probe ROWS do. No pair shuffle at all.
+  *
+  *  - '''salted shuffle''' (build side too big to broadcast — the 100 TB
+  *    case): each probe row picks one deterministic salt from its doc_id,
+  *    the build side is replicated to every salt, and the join shuffles
+  *    BOTH sides on `(bucket, salt)`. A hot bucket's probe rows land on
+  *    `salts` different reducers instead of one, so the quadratic pair
+  *    enumeration of the heaviest bucket is spread `salts`-ways — the
+  *    plan-level skew answer that works where AQE's skew-join split can't
+  *    see the downstream pair blowup. Each (probe, build) pair meets at
+  *    exactly one salt, so no dedup is needed.
+  *
+  * The verify joins follow the same decision: broadcast the token-set
+  * lookups when small, plain shuffled equi-joins on the (unique, unskewed)
+  * doc ids when not.
+  */
+object LshJoin {
+
+  /** How the candidate join was planned; carries the decision to the
+    * verify joins so both stages agree. */
+  case class Plan(candidates: DataFrame, broadcastBuild: Boolean)
+
+  /** True when `df`'s optimizer size estimate fits the session's broadcast
+    * threshold (and the threshold is positive — `-1` disables broadcasting
+    * session-wide, which is also how the spec forces the salted path). */
+  private def fitsBroadcast(s: SparkSession, df: DataFrame): Boolean = {
+    val threshold = s.sessionState.conf.autoBroadcastJoinThreshold
+    threshold > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
+  }
+
+  /** Self-join `bands` on `bucket` (plus `extraCond` over aliases `x`/`y`:
+    * size prunes, first-collision-band filter), emitting candidate pairs
+    * `(a_id, b_id)` with `a_id < b_id`. `bands` must carry `doc_id`,
+    * `bucket`, and whatever `extraCond` references. */
+  def candidateJoin(
+      s: SparkSession,
+      bands: DataFrame,
+      extraCond: Column,
+      salts: Int = 8): Plan = {
+    val pairCond =
+      col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id") && extraCond
+    if (fitsBroadcast(s, bands)) {
+      val nPart = s.sessionState.conf.numShufflePartitions
+      val cand = bands.repartition(nPart).alias("x")
+        .join(broadcast(bands.alias("y")), pairCond)
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      Plan(cand, broadcastBuild = true)
+    } else {
+      // Probe picks ONE salt (deterministic in doc_id); build replicated
+      // to ALL salts. The join's shuffle keys become (bucket, salt).
+      val x = bands
+        .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
+      val y = bands
+        .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
+      val cand = x.alias("x")
+        .join(y.alias("y"), col("x.salt") === col("y.salt") && pairCond)
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      Plan(cand, broadcastBuild = false)
+    }
+  }
+
+  /** Attach both token-set sides to the candidate pairs for the exact
+    * verify. `ta` must be keyed `a_id`, `tb` keyed `b_id`. */
+  def verifyJoin(plan: Plan, ta: DataFrame, tb: DataFrame): DataFrame =
+    if (plan.broadcastBuild)
+      plan.candidates.join(broadcast(ta), "a_id").join(broadcast(tb), "b_id")
+    else
+      plan.candidates.join(ta, "a_id").join(tb, "b_id")
+}

@@ -25,6 +25,17 @@ object EnrichmentQueries extends QueryPack {
   private def polySql(s: String): String =
     s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % ${TextOps.P})"
 
+  /** Shared oracle for both embed paths: per-dim scalar columns e00..e15
+    * (same unpacking as the Spark side — arrays don't survive the driver's
+    * pandas sort/hash). */
+  private val embedOracle: String = {
+    val cols = (0 until 16).map { d =>
+      f"CAST((fp * ${d + 1}) %% 1000 AS DOUBLE) / 1000.0 - 0.5 AS e$d%02d"
+    }.mkString(",\n       ")
+    s"""WITH fps AS (SELECT doc_id, ${polySql("text")} AS fp FROM documents)
+       |SELECT doc_id, $cols FROM fps""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- A4: lexicon sentiment with VADER normalization --------------------
     "sentiment_score" -> ((s, dir) =>
@@ -33,10 +44,32 @@ object EnrichmentQueries extends QueryPack {
         EnrichOps.sentimentScore(TextOps.tokens(col("text"))).as("sentiment"))),
 
     // -- A5: deterministic pseudo-embedding (model-UDF stand-in) -----------
-    "embed_text" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        EnrichOps.embedText(col("text")).as("embedding"))),
+    // Output is one scalar column per dimension (e00..e15), not the array:
+    // the driver's compare sorts/hashes column values and an array column
+    // is unhashable on the pandas side. The array interface stays in
+    // EnrichOps.embedText; this query just unpacks it for the oracle.
+    "embed_text" -> ((s, dir) => {
+      val withEmb = docs(s, dir)
+        .withColumn("embedding", EnrichOps.embedText(col("text")))
+      withEmb.select(
+        col("doc_id") +:
+          (0 until 16).map(d =>
+            element_at(col("embedding"), d + 1).as(f"e$d%02d")): _*)
+    }),
+
+    // -- A5 at scale: the same embedding through the batched mapPartitions
+    //    inference kernel (EnrichOps.embedTextBatched) — per-partition
+    //    batches of texts go to one "model" call each, the real plumbing a
+    //    production encoder (MiniLM etc., reference consumer.py:171-172)
+    //    plugs into. Values are identical to the expression form, so the
+    //    same oracle checks both paths. --------------------------------------
+    "embed_text_batched" -> ((s, dir) => {
+      val embedded = EnrichOps.embedTextBatched(docs(s, dir).select("doc_id", "text"))
+      embedded.select(
+        col("doc_id") +:
+          (0 until 16).map(d =>
+            element_at(col("embedding"), d + 1).as(f"e$d%02d")): _*)
+    }),
 
     // -- F9: translation stub (identity for en, tagged passthrough) --------
     "translate_en" -> ((s, dir) =>
@@ -107,13 +140,8 @@ object EnrichmentQueries extends QueryPack {
          |  FROM documents)
          |SELECT doc_id, s / sqrt(s * s + 15.0) AS sentiment FROM scores""".stripMargin,
 
-    "embed_text" -> {
-      val dims = (0 until 16).map { d =>
-        s"CAST((fp * ${d + 1}) % 1000 AS DOUBLE) / 1000.0 - 0.5"
-      }.mkString("[", ", ", "]")
-      s"""WITH fps AS (SELECT doc_id, ${polySql("text")} AS fp FROM documents)
-         |SELECT doc_id, $dims AS embedding FROM fps""".stripMargin
-    },
+    "embed_text" -> embedOracle,
+    "embed_text_batched" -> embedOracle,
 
     "translate_en" ->
       """SELECT doc_id, lang,

@@ -100,10 +100,18 @@ object JoinQueries extends QueryPack {
           col("volume").as("Volume"))
       // Stage once per SF: the CSV content is a deterministic function of
       // the events table, so an existing _SUCCESS marker means the files
-      // are already exactly what this write would produce. The operator
-      // under test is the SCAN (S3 reads data/history/*.csv it didn't
-      // write); re-staging on every invocation just re-times the writer.
-      if (!new java.io.File(csvDir(dir), "_SUCCESS").exists()) {
+      // are already exactly what this write would produce — UNLESS the
+      // events source was regenerated in place, so the marker is also
+      // invalidated when any events parquet file is newer than it. The
+      // operator under test is the SCAN (S3 reads data/history/*.csv it
+      // didn't write); re-staging on every invocation just re-times the
+      // writer.
+      val marker = new java.io.File(csvDir(dir), "_SUCCESS")
+      val eventsSrc = new java.io.File(s"$dir/events.parquet")
+      val eventsMtime = Option(eventsSrc.listFiles())
+        .map(_.map(_.lastModified()).foldLeft(eventsSrc.lastModified())(math.max))
+        .getOrElse(eventsSrc.lastModified())
+      if (!marker.exists() || marker.lastModified() < eventsMtime) {
         bars.coalesce(1).write.mode("overwrite")
           .option("header", "true").csv(csvDir(dir))
       }
@@ -225,15 +233,21 @@ object JoinQueries extends QueryPack {
     // The 100 TB form of distinct_count: a bounded-memory mergeable sketch
     // instead of a per-group hash set, so the shuffle carries ~KB sketches
     // rather than the distinct keys themselves. Sketch estimates are
-    // engine-specific → no SQL oracle; the driver records the rows-only
-    // check, and the ScalaTest spec bounds the estimate against the exact
-    // count at the configured 2% target error.
+    // engine-specific, so the oracle-checked output is the PROPERTY, not
+    // the estimate: each engine emits the exact count plus a boolean
+    // asserting its own sketch landed within 5% of its own exact count.
+    // Both engines produce identical rows iff both sketches meet the
+    // bound — exactly the guarantee worth checking. (The ScalaTest spec
+    // additionally bounds the estimate at the configured 2% target rsd.)
     "approx_distinct_hll" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
-          count(lit(1)).as("n"))),
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"),
+          (abs(approx_count_distinct(col("user_id"), rsd = 0.02) -
+            countDistinct(col("user_id"))).cast("double") <=
+            lit(0.05) * countDistinct(col("user_id"))).as("est_within_rsd"))),
 
     // -- native: exact interpolated percentiles ----------------------------
     // Exact `percentile` is the oracle-checkable form (bit-identical linear
@@ -444,8 +458,17 @@ object JoinQueries extends QueryPack {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
 
-    // approx_distinct_hll: intentionally no oracle — HLL estimates are
-    // engine-specific (driver records the weaker rows-only check).
+    // approx_distinct_hll: the estimates themselves are engine-specific,
+    // so each engine checks its own sketch against its own exact count —
+    // the rows (exact count + in-bound boolean) hash-match iff both
+    // engines' sketches meet the 5% bound.
+    "approx_distinct_hll" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n,
+        |       CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) AS DOUBLE)
+        |         <= 0.05 * count(DISTINCT user_id) AS est_within_rsd
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "percentile_value" ->
       """SELECT event_type,

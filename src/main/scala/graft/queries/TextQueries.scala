@@ -160,9 +160,13 @@ object TextQueries extends QueryPack {
     "dedup_minhash_lsh" -> ((s, dir) => {
       // one cached base: sorted distinct token hashes feed the minhashes
       // (min is order/dup-insensitive), the size prune, AND the verify
+      // array_distinct AFTER hashing (not just distinct tokens): if two
+      // distinct tokens collide under the poly hash, the set invariant the
+      // Jaccard kernels and the oracle's list_distinct both assume would
+      // silently break. Matches tokenSets.
       val base = docs(s, dir).select(
         col("doc_id"),
-        array_sort(TextOps.tokenHashes(col("text"))).as("th"))
+        array_sort(array_distinct(TextOps.tokenHashes(col("text")))).as("th"))
         .withColumn("n", size(col("th")))
         .cache()
       val withMh = MINHASH_A.indices.foldLeft(base: DataFrame) { (df, i) =>
@@ -172,27 +176,16 @@ object TextQueries extends QueryPack {
       val bands = withMh.select(
         col("doc_id"), col("n"), bandKey(0).as("b0"),
         explode(array(bandKey(0), bandKey(1))).as("bucket"))
-      // Enumeration join: at this scale the band table is small, so the
-      // probe side is round-robin repartitioned (a low-cardinality corpus
-      // collapses into ~48 buckets, the top one holding 77% of docs — the
-      // quadratic pair space of a heavy bucket spreads evenly because its
-      // probe ROWS do) against a broadcast build side; each partition's
-      // candidates flow straight into the verify with no pair shuffle at
-      // all. At cluster scale the same plan salts the build side and
-      // shuffles on (bucket, salt) — the first-band filter keeps the
-      // pair stream shuffle-free either way.
-      val nPart = s.sessionState.conf.numShufflePartitions
-      val x = bands.repartition(nPart)
-      val cand = x.alias("x")
-        .join(broadcast(bands.alias("y")),
-          col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id") &&
-            col("x.n") * 5 >= col("y.n") * 4 && col("y.n") * 5 >= col("x.n") * 4 &&
-            (col("x.bucket") === col("x.b0") || col("x.b0") =!= col("y.b0")))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      // Enumeration join via LshJoin: broadcast build at this scale, the
+      // salted (bucket, salt) shuffle when the banded table outgrows the
+      // broadcast threshold — the first-band filter keeps the pair stream
+      // shuffle-free either way. See graft.ops.LshJoin for the two shapes.
+      val plan = graft.ops.LshJoin.candidateJoin(s, bands,
+        col("x.n") * 5 >= col("y.n") * 4 && col("y.n") * 5 >= col("x.n") * 4 &&
+          (col("x.bucket") === col("x.b0") || col("x.b0") =!= col("y.b0")))
       val ta = base.select(col("doc_id").as("a_id"), col("th").as("a_th"))
       val tb = base.select(col("doc_id").as("b_id"), col("th").as("b_th"))
-      cand.join(broadcast(ta), "a_id").join(broadcast(tb), "b_id")
+      graft.ops.LshJoin.verifyJoin(plan, ta, tb)
         .withColumn("jac",
           graft.expressions.JaccardSimilarity.jaccardSimSorted(col("a_th"), col("b_th")))
         .filter(col("jac") >= MINHASH_VERIFY_T)
@@ -242,16 +235,12 @@ object TextQueries extends QueryPack {
             col("x.b1") =!= col("y.b1")) ||
           (col("x.b0") =!= col("y.b0") && col("x.b1") =!= col("y.b1") &&
             col("x.b2") =!= col("y.b2"))
-      val nPart = s.sessionState.conf.numShufflePartitions
-      val cand = bands.repartition(nPart).alias("x")
-        .join(broadcast(bands.alias("y")),
-          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id") &&
-            col("x.n") * 2 >= col("y.n") && col("y.n") * 2 >= col("x.n") &&
-            firstCollision)
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      val plan = graft.ops.LshJoin.candidateJoin(s, bands,
+        col("x.n") * 2 >= col("y.n") && col("y.n") * 2 >= col("x.n") &&
+          firstCollision)
       val ta = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
       val tb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-      cand.join(broadcast(ta), "a_id").join(broadcast(tb), "b_id")
+      graft.ops.LshJoin.verifyJoin(plan, ta, tb)
         .withColumn("jac",
           graft.expressions.JaccardSimilarity.jaccardSimSorted(col("a_sh"), col("b_sh")))
         .filter(col("jac") >= 0.5)

@@ -47,6 +47,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ss(2) == 0.0)
   }
 
+  test("embedTextBatched: one model call per batch, bit-equal to the expression path") {
+    val calls = spark.sparkContext.longAccumulator("graft.embed.batchCalls")
+    val rows = spark.sparkContext.longAccumulator("graft.embed.rows")
+    val df = (0L until 100L).map(i => (i, s"doc text number $i"))
+      .toDF("doc_id", "text").repartition(4)
+    val countingModel: Seq[String] => Seq[Array[Double]] = { batch =>
+      if (batch.isEmpty || batch.size > 16)
+        throw new IllegalStateException(s"bad batch size ${batch.size}")
+      calls.add(1); rows.add(batch.size)
+      EnrichOps.embedBatch(batch)
+    }
+    val got = EnrichOps.embedTextBatched(df, batchSize = 16, model = countingModel)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // every row embedded, via far fewer model calls than rows: each of the
+    // 4 partitions groups its ~25 rows into ceil(25/16)=2 batches
+    assert(rows.value == 100L)
+    assert(calls.value >= 7L && calls.value <= 12L, s"calls=${calls.value}")
+    // bit-equal to the expression form (same stub "model" on both paths)
+    val exprPath = df.select($"doc_id", EnrichOps.embedText($"text").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got == exprPath)
+  }
+
   test("simHash: identical docs collide, signature within 16 bits") {
     val df = Seq("spark merge join", "spark merge join", "value data table")
       .toDF("text")

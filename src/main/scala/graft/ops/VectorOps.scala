@@ -1,8 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Vector / similarity operators (SURVEY §2.8 V1-V3, §2.5 W4-W5) plus the
   * 100-TB-pipeline ANN/near-dup superset.
@@ -74,8 +77,85 @@ object VectorOps {
   def timeDecayScore(dist: Column, ageSec: Column): Column =
     Num.r6(lit(0.6) * (lit(1.0) - dist) + lit(0.4) * exp(-ageSec / lit(14400.0)))
 
-  /** Per-query top-k over a candidates frame (ANN result shaping). */
-  def topKPerQuery(df: DataFrame, qId: Column, order: Seq[Column], k: Int): DataFrame =
+  /** Per-query top-k over a candidates frame (ANN result shaping).
+    *
+    * FUSED two-stage plan (SURVEY §4 item 2 / VERDICT r1 item 5): a naive
+    * `row_number() OVER (PARTITION BY qId)` funnels EVERY candidate of a
+    * query into one reducer — with few queries and 100 TB of candidates
+    * that single task is the job. Instead:
+    *
+    *  1. partial: each input partition keeps a bounded k-heap per query id
+    *     it sees (map-side, no shuffle) and emits at most k rows per
+    *     (partition, query);
+    *  2. merge: the usual per-query window, but over ≤ numPartitions·k
+    *     surviving rows per query instead of all candidates.
+    *
+    * The `order` must be a TOTAL order (call sites end with the unique id
+    * as tie-break) so partial-then-merge equals the exact global top-k.
+    * Task memory is O(#queries-seen-in-partition · k) rows.
+    *
+    * `order` accepts plain columns (ascending) or `.desc`-wrapped ones,
+    * same as the window form. */
+  def topKPerQuery(df: DataFrame, qId: Column, order: Seq[Column], k: Int): DataFrame = {
+    val sortKeys: Seq[(Column, Boolean)] = order.map(ColumnBridge.sortKey)
+    val descs = sortKeys.map(_._2).toArray
+    val baseCols = df.columns.toSeq
+    val tagged = sortKeys.zipWithIndex
+      .foldLeft(df.withColumn("__qid", qId)) { case (d, ((c, _), i)) =>
+        d.withColumn(s"__sk$i", c)
+      }
+    val schema = tagged.schema
+    val qidIdx = schema.fieldIndex("__qid")
+    val keyIdx = sortKeys.indices.map(i => schema.fieldIndex(s"__sk$i")).toArray
+
+    // negative = a sorts before b (a is "better"); nulls sort first like
+    // Spark's default NULLS FIRST asc
+    def cmp(a: Row, b: Row): Int = {
+      var i = 0
+      var r = 0
+      while (i < keyIdx.length && r == 0) {
+        val x = a.get(keyIdx(i))
+        val y = b.get(keyIdx(i))
+        r =
+          if (x == null && y == null) 0
+          else if (x == null) -1
+          else if (y == null) 1
+          else x.asInstanceOf[Comparable[Any]].compareTo(y)
+        if (descs(i)) r = -r
+        i += 1
+      }
+      r
+    }
+
+    val partial = tagged.mapPartitions { it =>
+      // max-heap by cmp: head is the WORST of the current k — the eviction
+      // candidate
+      val ord: Ordering[Row] = (a: Row, b: Row) => cmp(a, b)
+      val heaps = mutable.HashMap.empty[Any, mutable.PriorityQueue[Row]]
+      it.foreach { row =>
+        val h = heaps.getOrElseUpdate(row.get(qidIdx), mutable.PriorityQueue.empty(ord))
+        if (h.size < k) h.enqueue(row)
+        else if (cmp(row, h.head) < 0) { h.dequeue(); h.enqueue(row) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(Encoders.row(schema))
+
+    // merge on the materialized sort keys — identical values to the heap's
+    // comparator, so no expression is re-evaluated over the pruned stream
+    val finalOrder = keyIdx.indices.map { i =>
+      if (descs(i)) col(s"__sk$i").desc else col(s"__sk$i").asc
+    }
+    partial
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__qid")).orderBy(finalOrder: _*)))
+      .filter(col("__rn") <= k)
+      .select(baseCols.map(col): _*)
+  }
+
+  /** The naive window form of [[topKPerQuery]] — one reducer per query id,
+    * correct at any scale that fits a task; kept as the parity baseline
+    * for the fused plan's spec. */
+  def topKPerQueryWindow(df: DataFrame, qId: Column, order: Seq[Column], k: Int): DataFrame =
     df.withColumn("rn", row_number().over(Window.partitionBy(qId).orderBy(order: _*)))
       .filter(col("rn") <= k).drop("rn")
 

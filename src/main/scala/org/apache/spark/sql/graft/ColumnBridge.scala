@@ -13,6 +13,18 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Unwrap a possibly `.desc`/`.asc`-wrapped sort column into its key
+    * column and a descending flag. A `.desc` Column carries a
+    * ColumnNode-level SortOrder that cannot be projected or codegen'd, so
+    * operators that need the VALUE of a sort key (e.g. a map-side top-k
+    * heap) must strip it first. */
+  def sortKey(c: Column): (Column, Boolean) = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder =>
+      (Column(so.child),
+        so.sortDirection == org.apache.spark.sql.internal.SortOrder.Descending)
+    case _ => (c, false)
+  }
+
   /** Temp-function registration on a live session (sessionState is
     * private[sql]). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

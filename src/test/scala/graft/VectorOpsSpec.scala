@@ -60,4 +60,31 @@ class VectorOpsSpec extends AnyFunSuite {
     }.sum
     assert(got("x") == expected)
   }
+
+  test("topKPerQuery: fused heap+merge equals the window form, asc and desc") {
+    val rnd = new scala.util.Random(42)
+    val df = (0 until 3000).map { i =>
+      (i % 7L, i.toLong, rnd.nextDouble())
+    }.toDF("q_id", "doc_id", "dist").repartition(8)
+    for (order <- Seq(
+        Seq($"dist", $"doc_id"),
+        Seq($"dist".desc, $"doc_id"))) {
+      val fused = VectorOps.topKPerQuery(df, $"q_id", order, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val window = VectorOps.topKPerQueryWindow(df, $"q_id", order, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fused == window)
+      assert(fused.size == 7 * 5)
+    }
+  }
+
+  test("topKPerQuery: partial heap prunes map-side before the per-query exchange") {
+    val df = (0 until 4000).map(i => (i % 2L, i.toLong, (i * 37 % 101).toDouble))
+      .toDF("q_id", "doc_id", "dist").repartition(8)
+    val fused = VectorOps.topKPerQuery(df, $"q_id", Seq($"dist", $"doc_id"), k = 3)
+    // the map-side heap stage must appear in the physical plan...
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), s"no map-side partial stage in:\n$plan")
+    assert(fused.count() == 2 * 3)
+  }
 }

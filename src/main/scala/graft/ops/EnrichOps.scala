@@ -18,18 +18,43 @@ import org.apache.spark.sql.functions._
   */
 object EnrichOps {
 
-  /** Mini valence lexicon over the testdata vocabulary (deterministic
-    * stand-in for the VADER lexicon; same ±4 valence scale). */
+  /** Mini valence lexicon over the testdata vocabulary plus common VADER
+    * words (deterministic stand-in for the VADER lexicon; same ±4 valence
+    * scale — "good" 1.9 / "great" 3.1 / "bad" −2.5 / "terrible" −2.1 are
+    * the published VADER values). */
   val lexicon: Seq[(String, Double)] = Seq(
     "fast" -> 2.0, "big" -> 1.0, "value" -> 1.5, "spark" -> 2.0,
     "merge" -> 0.5, "stream" -> 1.0,
+    "good" -> 1.9, "great" -> 3.1,
     "slow" -> -2.0, "small" -> -0.5, "dup" -> -1.5, "error" -> -3.0,
-    "filter" -> -0.5, "scan" -> -1.0)
+    "filter" -> -0.5, "scan" -> -1.0,
+    "bad" -> -2.5, "terrible" -> -2.1)
+
+  /** VADER mechanism constants (public algorithm, Hutto & Gilbert 2014):
+    * booster/dampener increments (B_INCR/B_DECR), the negation flip
+    * scalar (N_SCALAR), distance damping for boosters two and three
+    * tokens back, and the '!'/'?' emphasis amplifiers. */
+  val boosters: Seq[(String, Double)] = Seq(
+    "very" -> 0.293, "really" -> 0.293, "extremely" -> 0.293,
+    "absolutely" -> 0.293, "incredibly" -> 0.293,
+    "slightly" -> -0.293, "somewhat" -> -0.293, "barely" -> -0.293,
+    "marginally" -> -0.293)
+  val negations: Seq[String] =
+    Seq("not", "never", "no", "cannot", "nothing", "neither", "without")
+  val N_SCALAR = -0.74
 
   private def valence(t: Column): Column =
     lexicon.foldRight(lit(0.0): Column) { case ((w, v), els) =>
       when(t === w, lit(v)).otherwise(els)
     }
+
+  private def boosterVal(t: Column): Column =
+    boosters.foldRight(lit(0.0): Column) { case ((w, b), els) =>
+      when(t === w, lit(b)).otherwise(els)
+    }
+
+  private def isNegation(t: Column): Column =
+    negations.map(t === _).reduce(_ || _)
 
   /** A4: VADER-style compound score: s = Σ valence(tokenᵢ) (serial fold,
     * same order as the oracle), normalized to (-1, 1) by s/√(s²+15)
@@ -38,6 +63,87 @@ object EnrichOps {
     val s = aggregate(transform(toks, t => valence(t)), lit(0.0), (acc, v) => acc + v)
     s / sqrt(s * s + lit(15.0))
   }
+
+  /** Cleaned tokens: VADER strips leading/trailing punctuation before
+    * lexicon lookup ("good!" scores as "good"); the emphasis marks are
+    * counted from the raw text separately. */
+  private def cleanedTokens(text: Column): Column =
+    transform(TextOps.tokens(text), t => regexp_replace(t, "[!?]", ""))
+
+  /** The indexed VADER fold over pre-computed per-token arrays (valences
+    * `vs`, booster increments `bs`, negation flags `ngs` as 0/1 ints) plus
+    * the raw text for punctuation emphasis. Kept separate from the array
+    * construction so callers can MATERIALIZE the arrays once per row —
+    * inlining them makes Catalyst re-substitute the whole token pipeline
+    * into every `element_at`, an O(n²·|lexicon|) interpreted blowup. */
+  private def vaderCombine(text: Column, vs: Column, bs: Column, ngs: Column): Column = {
+    val n = size(vs)
+    val weighted = transform(sequence(lit(1), n), i => {
+      val v = element_at(vs, i)
+      val b1 = when(i >= 2, element_at(bs, i - 1)).otherwise(lit(0.0))
+      val b2 = when(i >= 3, element_at(bs, i - 2)).otherwise(lit(0.0))
+      val b3 = when(i >= 4, element_at(bs, i - 3)).otherwise(lit(0.0))
+      val boosted = when(v === 0.0, lit(0.0)).otherwise(
+        v + when(v > 0, lit(1.0)).otherwise(lit(-1.0)) *
+          (b1 + lit(0.95) * b2 + lit(0.9) * b3))
+      val ng = (1 to 3).map { d =>
+        when(i >= d + 1, element_at(ngs, i - d)).otherwise(lit(0))
+      }.reduce(_ + _)
+      boosted * when(ng > 0, lit(N_SCALAR)).otherwise(lit(1.0))
+    })
+    val s = when(n < 1, lit(0.0))
+      .otherwise(aggregate(weighted, lit(0.0), (acc, v) => acc + v))
+    val nExcl = least(size(split(text, "!", -1)) - 1, lit(4)).cast("double")
+    val nQm = (size(split(text, "\\?", -1)) - 1).cast("double")
+    val amp = nExcl * lit(0.292) +
+      when(nQm > 3, lit(0.96)).when(nQm > 1, nQm * lit(0.18)).otherwise(lit(0.0))
+    val sAmp = when(s > 0, s + amp).when(s < 0, s - amp).otherwise(s)
+    sAmp / sqrt(sAmp * sAmp + lit(15.0))
+  }
+
+  /** A4 at reference fidelity: the full VADER mechanism over raw text
+    * (reference runs real VADER, consumer.py:157-169), deterministic and
+    * purely expression-based so it stays oracle-checkable:
+    *
+    *  - per-token valence from [[lexicon]];
+    *  - booster increments from up to three preceding tokens, damped
+    *    0.95/0.9 at distance two/three (VADER scalar_inc_dec), added in
+    *    the direction of the valence;
+    *  - negation flip ×(−0.74) when any of the three preceding tokens is
+    *    in [[negations]];
+    *  - '!' emphasis min(count,4)·0.292 and '?' emphasis count·0.18
+    *    (capped 0.96), added in the direction of the sum;
+    *  - normalization s/√(s²+15).
+    *
+    * Simplifications vs full VADER (deliberate): no ALL-CAPS emphasis, no
+    * idiom table, no "least"/contrastive-conjunction special cases — those
+    * need cased text and a phrase dictionary; the testdata corpus is
+    * lowercase single-phrase.
+    *
+    * Column-only form — convenient for specs and small inputs; production
+    * paths use [[withVaderScore]], which stages the per-token arrays as
+    * real columns. Identical values. */
+  def vaderScore(text: Column): Column = {
+    val cts = cleanedTokens(text)
+    vaderCombine(text,
+      transform(cts, valence(_)),
+      transform(cts, boosterVal(_)),
+      transform(cts, t => when(isNegation(t), lit(1)).otherwise(lit(0))))
+  }
+
+  /** [[vaderScore]] with the per-token arrays materialized once per row:
+    * separate projected columns stop Catalyst's project-collapse from
+    * inlining the token pipeline into every array access (it keeps
+    * non-cheap expressions referenced more than once). */
+  def withVaderScore(df: DataFrame, text: Column, out: String): DataFrame =
+    df.withColumn("__vader_cts", cleanedTokens(text))
+      .withColumn("__vader_vs", transform(col("__vader_cts"), valence(_)))
+      .withColumn("__vader_bs", transform(col("__vader_cts"), boosterVal(_)))
+      .withColumn("__vader_ngs",
+        transform(col("__vader_cts"), t => when(isNegation(t), lit(1)).otherwise(lit(0))))
+      .withColumn(out,
+        vaderCombine(text, col("__vader_vs"), col("__vader_bs"), col("__vader_ngs")))
+      .drop("__vader_cts", "__vader_vs", "__vader_bs", "__vader_ngs")
 
   /** A5 STUB: deterministic 16-dim pseudo-embedding derived from the text's
     * rolling hash: e[d] = ((fp·(d+1)) mod 1000)/1000 - 0.5. The real

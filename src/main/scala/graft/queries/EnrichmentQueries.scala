@@ -22,6 +22,15 @@ object EnrichmentQueries extends QueryPack {
       s"CASE WHEN t = '$w' THEN $v ELSE $els END"
     }
 
+  /** Booster CASE chain / negation predicate — mirror EnrichOps.boosters
+    * and EnrichOps.negations exactly (same constants feed both engines). */
+  private val BOOST_SQL: String =
+    EnrichOps.boosters.foldRight("0.0") { case ((w, b), els) =>
+      s"CASE WHEN t = '$w' THEN $b ELSE $els END"
+    }
+  private val NEG_SQL: String =
+    EnrichOps.negations.map(w => s"t = '$w'").mkString(" OR ")
+
   private def polySql(s: String): String =
     s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % ${TextOps.P})"
 
@@ -37,11 +46,11 @@ object EnrichmentQueries extends QueryPack {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // -- A4: lexicon sentiment with VADER normalization --------------------
+    // -- A4: full VADER-mechanism sentiment (negation flip, boosters with
+    //    distance damping, punctuation emphasis, s/sqrt(s^2+15)) ----------
     "sentiment_score" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        EnrichOps.sentimentScore(TextOps.tokens(col("text"))).as("sentiment"))),
+      EnrichOps.withVaderScore(docs(s, dir), col("text"), "sentiment")
+        .select("doc_id", "sentiment")),
 
     // -- A5: deterministic pseudo-embedding (model-UDF stand-in) -----------
     // Output is one scalar column per dimension (e00..e15), not the array:
@@ -132,13 +141,47 @@ object EnrichmentQueries extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Same VADER mechanism, same fold order: valence/booster/negation
+    // arrays per token, then an indexed fold with the 1/0.95/0.9-damped
+    // booster lookback and the 3-token negation window, then punctuation
+    // emphasis in the direction of the sum, then s/sqrt(s^2+15).
     "sentiment_score" ->
-      s"""WITH scores AS (
+      s"""WITH tok AS (
+         |  SELECT doc_id, text,
+         |         list_transform(string_split(text, ' '),
+         |                        t -> regexp_replace(t, '[!?]', '', 'g')) AS ts
+         |  FROM documents
+         |), arrs AS (
+         |  SELECT doc_id, text,
+         |         list_transform(ts, t -> CAST($VAL_SQL AS DOUBLE)) AS vs,
+         |         list_transform(ts, t -> CAST($BOOST_SQL AS DOUBLE)) AS bs,
+         |         list_transform(ts, t -> CASE WHEN $NEG_SQL THEN 1 ELSE 0 END) AS ngs
+         |  FROM tok
+         |), summed AS (
+         |  SELECT doc_id, text,
+         |         list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len(vs) + 1), i ->
+         |           (CASE WHEN vs[i] = 0.0 THEN 0.0
+         |                 ELSE vs[i] + (CASE WHEN vs[i] > 0 THEN 1.0 ELSE -1.0 END) *
+         |                      ((CASE WHEN i >= 2 THEN bs[i-1] ELSE 0.0 END)
+         |                       + 0.95 * (CASE WHEN i >= 3 THEN bs[i-2] ELSE 0.0 END)
+         |                       + 0.9 * (CASE WHEN i >= 4 THEN bs[i-3] ELSE 0.0 END))
+         |            END)
+         |           * (CASE WHEN (CASE WHEN i >= 2 THEN ngs[i-1] ELSE 0 END)
+         |                        + (CASE WHEN i >= 3 THEN ngs[i-2] ELSE 0 END)
+         |                        + (CASE WHEN i >= 4 THEN ngs[i-3] ELSE 0 END) > 0
+         |                   THEN ${EnrichOps.N_SCALAR} ELSE 1.0 END)
+         |         ), (acc, v) -> acc + v) AS s
+         |  FROM arrs
+         |), amped AS (
          |  SELECT doc_id,
-         |         list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(string_split(text, ' '), t -> CAST($VAL_SQL AS DOUBLE)),
-         |                     (acc, v) -> acc + v) AS s
-         |  FROM documents)
-         |SELECT doc_id, s / sqrt(s * s + 15.0) AS sentiment FROM scores""".stripMargin,
+         |         s + (CASE WHEN s > 0 THEN 1.0 WHEN s < 0 THEN -1.0 ELSE 0.0 END) *
+         |             (CAST(least(len(string_split(text, '!')) - 1, 4) AS DOUBLE) * 0.292
+         |              + (CASE WHEN len(string_split(text, '?')) - 1 > 3 THEN 0.96
+         |                      WHEN len(string_split(text, '?')) - 1 > 1
+         |                        THEN CAST(len(string_split(text, '?')) - 1 AS DOUBLE) * 0.18
+         |                      ELSE 0.0 END)) AS sa
+         |  FROM summed)
+         |SELECT doc_id, sa / sqrt(sa * sa + 15.0) AS sentiment FROM amped""".stripMargin,
 
     "embed_text" -> embedOracle,
     "embed_text_batched" -> embedOracle,

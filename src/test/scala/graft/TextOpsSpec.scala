@@ -47,6 +47,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ss(2) == 0.0)
   }
 
+  test("vaderScore: negation flips, boosters amplify, punctuation emphasizes") {
+    val df = Seq(
+      "good",            // baseline: 1.9 / sqrt(1.9^2 + 15)
+      "not good",        // negation: 1.9 * -0.74
+      "very good",       // booster: 1.9 + 0.293
+      "slightly good",   // dampener: 1.9 - 0.293
+      "very good!",      // booster + one '!': (1.9 + 0.293) + 0.292
+      "never was good",  // negation two tokens back still flips
+      "good good???"     // '?' emphasis: 2*1.9 + 3*0.18
+    ).toDF("text").select(EnrichOps.vaderScore($"text").as("s"))
+    val got = df.collect().map(_.getDouble(0))
+    def norm(x: Double) = x / math.sqrt(x * x + 15.0)
+    assert(got(0) == norm(1.9))
+    assert(got(1) == norm(1.9 * -0.74))
+    assert(got(2) == norm(1.9 + 0.293))
+    assert(got(3) == norm(1.9 - 0.293))
+    assert(got(4) == norm(1.9 + 0.293 + 0.292))
+    assert(got(5) == norm(1.9 * -0.74))
+    assert(got(6) == norm(1.9 + 1.9 + 3 * 0.18))
+    // ordering sanity: negated < neutral 0 < dampened < plain < boosted
+    assert(got(1) < 0 && 0 < got(3) && got(3) < got(0) && got(0) < got(2))
+    // the staged (materialized-arrays) form is bit-equal to the inline form
+    val staged = EnrichOps.withVaderScore(
+      Seq("good", "not good", "very good", "slightly good", "very good!",
+        "never was good", "good good???").toDF("text"), $"text", "s")
+      .select("s").collect().map(_.getDouble(0))
+    assert(staged.toSeq == got.toSeq)
+  }
+
   test("embedTextBatched: one model call per batch, bit-equal to the expression path") {
     val calls = spark.sparkContext.longAccumulator("graft.embed.batchCalls")
     val rows = spark.sparkContext.longAccumulator("graft.embed.rows")

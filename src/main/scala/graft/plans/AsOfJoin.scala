@@ -77,8 +77,15 @@ case class AsOfJoinExec(
         outAttrs, lOut ++ rOut.map(_.withNullability(true)))
 
       val rBuf = rIter.buffered
-      // (ts, row) window for the current key, ts-ascending
-      val window = new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]()
+      // BOUNDED window for the current key: holds only right rows with
+      // ts ∈ [t − tolerance, t] for the current left t. Right rows are
+      // ingested lazily as the left pointer advances (both sides are
+      // (key, ts)-sorted) and evicted from the front once they fall out
+      // of the tolerance span — left ts is ascending within a key, so an
+      // evicted row can never match a later left row. A hot key's memory
+      // is therefore bounded by its densest tolerance span, not its total
+      // row count.
+      val window = new java.util.ArrayDeque[AsOfJoinExec.TsRow]()
       var curKey: Long = Long.MinValue
       var haveKey = false
 
@@ -86,27 +93,30 @@ case class AsOfJoinExec(
         val k = lKeyEval.eval(lRow).asInstanceOf[Long]
         if (!haveKey || k != curKey) {
           window.clear()
-          // skip right rows with smaller keys, buffer rows of key k
+          // skip right rows of smaller keys (incl. the previous key's
+          // never-ingested tail)
           while (rBuf.hasNext && rKeyEval.eval(rBuf.head).asInstanceOf[Long] < k)
             rBuf.next()
-          while (rBuf.hasNext && rKeyEval.eval(rBuf.head).asInstanceOf[Long] == k) {
-            val r = rBuf.next().copy()
-            window += ((rTsEval.eval(r).asInstanceOf[Long], r))
-          }
           curKey = k
           haveKey = true
         }
         val t = lTsEval.eval(lRow).asInstanceOf[Long]
-        // binary search: last window entry with ts <= t
-        var lo = 0
-        var hi = window.length - 1
-        var idx = -1
-        while (lo <= hi) {
-          val mid = (lo + hi) >>> 1
-          if (window(mid)._1 <= t) { idx = mid; lo = mid + 1 } else hi = mid - 1
+        // ingest right rows of key k up to the current left t
+        var ingest = true
+        while (ingest && rBuf.hasNext) {
+          val head = rBuf.head
+          if (rKeyEval.eval(head).asInstanceOf[Long] == k) {
+            val ts = rTsEval.eval(head).asInstanceOf[Long]
+            if (ts <= t) {
+              window.addLast(new AsOfJoinExec.TsRow(ts, rBuf.next().copy()))
+            } else ingest = false
+          } else ingest = false
         }
-        val best =
-          if (idx >= 0 && window(idx)._1 >= t - tol) window(idx)._2 else nullRight
+        // evict everything older than the tolerance span
+        while (!window.isEmpty && window.peekFirst.ts < t - tol)
+          window.pollFirst()
+        // the match is the LATEST ingested row: window back = max ts <= t
+        val best = if (!window.isEmpty) window.peekLast.row else nullRight
         outProj(joined(lRow, best))
       }
     }
@@ -115,6 +125,12 @@ case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinExec {
+  /** (ts, row) window entry — a named class keeps the hot loop free of
+    * tuple boxing. */
+  final class TsRow(val ts: Long, val row: InternalRow)
 }
 
 /** Planner strategy for the as-of node. */

@@ -36,6 +36,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native.except(composed).isEmpty && composed.except(native).isEmpty)
   }
 
+  test("hot key: bounded window stays correct with 100k right rows on one key") {
+    // one key carries 100k right rows (ts = 0,10,20,…); the window must
+    // hold only the tolerance span (100 entries), never the whole key.
+    // Correctness: each left t matches the latest right ts <= t, and a
+    // left row before any right data within tolerance gets null.
+    val n = 100000
+    val ev = spark.range(n).select(
+      lit(7L).as("user_id"), (col("id") * 10).as("r_us"), col("id").cast("double").as("value"))
+    val grid = Seq((7L, 5L), (7L, 499999L), (7L, 999995L), (8L, 100L))
+      .toDF("g_user", "g_us")
+    val got = AsOfJoin(grid, ev, "g_user", "user_id", "g_us", "r_us", tolerance = 1000L)
+      .select($"g_user", $"g_us", $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(got == Set(
+      (7L, 5L, Some(0.0)),            // latest ts <= 5 is 0
+      (7L, 499999L, Some(49999.0)),   // latest ts <= 499999 is 499990
+      (7L, 999995L, Some(99999.0)),   // latest ts <= 999995 is 999990
+      (8L, 100L, None)))              // key has no right rows
+  }
+
   test("tolerance boundary is inclusive: rts == t - tol matches") {
     val grid = Seq((1L, 1000L)).toDF("g_user", "g_us")
     val ev = Seq((1L, 400L, 5.0)).toDF("user_id", "r_us", "value")

@@ -41,20 +41,29 @@ object StreamOps {
     StructField("market_state", StringType),
     StructField("currency", StringType)))
 
-  /** S2: Kafka source for the 4-topic family — earliest offsets + JSON
-    * decode, exactly the consumer's subscription shape
-    * (consumer.py:197-208). Not exercisable offline; returned unstarted. */
-  def kafkaSource(spark: SparkSession, bootstrap: String, topics: String): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topics)
-      .option("startingOffsets", "earliest")
-      .load()
-      .select(
+  /** S2's decode projection: (key, value, timestamp) → flattened message
+    * columns. Factored out of [[kafkaSource]] so the SAME projection runs
+    * against any Kafka-shaped frame — the end-to-end StreamingSpec drives
+    * it from a file-backed stream of FIXTURES.md JSON, the closest offline
+    * stand-in for the broker round-trip. */
+  def decodeMessages(raw: DataFrame): DataFrame =
+    raw.select(
         col("key").cast("string").as("kafka_key"),
         from_json(col("value").cast("string"), messageSchema).as("msg"),
         col("timestamp").as("ingest_ts"))
       .select(col("kafka_key"), col("ingest_ts"), col("msg.*"))
+
+  /** S2: Kafka source for the 4-topic family — earliest offsets + JSON
+    * decode, exactly the consumer's subscription shape
+    * (consumer.py:197-208). The broker itself is not exercisable offline;
+    * returned unstarted. */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topics: String): DataFrame =
+    decodeMessages(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topics)
+        .option("startingOffsets", "earliest")
+        .load())
 
   /** S1: Kafka sink — JSON value, ticker key (producer.py:62-75). */
   def kafkaSink(df: DataFrame, bootstrap: String, topic: String): DataStreamWriter[org.apache.spark.sql.Row] =

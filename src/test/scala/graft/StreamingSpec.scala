@@ -80,6 +80,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S2 end-to-end: file JSON stream -> decode -> dedup -> upsert -> retention") {
+    // The closest offline stand-in for the Kafka round-trip: FIXTURES.md §1
+    // JSON lines on disk, streamed one file per micro-batch through the
+    // EXACT decode projection kafkaSource uses, then the full consumer
+    // chain — watermarked dedup, latest-wins upsert, retention delete.
+    def msg(id: String, ticker: String, tpe: String, pt: Long, price: Double) =
+      s"""{"id":"$id","ticker":"$ticker","type":"$tpe","title":"t","summary":"s","publish_time":$pt,"current_price":$price,"market_state":"OPEN","currency":"EUR"}"""
+    val now = 100000000L // unix sec; OLD is 40 days earlier (30-day retention)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_e2e")
+    val srcDir = dir.resolve("in"); java.nio.file.Files.createDirectory(srcDir)
+    java.nio.file.Files.write(srcDir.resolve("batch1.json"), java.util.Arrays.asList(
+      msg("news_a", "X", "news", now, 1.0),
+      msg("LATEST_TECH_X", "X", "technical", now - 1000, 10.0),
+      msg("news_old", "X", "news", now - 40L * 86400, 0.5)))
+    java.nio.file.Files.write(srcDir.resolve("batch2.json"), java.util.Arrays.asList(
+      msg("news_a", "X", "news", now, 1.0),                       // replay dup
+      msg("LATEST_TECH_X", "X", "technical", now - 500, 11.0),    // later wins
+      msg("news_b", "Y", "news", now + 100, 2.0)))
+
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(srcDir.toString)
+      .select( // shape the file lines like Kafka records
+        lit("filekey").as("key"), col("value"),
+        current_timestamp().as("timestamp"))
+    val decoded = StreamOps.decodeMessages(raw)
+    val deduped = StreamOps.dedupWithWatermark(
+      decoded.withColumn("event_ts", col("publish_time").cast("timestamp")),
+      "event_ts", "1 hour")
+
+    @volatile var store: org.apache.spark.sql.DataFrame = null
+    val mergeBatch = (batch: org.apache.spark.sql.DataFrame, _: Long) => {
+      val b = batch.drop("ingest_ts", "event_ts", "kafka_key")
+      val cur =
+        if (store == null)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), b.schema)
+        else store
+      store = StreamOps.upsertBatch(cur, b, "news", 30).localCheckpoint()
+      ()
+    }
+    val q = deduped.writeStream.outputMode("append").foreachBatch(mergeBatch).start()
+    try {
+      q.processAllAvailable()
+      val rows = store.orderBy("id")
+        .select("id", "ticker", "type", "publish_time", "current_price")
+        .collect()
+      // news_old deleted by retention, news_a deduped, technical latest-wins
+      assert(rows.map(_.getString(0)).toSeq == Seq("LATEST_TECH_X", "news_a", "news_b"))
+      val tech = rows.head
+      assert(tech.getLong(3) == now - 500 && tech.getDouble(4) == 11.0)
+    } finally q.stop()
+  }
+
   test("T5: watermarked daily window emits finalized OHLCV per key-day") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]

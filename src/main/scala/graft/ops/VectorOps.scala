@@ -108,6 +108,25 @@ object VectorOps {
     val qidIdx = schema.fieldIndex("__qid")
     val keyIdx = sortKeys.indices.map(i => schema.fieldIndex(s"__sk$i")).toArray
 
+    // k = 1 degenerates to a plain aggregate: min_by over the sort-key
+    // tuple is a true partial aggregation (map-side combine, no heap, no
+    // window) — the best shape at any scale. Descending numeric keys are
+    // negated to fold into the lexicographic struct order; a non-numeric
+    // descending key falls through to the general heap path.
+    val descsNumeric = sortKeys.indices.forall { i =>
+      !descs(i) ||
+        schema(s"__sk$i").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    }
+    if (k == 1 && sortKeys.nonEmpty && descsNumeric) {
+      val sortStruct = struct(keyIdx.indices.map { i =>
+        if (descs(i)) negate(col(s"__sk$i")) else col(s"__sk$i")
+      }: _*)
+      return tagged
+        .groupBy(col("__qid"))
+        .agg(min_by(struct(baseCols.map(col): _*), sortStruct).as("__best"))
+        .select(col("__best.*"))
+    }
+
     // negative = a sorts before b (a is "better"); nulls sort first like
     // Spark's default NULLS FIRST asc
     def cmp(a: Row, b: Row): Int = {

@@ -66,15 +66,18 @@ class VectorOpsSpec extends AnyFunSuite {
     val df = (0 until 3000).map { i =>
       (i % 7L, i.toLong, rnd.nextDouble())
     }.toDF("q_id", "doc_id", "dist").repartition(8)
-    for (order <- Seq(
+    for {
+      order <- Seq(
         Seq($"dist", $"doc_id"),
-        Seq($"dist".desc, $"doc_id"))) {
-      val fused = VectorOps.topKPerQuery(df, $"q_id", order, k = 5)
+        Seq($"dist".desc, $"doc_id"))
+      k <- Seq(1, 5) // k=1 exercises the min_by aggregate fast path
+    } {
+      val fused = VectorOps.topKPerQuery(df, $"q_id", order, k = k)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val window = VectorOps.topKPerQueryWindow(df, $"q_id", order, k = 5)
+      val window = VectorOps.topKPerQueryWindow(df, $"q_id", order, k = k)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(fused == window)
-      assert(fused.size == 7 * 5)
+      assert(fused.size == 7 * k)
     }
   }
 

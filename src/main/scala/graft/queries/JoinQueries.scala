@@ -37,6 +37,20 @@ object JoinQueries extends QueryPack {
   private val CSV_DIR = "/tmp/graft_scan_history"
   private def csvDir(dir: String): String = s"$CSV_DIR/${dir.split('/').last}"
 
+  /** Partitioned-store staging dir (same SF-suffix rationale as CSV_DIR). */
+  private val PARTS_DIR = "/tmp/graft_store_parts"
+  private def partsDir(dir: String): String = s"$PARTS_DIR/${dir.split('/').last}"
+
+  /** True when the staged copy under `marker` is missing or older than the
+    * events source (testdata regenerated in place). */
+  private def staleStage(marker: java.io.File, dir: String): Boolean = {
+    val eventsSrc = new java.io.File(s"$dir/events.parquet")
+    val eventsMtime = Option(eventsSrc.listFiles())
+      .map(_.map(_.lastModified()).foldLeft(eventsSrc.lastModified())(math.max))
+      .getOrElse(eventsSrc.lastModified())
+    !marker.exists() || marker.lastModified() < eventsMtime
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- J2: as-of lookback join on an irregular series --------------------
     // Daily-noon grid per key; latest event within a 6 h tolerance window.
@@ -106,12 +120,7 @@ object JoinQueries extends QueryPack {
       // operator under test is the SCAN (S3 reads data/history/*.csv it
       // didn't write); re-staging on every invocation just re-times the
       // writer.
-      val marker = new java.io.File(csvDir(dir), "_SUCCESS")
-      val eventsSrc = new java.io.File(s"$dir/events.parquet")
-      val eventsMtime = Option(eventsSrc.listFiles())
-        .map(_.map(_.lastModified()).foldLeft(eventsSrc.lastModified())(math.max))
-        .getOrElse(eventsSrc.lastModified())
-      if (!marker.exists() || marker.lastModified() < eventsMtime) {
+      if (staleStage(new java.io.File(csvDir(dir), "_SUCCESS"), dir)) {
         bars.coalesce(1).write.mode("overwrite")
           .option("header", "true").csv(csvDir(dir))
       }
@@ -125,6 +134,27 @@ object JoinQueries extends QueryPack {
           col("Close").try_cast("double").as("Close"),
           col("Volume").try_cast("long").as("Volume"))
         .na.drop(Seq("Open", "High", "Low", "Close"))
+    }),
+
+    // -- §4 "partition pruning by key" as a first-class layout decision ----
+    // The store is written partitionBy(event_type) — the engine-side
+    // answer to the reference's one-CSV-per-ticker layout (consumer.py:95,
+    // main.py:89). The scan then proves BOTH prunings: event_type = 'click'
+    // resolves at the DIRECTORY level (partition pruning: 4/5 of the store
+    // is never listed, the 100 TB win) and value > 50 pushes into the
+    // parquet row-group scan. StoreLayoutSpec asserts the plan shows
+    // PartitionFilters + PushedFilters.
+    "scan_partitioned_store" -> ((s, dir) => {
+      val store = partsDir(dir)
+      if (staleStage(new java.io.File(store, "_SUCCESS"), dir)) {
+        Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("value"), col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(store)
+      }
+      s.read.parquet(store)
+        .filter(col("event_type") === "click" && col("value") > 50.0)
+        .select("event_id", "user_id", "value", "event_type")
     }),
 
     // -- T5 upgrade: event-time tumbling-window aggregation ----------------
@@ -261,6 +291,26 @@ object JoinQueries extends QueryPack {
           expr("percentile(value, 0.5)").as("p50"),
           expr("percentile(value, 0.9)").as("p90"),
           expr("percentile(value, 0.99)").as("p99"))),
+
+    // -- native: the 100 TB percentile swap-in, oracle-checked as a
+    //    PROPERTY (same trick as approx_distinct_hll): sketch estimates
+    //    are engine-specific, so each engine emits the exact percentile
+    //    plus a boolean asserting its own mergeable sketch (Spark
+    //    approx_percentile / DuckDB approx_quantile) landed within 5% of
+    //    its own exact value. Rows hash-match iff both sketches meet the
+    //    bound — the guarantee a user of the swap-in actually relies on. --
+    "percentile_approx_sketch" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50_exact"),
+          (abs(expr("approx_percentile(value, 0.5, 1000)") -
+            expr("percentile(value, 0.5)")) <=
+            lit(0.05) * abs(expr("percentile(value, 0.5)"))).as("p50_within_5pct"),
+          expr("percentile(value, 0.99)").as("p99_exact"),
+          (abs(expr("approx_percentile(value, 0.99, 1000)") -
+            expr("percentile(value, 0.99)")) <=
+            lit(0.05) * abs(expr("percentile(value, 0.99)"))).as("p99_within_5pct"))),
 
     // -- §2.10 UDAF superset: typed custom aggregate (VWAP) ----------------
     // weight = props.k + 1 (k ∈ 0..100 from the JSON payload)
@@ -475,6 +525,20 @@ object JoinQueries extends QueryPack {
         |       quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.9) AS p90,
         |       quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "scan_partitioned_store" ->
+      """SELECT event_id, user_id, value, event_type
+        |FROM events WHERE event_type = 'click' AND value > 50.0""".stripMargin,
+
+    "percentile_approx_sketch" ->
+      """SELECT event_type,
+        |       quantile_cont(value, 0.5) AS p50_exact,
+        |       abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+        |         <= 0.05 * abs(quantile_cont(value, 0.5)) AS p50_within_5pct,
+        |       quantile_cont(value, 0.99) AS p99_exact,
+        |       abs(approx_quantile(value, 0.99) - quantile_cont(value, 0.99))
+        |         <= 0.05 * abs(quantile_cont(value, 0.99)) AS p99_within_5pct
         |FROM events GROUP BY event_type""".stripMargin,
 
     "agg_vwap_custom" ->

@@ -190,7 +190,39 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), graft.ops.Num.dsum(col("value")).as("sum_value"))
         .select(
           col("session_window.start").as("session_start"),
-          col("user_id"), col("n"), col("sum_value")))
+          col("user_id"), col("n"), col("sum_value"))),
+
+    // -- native: pivot — per-user event_type sums as wide columns ----------
+    // The EXPLICIT value list matters at scale: without it Spark runs an
+    // extra distinct pass over the fact table just to discover the column
+    // set. With the dictionary pinned, the plan is one partial-aggregatable
+    // groupBy. Decimal accumulation keeps the sums bit-stable cross-engine.
+    "pivot_event_values" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(graft.ops.Num.dsum(col("value")))),
+
+    // -- native: unpivot/melt — wide OHLC bars back to (field, value) long
+    //    form (the feature-store normalization step; narrow op, fan-out 4×,
+    //    no shuffle beyond the bars aggregation) ---------------------------
+    "unpivot_ohlc_melt" -> ((s, dir) =>
+      graft.ops.MarketOps.dailyBars(Tables.events(s, dir))
+        .select("ticker", "date", "open", "high", "low", "close")
+        .unpivot(
+          Array(col("ticker"), col("date")),
+          Array(col("open"), col("high"), col("low"), col("close")),
+          "field", "value")),
+
+    // -- native: reproducible systematic sampling --------------------------
+    // Hash-mod sampling is the reproducible-training-subset pattern: the
+    // SAME rows are selected at any parallelism and in any engine, unlike
+    // Bernoulli sample() whose RNG stream is engine- and partition-
+    // dependent. The predicate pushes to the scan like any filter.
+    "sample_hash_mod" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(pmod(col("event_id"), lit(20)) === 3)
+        .select("event_id", "user_id", "event_type", "value"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -335,6 +367,30 @@ object RelationalQueries extends QueryPack {
         |  FROM marks)
         |SELECT min(ts) AS session_start, user_id, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value
-        |FROM sess GROUP BY user_id, sid""".stripMargin
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "pivot_event_values" -> {
+      val cols = Seq("click", "view", "purchase", "signup", "error").map { t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(27,2)) END) AS DOUBLE) AS $t"
+      }.mkString(",\n        |       ")
+      s"""SELECT user_id,
+         |       $cols
+         |FROM events GROUP BY user_id""".stripMargin
+    },
+
+    "unpivot_ohlc_melt" ->
+      """WITH bars AS (
+        |  SELECT user_id AS ticker, CAST(ts AS DATE) AS date,
+        |         arg_min(value, ts) AS open, max(value) AS high,
+        |         min(value) AS low, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2)
+        |SELECT ticker, date, 'open' AS field, open AS value FROM bars
+        |UNION ALL SELECT ticker, date, 'high', high FROM bars
+        |UNION ALL SELECT ticker, date, 'low', low FROM bars
+        |UNION ALL SELECT ticker, date, 'close', close FROM bars""".stripMargin,
+
+    "sample_hash_mod" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id % 20 = 3""".stripMargin
   )
 }

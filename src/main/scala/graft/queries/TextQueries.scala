@@ -251,7 +251,30 @@ object TextQueries extends QueryPack {
     "dedup_simhash" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
-        TextOps.simHash(TextOps.tokenHashes(col("text"))).as("simhash")))
+        TextOps.simHash(TextOps.tokenHashes(col("text"))).as("simhash"))),
+
+    // -- TF-IDF top-terms: the classic keyword/relevance extraction over
+    //    the corpus. Plan shape at scale: explode → one (doc, term) partial
+    //    agg, one (term) partial agg for document frequency, a join on
+    //    term (auto-broadcast for a small vocabulary, shuffle on term for
+    //    a real one — term is high-cardinality/unskewed), and the fused
+    //    per-doc top-k (map-side heaps, VectorOps.topKPerQuery). ln() is
+    //    1-ulp quantized (Num.r6) for cross-engine parity. ----------------
+    "text_tfidf_top_terms" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          graft.ops.Num.r6(col("tf") * log(col("n_docs").cast("double") / col("df"))))
+      graft.ops.VectorOps.topKPerQuery(
+        scored, col("doc_id"), Seq(col("tfidf").desc, col("term")), k = 3)
+        .select("doc_id", "term", "tfidf")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -348,6 +371,25 @@ object TextQueries extends QueryPack {
       }.mkString(" + ")
       s"""WITH $HASHES_CTE
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hashed""".stripMargin
+    },
+
+    "text_tfidf_top_terms" -> {
+      val tfidf = graft.ops.Num.R6_SQL("tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)")
+      s"""WITH tf AS (
+         |  SELECT doc_id, t AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         |  GROUP BY doc_id, t
+         |), df AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+         |), n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, $tfidf AS tfidf
+         |  FROM tf JOIN df ON tf.term = df.term, n
+         |)
+         |SELECT doc_id, term, tfidf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+         |  FROM scored
+         |) WHERE rn <= 3""".stripMargin
     }
   )
 }

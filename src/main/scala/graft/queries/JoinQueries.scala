@@ -312,6 +312,37 @@ object JoinQueries extends QueryPack {
             expr("percentile(value, 0.99)")) <=
             lit(0.05) * abs(expr("percentile(value, 0.99)"))).as("p99_within_5pct"))),
 
+    // -- native: correlation / covariance from decimal-exact moments -------
+    // Spark's corr()/covar_pop() accumulate doubles, so their bits depend
+    // on partition order — unusable under the hash-compare gate. The same
+    // statistics from EXACT moments are order-insensitive: Σx, Σy, Σxy,
+    // Σx², Σy² accumulate in DECIMAL (2 dp inputs → 4 dp products, exact),
+    // and the closed forms are then element-wise IEEE double arithmetic —
+    // bit-identical across engines. Same single partial-agg shuffle as the
+    // built-ins; mergeable moments are exactly what a 100 TB corr needs.
+    "stats_corr_exact" -> ((s, dir) => {
+      val d2 = DecimalType(18, 2)
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x.cast(d2)).cast("double").as("sx"),
+          sum(y.cast(d2)).cast("double").as("sy"),
+          sum((x.cast(d2) * y.cast(d2))).cast("double").as("sxy"),
+          sum((x.cast(d2) * x.cast(d2))).cast("double").as("sxx"),
+          sum((y.cast(d2) * y.cast(d2))).cast("double").as("syy"))
+        .select(
+          col("l_returnflag"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("n"))).as("covar_pop_qty_price"))
+    }),
+
     // -- §2.10 UDAF superset: typed custom aggregate (VWAP) ----------------
     // weight = props.k + 1 (k ∈ 0..100 from the JSON payload)
     "agg_vwap_custom" -> ((s, dir) =>
@@ -530,6 +561,22 @@ object JoinQueries extends QueryPack {
     "scan_partitioned_store" ->
       """SELECT event_id, user_id, value, event_type
         |FROM events WHERE event_type = 'click' AND value > 50.0""".stripMargin,
+
+    "stats_corr_exact" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       (n * sxy - sx * sy) /
+        |         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+        |       (n * sxy - sx * sy) / (n * n) AS covar_pop_qty_price
+        |FROM m""".stripMargin,
 
     "percentile_approx_sketch" ->
       """SELECT event_type,

@@ -9,6 +9,8 @@ import graft.streaming.StreamOps
 
 case class Msg(id: String, ticker: String, `type`: String, publish_time: Long, current_price: Double)
 case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+case class Imp(ad_id: Long, imp_ts: java.sql.Timestamp)
+case class Click(ad_id: Long, click_ts: java.sql.Timestamp)
 
 /** Streaming semantics (SURVEY §2.9) driven through MemoryStream:
   * replay-safe dedup (T2), latest-wins upsert merge (T3/V3), retention
@@ -77,6 +79,50 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
       assert(latest("X") == (200L, 2.0)) // late 150 did not displace 200
       assert(latest("Y") == (50L, 5.0))
+    } finally q.stop()
+  }
+
+  test("stream-static join: broadcast dim enriches the stream, no stream state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Msg]
+    val sectors = Seq(("X", "tech"), ("Y", "energy")).toDF("ticker", "sector")
+    // dim side broadcast: each micro-batch plans a BroadcastHashJoin — the
+    // at-scale enrich shape (no shuffle of the stream, no join state)
+    val enriched = in.toDF().join(broadcast(sectors), "ticker")
+    val q = enriched.writeStream.format("memory")
+      .queryName("ss_join_out").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Msg("a", "X", "news", 1000L, 1.0), Msg("b", "Z", "news", 1001L, 2.0))
+      q.processAllAvailable()
+      val got = spark.table("ss_join_out")
+        .select("id", "sector").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(got.toSet == Set("a" -> "tech")) // Z has no dim row -> dropped
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: clicks attribute to impressions within 1h") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clicks = MemoryStream[Click]
+    // both sides watermarked + a time-interval condition: Spark bounds the
+    // join state to the interval span instead of keeping either side forever
+    val joined = imps.toDF().withWatermark("imp_ts", "2 hours")
+      .join(
+        clicks.toDF().withColumnRenamed("ad_id", "c_ad_id")
+          .withWatermark("click_ts", "2 hours"),
+        expr("""ad_id = c_ad_id AND
+                click_ts >= imp_ts AND click_ts <= imp_ts + INTERVAL 1 HOUR"""))
+    val q = joined.writeStream.format("memory")
+      .queryName("ss_interval_out").outputMode(OutputMode.Append).start()
+    try {
+      imps.addData(Imp(1L, ts("2024-01-01 09:00:00")), Imp(2L, ts("2024-01-01 09:30:00")))
+      q.processAllAvailable()
+      clicks.addData(
+        Click(1L, ts("2024-01-01 09:40:00")),  // within 1h of imp 1 -> match
+        Click(2L, ts("2024-01-01 11:00:00")))  // 1.5h after imp 2 -> no match
+      q.processAllAvailable()
+      val got = spark.table("ss_interval_out").select("ad_id").as[Long].collect()
+      assert(got.toSeq == Seq(1L))
     } finally q.stop()
   }
 

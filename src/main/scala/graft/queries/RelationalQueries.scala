@@ -214,6 +214,23 @@ object RelationalQueries extends QueryPack {
           Array(col("open"), col("high"), col("low"), col("close")),
           "field", "value")),
 
+    // -- native: ordered-sequence aggregation ------------------------------
+    // The build-the-training-sequence op: per user, the event-type sequence
+    // in event-time order. collect_list order is partition-dependent, so
+    // the list is built as structs and sort_array'd on the (ts, event_id)
+    // total order — deterministic at any parallelism. Emitted as a joined
+    // string because the driver's compare can't hash array cells.
+    "sequence_per_user" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              st => st.getField("event_type")),
+            ",").as("event_seq"),
+          count(lit(1)).cast("long").as("seq_len"))),
+
     // -- native: reproducible systematic sampling --------------------------
     // Hash-mod sampling is the reproducible-training-subset pattern: the
     // SAME rows are selected at any parallelism and in any engine, unlike
@@ -391,6 +408,12 @@ object RelationalQueries extends QueryPack {
 
     "sample_hash_mod" ->
       """SELECT event_id, user_id, event_type, value
-        |FROM events WHERE event_id % 20 = 3""".stripMargin
+        |FROM events WHERE event_id % 20 = 3""".stripMargin,
+
+    "sequence_per_user" ->
+      """SELECT user_id,
+        |       array_to_string(list(event_type ORDER BY ts, event_id), ',') AS event_seq,
+        |       count(*) AS seq_len
+        |FROM events GROUP BY user_id""".stripMargin
   )
 }

@@ -31,4 +31,29 @@ class StoreLayoutSpec extends AnyFunSuite {
       s"expected only click-partition files, got: ${readFiles.take(3).mkString(", ")}")
     assert(df.count() > 0)
   }
+
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // fact = the event_type-partitioned store staged by scan_partitioned_store
+    JoinQueries.queries("scan_partitioned_store")(spark, "/root/testdata/sf0.001").count()
+    val fact = spark.read.parquet("/tmp/graft_store_parts/sf0.001")
+    // dim restricted to one category -> only its event_types' partitions
+    // should be scanned, decided at RUNTIME from the dim (DPP), not by a
+    // static predicate on the fact
+    // the dim must be a SOURCE, not a LocalRelation: Catalyst folds
+    // filters over local relations eagerly, and DPP needs the selective
+    // Filter node to survive on the pruning side
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("click", "engagement"), ("view", "engagement"), ("purchase", "revenue"))
+      .toDF("etype", "category").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact
+      .join(broadcast(dim), col("event_type") === col("etype"))
+      .filter(col("category") === "engagement")
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery on the partitioned scan:\n$planStr")
+    assert(joined.count() > 0)
+  }
 }

@@ -24,15 +24,39 @@ object Tables {
     "lineitem" -> Seq("l_shipdate"),
     "orders" -> Seq("o_orderdate"))
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    nanoTsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
-      if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
-      else df
+  /** One analyzed scan plan per (session, dir, table): `spark.read.parquet`
+    * builds a fresh file index and re-reads footers for schema inference on
+    * every call, which a 95-query batch pays 95 times over. Reusing the
+    * resolved `DataFrame` shares the listed `FileIndex` inside its
+    * `LogicalRelation` across all downstream plans. Keyed WEAKLY by session
+    * so stopped test sessions (and their file indexes) stay collectable. */
+  private val scanCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
+  private def cached(spark: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame = {
+    val perSession = scanCache.synchronized {
+      var m = scanCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        scanCache.put(spark, m)
+      }
+      m
     }
+    perSession.getOrElseUpdate((dir, key), build)
   }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cached(spark, dir, name) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      nanoTsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+        if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+          df.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+        else df
+      }
+    }
 
   /** `events` with the raw nanosecond column kept as `ts_nanos`. Predicates
     * on the converted `ts` cannot reach the parquet scan (the conversion
@@ -40,12 +64,13 @@ object Tables {
     * `ts_nanos` — that predicate pushes down and prunes row groups, which
     * is the difference between a pruned read and a full scan at 100 TB.
     * Callers drop `ts_nanos` after filtering. */
-  def eventsWithRawTs(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_nanos", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
+  def eventsWithRawTs(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "events-raw-ts") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_nanos", org.apache.spark.sql.functions.col("ts"))
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    }
 
   def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

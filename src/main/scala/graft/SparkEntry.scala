@@ -29,7 +29,8 @@ object SparkEntry {
     TextQueries,
     EnrichmentQueries,
     JoinQueries,
-    PipelineQueries)
+    PipelineQueries,
+    ScaleQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Composes the slice-0 pipeline of SURVEY §7: daily OHLCV summary +

@@ -43,6 +43,39 @@ object TextQueries extends QueryPack {
       array_sort(array_distinct(TextOps.tokenHashes(col("text")))).as("th"))
       .withColumn("n", size(col("th")))
 
+  /** Token-set Jaccard near-dup pairs, blocked by (lang, |tokens|): jac >=
+    * 19/20 forces |A| and |B| to differ by at most 1 (inter <= min, union
+    * >= max), so the join key is (lang, size-bucket) with the right side
+    * replicated into buckets n-1/n/n+1 — a band join as an EQUI-join. vs.
+    * joining on lang alone: 5 distinct keys = 5 busy tasks and an
+    * all-pairs nested loop per language; bucketing restores parallelism
+    * and enumerates only size-compatible pairs. Shared by
+    * `dedup_ngram_jaccard` (pair emission) and `dedup_cluster_cc`
+    * (component collapse). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val t = tokenSets(s, dir)
+    // repartition the probe side: a local small-file scan is ONE input
+    // partition, and with the dim side broadcast the whole quadratic
+    // pair enumeration would run as a single task. Round-robin to the
+    // session's shuffle parallelism — a negligible shuffle of bare
+    // (id, hashes) rows that restores CPU parallelism downstream; on a
+    // real multi-split input the scan already provides it.
+    val a = t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"), col("th").as("a_th"),
+      col("n").as("a_n"), col("n").as("a_bucket"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("th").as("b_th"),
+      col("n").as("b_n"))
+      .withColumn("b_bucket", explode(array(col("b_n") - 1, col("b_n"), col("b_n") + 1)))
+    a.join(b,
+      col("a_lang") === col("b_lang") && col("a_bucket") === col("b_bucket") &&
+        col("a_id") < col("b_id") &&
+        col("a_n") * 20 >= col("b_n") * 19 && col("b_n") * 20 >= col("a_n") * 19)
+      .withColumn("jac",
+        graft.expressions.JaccardSimilarity.jaccardSimSorted(col("a_th"), col("b_th")))
+      .filter(col("jac") >= JACCARD_T)
+      .select("a_id", "b_id", "jac")
+  }
+
   // ---- oracle fragments -------------------------------------------------
 
   /** Polynomial rolling hash of a string expr — mirrors TextOps.polyHash. */
@@ -118,28 +151,20 @@ object TextQueries extends QueryPack {
     // vs. joining on lang alone: 5 distinct keys = 5 busy tasks and an
     // all-pairs nested loop per language; bucketing restores parallelism
     // and enumerates only size-compatible pairs.
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      val t = tokenSets(s, dir)
-      // repartition the probe side: a local small-file scan is ONE input
-      // partition, and with the dim side broadcast the whole quadratic
-      // pair enumeration would run as a single task. Round-robin to the
-      // session's shuffle parallelism — a negligible shuffle of bare
-      // (id, hashes) rows that restores CPU parallelism downstream; on a
-      // real multi-split input the scan already provides it.
-      val a = t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"), col("th").as("a_th"),
-        col("n").as("a_n"), col("n").as("a_bucket"))
-        .repartition(s.sessionState.conf.numShufflePartitions)
-      val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("th").as("b_th"),
-        col("n").as("b_n"))
-        .withColumn("b_bucket", explode(array(col("b_n") - 1, col("b_n"), col("b_n") + 1)))
-      a.join(b,
-        col("a_lang") === col("b_lang") && col("a_bucket") === col("b_bucket") &&
-          col("a_id") < col("b_id") &&
-          col("a_n") * 20 >= col("b_n") * 19 && col("b_n") * 20 >= col("a_n") * 19)
-        .withColumn("jac",
-          graft.expressions.JaccardSimilarity.jaccardSimSorted(col("a_th"), col("b_th")))
-        .filter(col("jac") >= JACCARD_T)
-        .select("a_id", "b_id", "jac")
+    "dedup_ngram_jaccard" -> ((s, dir) => jaccardPairs(s, dir)),
+
+    // -- near-dup CLUSTERS: connected components over the Jaccard pairs ----
+    // Pair emission (above) is only half of corpus dedup: A~B and B~C must
+    // collapse into ONE keep-group even when A!~C, so the canonical
+    // representative is the component min, not the pair min. See
+    // graft.ops.GraphOps.connectedComponents for the iterative shape.
+    "dedup_cluster_cc" -> ((s, dir) => {
+      val pairs = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      val vertices = docs(s, dir).select(col("doc_id").as("id"))
+      graft.ops.GraphOps.connectedComponents(vertices, edges)
+        .select(col("id").as("doc_id"), col("comp"))
     }),
 
     // -- MinHash + LSH banding near-dup (the 100-TB path) ------------------
@@ -322,6 +347,26 @@ object TextQueries extends QueryPack {
          |FROM hashed a JOIN hashed b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |  AND len(a.hs) * 20 >= len(b.hs) * 19 AND len(b.hs) * 20 >= len(a.hs) * 19
          |WHERE ${jacSql("a.hs", "b.hs")} >= $JACCARD_T""".stripMargin,
+
+    // Transitive closure of the symmetric pair graph; min reachable label
+    // = connected component. UNION (not UNION ALL) dedups the frontier so
+    // the recursion terminates.
+    "dedup_cluster_cc" ->
+      s"""WITH RECURSIVE $HASHES_CTE, pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM hashed a JOIN hashed b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |    AND len(a.hs) * 20 >= len(b.hs) * 19 AND len(b.hs) * 20 >= len(a.hs) * 19
+         |  WHERE ${jacSql("a.hs", "b.hs")} >= $JACCARD_T
+         |), edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT b_id AS src, a_id AS dst FROM pairs
+         |), reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         |)
+         |SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $HASHES_CTE, banded AS (

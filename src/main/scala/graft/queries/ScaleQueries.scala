@@ -152,19 +152,21 @@ object ScaleQueries extends QueryPack {
           if (fs.exists(loc)) fs.delete(loc, true)
           write
         }
-      // repartition(1) yields one file per bucket so the sorted-bucket
-      // metadata holds; a cluster-scale stage writes from N tasks and
-      // lets the join re-sort within buckets instead.
+      // repartition(8, key) uses the SAME hash-pmod placement as bucketBy's
+      // bucket assignment, so each of the 8 parallel write tasks holds
+      // exactly one bucket's rows → one file per bucket (the layout that
+      // keeps the sorted-bucket metadata valid) WITHOUT funneling the
+      // write through a single task.
       stage(tOrders) {
         Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
-          .repartition(1)
+          .repartition(8, col("o_orderkey"))
           .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .format("parquet").mode("overwrite").saveAsTable(tOrders)
       }
       stage(tItems) {
         Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-          .repartition(1)
+          .repartition(8, col("l_orderkey"))
           .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .format("parquet").mode("overwrite").saveAsTable(tItems)
       }

@@ -140,35 +140,46 @@ object ScaleQueries extends QueryPack {
       val tag = sfTag(dir)
       val tOrders = s"graft_bkt_orders_$tag"
       val tItems = s"graft_bkt_lineitem_$tag"
-      // A fresh session's in-memory catalog has forgotten the table while
-      // its warehouse directory survived — CTAS then refuses the non-empty
-      // location, so clear the orphaned files before re-staging.
-      def stage(t: String)(write: => Unit): Unit =
-        if (!s.catalog.tableExists(t)) {
-          val loc = new org.apache.hadoop.fs.Path(
-            s.sessionState.catalog.defaultTablePath(
-              org.apache.spark.sql.catalyst.TableIdentifier(t)))
-          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (fs.exists(loc)) fs.delete(loc, true)
-          write
+      // Staging semantics mirror the CSV/partitioned-store fixtures: the
+      // bucketed files live OUTSIDE the session (external location, per
+      // SF) with a _SUCCESS marker invalidated when the source parquet is
+      // newer. A fresh session whose catalog has forgotten the table
+      // re-ATTACHES the existing files via DDL (CLUSTERED BY … INTO 8
+      // BUCKETS LOCATION …) instead of rewriting them — which is exactly
+      // the production story: bucket once, reuse across every job.
+      def stage(t: String, srcTable: String, key: String)(build: => DataFrame): Unit = {
+        if (s.catalog.tableExists(t)) return
+        val loc = new java.io.File(s"/tmp/graft_bucketed/$tag/$t")
+        val src = new java.io.File(s"$dir/$srcTable.parquet")
+        val srcMtime = Option(src.listFiles())
+          .map(_.map(_.lastModified()).foldLeft(src.lastModified())(math.max))
+          .getOrElse(src.lastModified())
+        val marker = new java.io.File(loc, "_SUCCESS")
+        if (marker.exists() && marker.lastModified() >= srcMtime) {
+          s.sql(s"CREATE TABLE $t (${build.schema.toDDL}) USING PARQUET " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS " +
+            s"LOCATION '${loc.getAbsolutePath}'")
+        } else {
+          // repartition(8, key) uses the SAME hash-pmod placement as
+          // bucketBy's bucket assignment, so each of the 8 parallel write
+          // tasks holds exactly one bucket's rows → one file per bucket
+          // (the layout that keeps the sorted-bucket metadata valid)
+          // WITHOUT funneling the write through a single task.
+          val fs = new org.apache.hadoop.fs.Path(loc.getAbsolutePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(loc.getAbsolutePath), true)
+          build.repartition(8, col(key))
+            .write.bucketBy(8, key).sortBy(key)
+            .format("parquet").mode("overwrite")
+            .option("path", loc.getAbsolutePath).saveAsTable(t)
         }
-      // repartition(8, key) uses the SAME hash-pmod placement as bucketBy's
-      // bucket assignment, so each of the 8 parallel write tasks holds
-      // exactly one bucket's rows → one file per bucket (the layout that
-      // keeps the sorted-bucket metadata valid) WITHOUT funneling the
-      // write through a single task.
-      stage(tOrders) {
-        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
-          .repartition(8, col("o_orderkey"))
-          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .format("parquet").mode("overwrite").saveAsTable(tOrders)
       }
-      stage(tItems) {
+      stage(tOrders, "orders", "o_orderkey") {
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      }
+      stage(tItems, "lineitem", "l_orderkey") {
         Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-          .repartition(8, col("l_orderkey"))
-          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .format("parquet").mode("overwrite").saveAsTable(tItems)
       }
       s.table(tItems).hint("merge")
         .join(s.table(tOrders).hint("merge"),

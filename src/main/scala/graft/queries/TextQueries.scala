@@ -137,6 +137,34 @@ object TextQueries extends QueryPack {
         col("doc_id"),
         TextOps.polyHash(col("text")).as("fp"))),
 
+    // -- token-budget truncation: keep the first 32 tokens -----------------
+    // The context-window clip every training pipeline applies before
+    // packing; pure codegen'd expressions, map-side, zero shuffle.
+    "text_truncate_tokens" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 32), " ").as("text_trunc"),
+        least(size(split(col("text"), " ")), lit(32)).cast("long").as("n_kept"))),
+
+    // -- PII redaction: email + phone masking ------------------------------
+    // The corpus vocabulary carries no PII, so the query plants a
+    // deterministic email+phone per document first and then redacts —
+    // proving the patterns FIRE, not just that a no-op round-trips. ASCII
+    // character-class regexes only, so Java regex (Spark) and RE2
+    // (DuckDB) match byte-for-byte. Map-side expressions, zero shuffle.
+    "text_pii_redact" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" reach user"), col("doc_id").cast("string"), lit("@mail.com or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      docs(s, dir).select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(aug,
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>").as("redacted"))
+    }),
+
     // -- exact dedup: hash-groupBy on full text ----------------------------
     "dedup_exact" -> ((s, dir) =>
       docs(s, dir)
@@ -335,6 +363,24 @@ object TextQueries extends QueryPack {
 
     "text_fingerprint" ->
       s"SELECT doc_id, ${polySql("text")} AS fp FROM documents",
+
+    "text_truncate_tokens" ->
+      """SELECT doc_id,
+        |       array_to_string(list_slice(string_split(text, ' '), 1, 32), ' ') AS text_trunc,
+        |       least(CAST(len(string_split(text, ' ')) AS BIGINT), 32) AS n_kept
+        |FROM documents""".stripMargin,
+
+    // DuckDB regexp_replace is first-match-only without the 'g' flag.
+    "text_pii_redact" ->
+      """SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(
+        |           text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.com or 555-'
+        |                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS rep_id, count(*) AS n_copies, text

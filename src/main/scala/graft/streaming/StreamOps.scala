@@ -10,6 +10,47 @@ import graft.ops.DedupOps
 /** Typed message for the keyed-state snapshot operator. */
 case class SnapshotMsg(ticker: String, publish_time: Long, current_price: Double)
 
+/** Running per-ticker state for the transformWithState operator. */
+case class TickerStats(ticker: String, n: Long, latest_time: Long,
+    latest_price: Double, max_price: Double)
+
+/** T3 on Spark 4's arbitrary-state API (`transformWithState`): the
+  * successor to `flatMapGroupsWithState` with typed per-key state handles,
+  * native TTL, and timers. One `ValueState[TickerStats]` per ticker folds
+  * each batch's messages into a running (count, latest-by-event-time,
+  * max) snapshot — the reference's LATEST_* singleton overwrite
+  * (producer.py:268,331) as explicit, fault-tolerant state. Requires the
+  * RocksDB state store provider (the 100 TB state backend: state lives
+  * off-heap/on-disk per task instead of in executor heap). */
+class TickerStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, SnapshotMsg, TickerStats] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var state: ValueState[TickerStats] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[TickerStats]("stats",
+      org.apache.spark.sql.Encoders.product[TickerStats], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[SnapshotMsg],
+      timerValues: TimerValues): Iterator[TickerStats] = {
+    var cur =
+      if (state.exists()) state.get()
+      else TickerStats(key, 0L, Long.MinValue, 0.0, Double.NegativeInfinity)
+    rows.foreach { m =>
+      val newer = m.publish_time > cur.latest_time ||
+        (m.publish_time == cur.latest_time && m.current_price > cur.latest_price)
+      cur = TickerStats(
+        key, cur.n + 1,
+        if (newer) m.publish_time else cur.latest_time,
+        if (newer) m.current_price else cur.latest_price,
+        math.max(cur.max_price, m.current_price))
+    }
+    state.update(cur)
+    Iterator.single(cur)
+  }
+}
+
 /** Structured Streaming wiring (SURVEY §2.9 T1-T6, §2.1 S1-S2).
   *
   * The reference's pipeline is: Kafka JSON topics keyed by ticker →
@@ -116,6 +157,17 @@ object StreamOps {
           state.update(latest)
           Iterator.single(latest)
         })
+  }
+
+  /** T3 (transformWithState form): see [[TickerStatsProcessor]]. Update
+    * mode emits the refreshed per-key snapshot every batch. */
+  def tickerStatsStream(
+      stream: org.apache.spark.sql.Dataset[SnapshotMsg])
+      : org.apache.spark.sql.Dataset[TickerStats] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val enc = org.apache.spark.sql.Encoders.product[TickerStats]
+    stream.groupByKey(_.ticker)(org.apache.spark.sql.Encoders.STRING)
+      .transformWithState(new TickerStatsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** T5: event-time tumbling daily aggregation with watermark — the

@@ -82,6 +82,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T3 transformWithState: typed ValueState accumulates across batches (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SnapshotMsg
+    // transformWithState requires the RocksDB state store — also the
+    // backend of record at scale (state off-heap/on-disk per task)
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[SnapshotMsg]
+    val q = StreamOps.tickerStatsStream(in.toDS())
+      .writeStream.format("memory").queryName("t3_tws_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(SnapshotMsg("X", 1000L, 5.0), SnapshotMsg("X", 2000L, 4.0))
+      q.processAllAvailable()
+      // second batch: state must carry n=2 and latest=(2000, 4.0) forward
+      in.addData(SnapshotMsg("X", 1500L, 9.0), SnapshotMsg("Y", 10L, 1.0))
+      q.processAllAvailable()
+      val last = spark.table("t3_tws_out")
+        .groupBy("ticker").agg(max_by(struct($"n", $"latest_time", $"latest_price", $"max_price"), $"n").as("s"))
+        .select($"ticker", $"s.n", $"s.latest_time", $"s.latest_price", $"s.max_price")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      assert(last("X") == ((3L, 2000L, 4.0, 9.0)), s"got ${last("X")}")
+      assert(last("Y") == ((1L, 10L, 1.0, 1.0)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static join: broadcast dim enriches the stream, no stream state") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Msg]

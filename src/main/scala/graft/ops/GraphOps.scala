@@ -33,8 +33,20 @@ object GraphOps {
     * in rounds (reliable checkpoint on a real cluster).
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    var comp = vertices.select(col("id"), col("id").as("comp")).localCheckpoint()
+    // The edge table is loop-invariant and joined on `src` every round:
+    // hash-partition it on `src` ONCE before checkpointing. localCheckpoint
+    // preserves outputPartitioning, so each round's join plans a single
+    // Exchange (the label side) instead of reshuffling the edges — at
+    // 100 TB the edge table is the near-dup pair set, the largest input
+    // of the loop, and this converts O(rounds) edge shuffles into one.
+    val n = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(n, col("src")).localCheckpoint()
+    // Same trick for the initial labels: groupBy(id) each round emits
+    // hash(id)-partitioned output, so seeding with that partitioning
+    // makes round 1 shaped like every later round.
+    var comp = vertices.select(col("id"), col("id").as("comp"))
+      .repartition(n, col("id")).localCheckpoint()
     // comp labels only ever decrease, so the label sum is a strictly
     // decreasing convergence measure — one cheap agg per round, no
     // change-detection join.

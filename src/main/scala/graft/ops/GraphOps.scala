@@ -11,11 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Loop-state rows per shuffle partition. CC state is two longs a row,
+    * so 4M rows ≈ 64 MB a partition — comfortably in-memory for the
+    * per-round hash aggregation. */
+  private val LOOP_ROWS_PER_PARTITION = 4000000L
+
   /** Min-label propagation connected components with pointer jumping.
     *
     * @param vertices one column `id` (distinct)
-    * @param edges    columns `src`, `dst` — treated as DIRECTED; pass both
-    *                 orientations for an undirected graph
+    * @param edges    columns `src`, `dst`; must contain BOTH orientations
+    *                 of every undirected edge (the component semantics —
+    *                 and the pre-jump convergence test — assume symmetry)
     * @return (`id`, `comp`) where `comp` = min vertex id in the component
     *
     * Each round every vertex takes the smallest label among itself and its
@@ -31,48 +37,101 @@ object GraphOps {
     * driver-side work is the loop and a sum(comp) convergence probe;
     * localCheckpoint truncates per-round lineage so plan size stays O(1)
     * in rounds (reliable checkpoint on a real cluster).
+    *
+    * Two scale decisions shape the loop:
+    *
+    *  1. The loop state holds ONLY vertices incident to an edge: every
+    *     other vertex is its own component and can never change, so
+    *     carrying it through the loop multiplies each round's shuffle by
+    *     |V|/|V_touched| for nothing. On a 100 TB corpus the near-dup
+    *     pair set touches a small fraction of documents — this is the
+    *     difference between shuffling the corpus per round and shuffling
+    *     the near-dup neighborhood per round. Singletons re-attach after
+    *     the fixpoint with one join, outside the loop.
+    *
+    *  2. Loop shuffle parallelism is sized from the MEASURED edge count
+    *     (the edge table is materialized before the loop anyway), capped
+    *     at the session setting. AQE normally does this coalescing, but
+    *     it cannot see across the per-round checkpoint boundary; without
+    *     it a corpus whose near-dup graph is thousands of rows pays the
+    *     full session task count — per-round scheduling overhead, not
+    *     data — in every one of the O(log d) rounds. The session conf is
+    *     overridden only for the duration of the loop (restored in a
+    *     finally), which is safe in the engine's sequential driver
+    *     contract.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    // The edge table is loop-invariant and joined on `src` every round:
-    // hash-partition it on `src` ONCE before checkpointing. localCheckpoint
-    // preserves outputPartitioning, so each round's join plans a single
-    // Exchange (the label side) instead of reshuffling the edges — at
-    // 100 TB the edge table is the near-dup pair set, the largest input
-    // of the loop, and this converts O(rounds) edge shuffles into one.
-    val n = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(n, col("src")).localCheckpoint()
-    // Same trick for the initial labels: groupBy(id) each round emits
-    // hash(id)-partitioned output, so seeding with that partitioning
-    // makes round 1 shaped like every later round.
-    var comp = vertices.select(col("id"), col("id").as("comp"))
-      .repartition(n, col("id")).localCheckpoint()
-    // comp labels only ever decrease, so the label sum is a strictly
-    // decreasing convergence measure — one cheap agg per round, no
-    // change-detection join.
-    var prevSum = BigDecimal(Long.MaxValue)
-    var curSum = labelSum(comp)
-    while (curSum < prevSum) {
-      val msgs = e.join(comp.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("comp"))
-      // materialize before the self-join below — without this the whole
-      // union+groupBy subtree executes twice (once more for the join's
-      // broadcast build; exchange reuse does not cross that boundary)
-      val propagated = comp.union(msgs)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
-      // pointer jump: comp(v) := comp(comp(v)). Labels are vertex ids, so
-      // the lookup side is `propagated` itself renamed; a label that is
-      // its own component root maps to itself and the join stays inner.
-      comp = propagated
-        .join(propagated.select(col("id").as("lid"), col("comp").as("lcomp")),
-          col("comp") === col("lid"))
-        .select(col("id"), col("lcomp").as("comp"))
-        .localCheckpoint()
-      prevSum = curSum
-      curSum = labelSum(comp)
-    }
-    comp
+    val sess = edges.sparkSession
+    val n = sess.sessionState.conf.numShufflePartitions
+    // Materialize the (symmetric) edge list once, then size the loop from
+    // its measured count — both reuse the same checkpointed blocks.
+    val raw = edges.select(col("src"), col("dst")).localCheckpoint()
+    val edgeCount = raw.count()
+    val nLoop = math.max(1L, math.min(n.toLong,
+      edgeCount / LOOP_ROWS_PER_PARTITION + 1L)).toInt
+    val prevShuffle = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", nLoop.toString)
+    val comp =
+      try {
+        // The edge table is loop-invariant and joined on `src` every
+        // round: hash-partition it on `src` ONCE before checkpointing.
+        // localCheckpoint preserves outputPartitioning, so each round's
+        // join plans a single Exchange (the label side) instead of
+        // reshuffling the edges — at 100 TB the edge table is the
+        // near-dup pair set, the largest input of the loop, and this
+        // converts O(rounds) edge shuffles into one.
+        val e = raw.repartition(nLoop, col("src")).localCheckpoint()
+        // Seed labels with the distinct edge endpoints (`src` covers all
+        // of them under the symmetry contract). distinct() hash-
+        // partitions by id, the same shape groupBy(id) emits each round,
+        // so round 1 is shaped like every later round.
+        var state = e.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("comp"))
+          .localCheckpoint()
+        // comp labels only ever decrease, so the label sum is a strictly
+        // decreasing convergence measure — one cheap agg per round, no
+        // change-detection join.
+        var prevSum = labelSum(state)
+        var converged = false
+        while (!converged) {
+          val msgs = e.join(state.withColumnRenamed("id", "src"), "src")
+            .select(col("dst").as("id"), col("comp"))
+          // materialize before the self-join below — without this the
+          // whole union+groupBy subtree executes twice (once more for the
+          // join's build side; exchange reuse does not cross that
+          // boundary)
+          val propagated = state.union(msgs)
+            .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+            .localCheckpoint()
+          val propSum = labelSum(propagated)
+          if (propSum == prevSum) {
+            // Propagation changed nothing: with symmetric edges a
+            // propagate-fixpoint has component-constant labels, so the
+            // pointer jump is the identity — skip it and exit without
+            // paying the final self-join.
+            state = propagated
+            converged = true
+          } else {
+            // pointer jump: comp(v) := comp(comp(v)). Labels are vertex
+            // ids, so the lookup side is `propagated` itself renamed; a
+            // label that is its own component root maps to itself and
+            // the join stays inner.
+            state = propagated
+              .join(propagated.select(col("id").as("lid"), col("comp").as("lcomp")),
+                col("comp") === col("lid"))
+              .select(col("id"), col("lcomp").as("comp"))
+              .localCheckpoint()
+            prevSum = labelSum(state)
+          }
+        }
+        state
+      } finally sess.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // Re-attach the untouched vertices as their own components: one join
+    // against the (small) converged label table, no iteration. Left join
+    // so a vertex with no edges maps to itself; AQE broadcasts the label
+    // side when it fits, and degrades to a shuffle join when it doesn't.
+    vertices.join(comp.select(col("id"), col("comp").as("edge_comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("edge_comp"), col("id")).as("comp"))
   }
 
   /** Exact decimal sum of labels — overflow-proof for any vertex count. */

@@ -67,15 +67,23 @@ object JoinQueries extends QueryPack {
           col("e.ts") >= col("g_ts") - expr("INTERVAL 6 HOURS") &&
           col("e.ts") <= col("g_ts"),
         "left")
+      // Per-key top-1 as an ARGMAX partial aggregate, not a sort window:
+      // max_by combines map-side, so the O(candidates-per-grid-point)
+      // range-join fanout collapses before the shuffle instead of being
+      // shuffled whole and sorted per key — the shape that survives a
+      // dense key. Ordering struct = (ts, event_id): lexicographic max ≡
+      // ORDER BY ts DESC, event_id DESC limit 1. A grid point with no
+      // event in the window left-joins to one all-null row; max_by skips
+      // null ordering keys and yields null → the 0.0 default.
       joined
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("g.user_id"), col("g_ts"))
-            .orderBy(col("e.ts").desc, col("e.event_id").desc)))
-        .filter(col("rn") === 1)
+        .groupBy(col("g.user_id").as("user_id"), col("g_ts"))
+        .agg(max_by(
+          struct(col("e.value").as("value"), col("e.event_id").as("event_id")),
+          struct(col("e.ts"), col("e.event_id"))).as("top"))
         .select(
-          col("g.user_id").as("user_id"), col("g_ts"),
-          coalesce(col("e.value"), lit(0.0)).as("asof_value"),
-          col("e.event_id").as("asof_event"))
+          col("user_id"), col("g_ts"),
+          coalesce(col("top.value"), lit(0.0)).as("asof_value"),
+          col("top.event_id").as("asof_event"))
     }),
 
     // -- J2 via the custom physical operator (graft.plans.AsOfJoinExec):

@@ -53,7 +53,10 @@ object TextQueries extends QueryPack {
     * `dedup_ngram_jaccard` (pair emission) and `dedup_cluster_cc`
     * (component collapse). */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val t = tokenSets(s, dir)
+    // Cache: the hashed token sets feed BOTH join sides (probe + ×3
+    // replicated build); without it the per-document tokenize+hash+sort
+    // pass runs twice.
+    val t = tokenSets(s, dir).cache()
     // repartition the probe side: a local small-file scan is ONE input
     // partition, and with the dim side broadcast the whole quadratic
     // pair enumeration would run as a single task. Round-robin to the
@@ -187,7 +190,13 @@ object TextQueries extends QueryPack {
     // representative is the component min, not the pair min. See
     // graft.ops.GraphOps.connectedComponents for the iterative shape.
     "dedup_cluster_cc" -> ((s, dir) => {
+      // Materialize the pair set ONCE before the orientation union: the
+      // union's two branches otherwise each re-run the whole banded
+      // enumeration+verify join (its subtree appears twice in the plan,
+      // and exchange reuse does not fuse the two SMJs) — profiled as the
+      // dominant cost of this query, ~2× the CC loop itself.
       val pairs = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
+        .localCheckpoint()
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       val vertices = docs(s, dir).select(col("doc_id").as("id"))

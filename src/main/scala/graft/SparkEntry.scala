@@ -30,7 +30,8 @@ object SparkEntry {
     EnrichmentQueries,
     JoinQueries,
     PipelineQueries,
-    ScaleQueries)
+    ScaleQueries,
+    CurationQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Composes the slice-0 pipeline of SURVEY §7: daily OHLCV summary +

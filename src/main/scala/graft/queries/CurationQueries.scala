@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.CosineSimilarity.cosineSim
+import graft.model.Tables
+import graft.ops.{TextOps, VectorOps}
+
+/** Corpus-curation operators (round-4 superset): the steps a training-data
+  * pipeline runs between raw ingestion and tokenization that the earlier
+  * dedup/ANN/text families don't cover —
+  *
+  *   - benchmark decontamination (n-gram overlap against a held-out set),
+  *   - repetition-based quality filters (the Gopher-style ratios),
+  *   - per-source balancing (deterministic cap per domain),
+  *   - sliding-window chunking (the RAG/context-window splitter),
+  *   - semantic dedup (SemDeDup shape: cluster, then pairwise only
+  *     within a cell),
+  *   - int8 embedding quantization (the storage/serve-side compression).
+  *
+  * Scale notes: decontamination is an equi-join on shingle hash (shuffle
+  * keyed by hash, partial-agg counts — never a per-doc scan of the
+  * benchmark); the quality ratios and chunker are pure map-side
+  * expressions; the source cap and cell-pairwise dedup ride the fused
+  * partial top-k / banded-join shapes established by the earlier packs.
+  * All floating-point follows [[graft.ops.Num]]'s cross-engine rules:
+  * single-expression IEEE arithmetic only, no reordered accumulation.
+  */
+object CurationQueries extends QueryPack {
+
+  /** Benchmark membership: every 97th document is the held-out eval set. */
+  private val BENCH_MOD = 97L
+
+  /** Per-source document cap for the balancing sampler. */
+  private val SOURCE_CAP = 15
+
+  /** Within-cell cosine threshold for semantic dedup (picked against the
+    * synthetic embeddings so drops actually occur at test SF). */
+  private val SEM_T = 0.3
+
+  /** Chunker geometry: 16-token windows every 8 tokens (50% overlap). */
+  private val CHUNK = 16
+  private val STRIDE = 8
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+
+  // ---- oracle fragments --------------------------------------------------
+
+  private def polySql(s: String): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % ${TextOps.P})"
+
+  /** Distinct word-3-gram shingle hashes per document — the same kernel
+    * (and the same SQL) as dedup_shingle_jaccard, but WITHOUT the >=3-token
+    * filter: short documents carry an empty shingle list and simply cannot
+    * collide. */
+  private val SHINGLE_CTE =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+       |                       i -> ${polySql("array_to_string(string_split(text, ' ')[i:i+2], ' ')")})) AS sh
+       |  FROM documents
+       |)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+
+  private def cosSql(a: String, b: String): String =
+    s"CASE WHEN sqrt(${dotSql(a, a)}) = 0.0 OR sqrt(${dotSql(b, b)}) = 0.0 THEN 0.0 " +
+      s"ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END"
+
+  /** Nearest-centroid cell assignment over the deterministic vec_id%50
+    * codebook — identical formulation to ann_ivf_probe's assign CTE. */
+  private val ASSIGN_CTE =
+    s"""cents AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0
+       |), assign AS (
+       |  SELECT vec_id, embedding, c_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+       |    FROM embeddings e, cents c
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  // ---- registry ----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- benchmark decontamination: flag training docs sharing any word-
+    //    3-gram with the held-out set. The join key is the shingle HASH
+    //    (8-byte long), so at 100 TB this is a hash-partitioned equi-join
+    //    between (train doc, shingle) pairs and the much smaller distinct
+    //    benchmark-shingle set — Spark broadcasts it while it fits and
+    //    degrades to a shuffle join when it doesn't; either way no
+    //    all-pairs doc comparison ever happens. n_hits aggregates with
+    //    map-side combine; the final left join re-attaches clean docs. ----
+    "decontaminate_ngram" -> ((s, dir) => {
+      val sh = docs(s, dir).select(
+        col("doc_id"),
+        graft.expressions.TextHash.shingleHashes(col("text")).as("sh"))
+      val benchHashes = sh.filter(col("doc_id") % BENCH_MOD === 0)
+        .select(explode(col("sh")).as("h")).distinct()
+      val train = sh.filter(col("doc_id") % BENCH_MOD =!= 0)
+      val hits = train.select(col("doc_id"), explode(col("sh")).as("h"))
+        .join(benchHashes, "h")
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("h")).as("hits"))
+      train.select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+    }),
+
+    // -- Gopher-style repetition filters: fraction of tokens claimed by
+    //    the most frequent unigram / bigram, plus the keep verdict. Pure
+    //    map-side HOF expressions — O(n·distinct) per document over ~50-
+    //    token docs, embarrassingly parallel, zero shuffle at any scale.
+    //    Ratios are single IEEE divisions of exact integer counts, so the
+    //    oracle matches bit-for-bit. ---------------------------------------
+    "quality_repetition" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      def maxCount(arr: Column): Column =
+        array_max(transform(array_distinct(arr),
+          t => size(filter(arr, x => x === t))))
+      val bigrams = transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+      docs(s, dir)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("top_unigram_frac",
+          maxCount(toks).cast("double") / col("n_tokens").cast("double"))
+        .withColumn("top_bigram_frac",
+          when(col("n_tokens") >= 2,
+            maxCount(bigrams).cast("double") / (col("n_tokens") - 1).cast("double"))
+            .otherwise(lit(0.0)))
+        .select(
+          col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("top_unigram_frac"), col("top_bigram_frac"),
+          (col("top_unigram_frac") <= 0.3 && col("top_bigram_frac") <= 0.18).as("keep"))
+    }),
+
+    // -- per-source balancing: keep at most SOURCE_CAP docs per source,
+    //    chosen by a deterministic hash order (so the sample is stable
+    //    across runs and engines). Rides the fused partial top-k — each
+    //    partition keeps a cap-sized heap per source before the shuffle,
+    //    so a 100 TB source with billions of docs still moves only
+    //    O(partitions·cap) rows, never the source's whole row set. --------
+    "source_cap_sample" -> ((s, dir) => {
+      val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+      val ranked = docs(s, dir).select(col("doc_id"), col("source"), h.as("h"))
+      VectorOps.topKPerQuery(
+        ranked, col("source"), Seq(col("h"), col("doc_id")), k = SOURCE_CAP)
+        .select("source", "doc_id")
+    }),
+
+    // -- sliding-window chunking: 16-token windows every 8 tokens, the
+    //    context-window splitter every RAG/pretraining pipeline runs.
+    //    sequence → slice → posexplode, entirely codegen'd map-side
+    //    expressions; a document's chunks never leave its partition. ------
+    "chunk_sliding_window" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(1), size(toks), lit(STRIDE)),
+            st => array_join(slice(toks, st, lit(CHUNK)), " "))).as(Seq("chunk_idx", "chunk_text")))
+        .select(
+          col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk_text"),
+          size(split(col("chunk_text"), " ")).cast("long").as("n_chunk_tokens"))
+    }),
+
+    // -- semantic dedup (SemDeDup shape): assign every vector to its
+    //    nearest codebook cell, compare pairs ONLY within a cell, drop the
+    //    higher id of any pair above the threshold. The cell id bounds the
+    //    quadratic term to cell populations — the clustering IS the
+    //    blocking, which is the published SemDeDup recipe and the only
+    //    shape that survives a 100 TB embedding table (the exact variant,
+    //    dedup_embedding_cosine, is the correctness baseline). ------------
+    "semantic_dedup_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val assign = VectorOps.topKPerQuery(
+        e.crossJoin(broadcast(cents))
+          .withColumn("csim", cosineSim(col("embedding"), col("c_emb"))),
+        col("vec_id"), Seq(col("csim").desc, col("c_id")), k = 1)
+        .select(col("vec_id"), col("embedding"), col("c_id"))
+      val a = assign.select(col("c_id"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+      val b = assign.select(col("c_id"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"))
+      val dropped = a.join(b, Seq("c_id"))
+        .filter(col("a_id") < col("b_id") &&
+          cosineSim(col("a_emb"), col("b_emb")) >= SEM_T)
+        .select(col("b_id").as("vec_id")).distinct()
+      assign.join(dropped.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("c_id"), col("dropped").isNull.as("kept"))
+    }),
+
+    // -- int8 embedding quantization: per-vector max-abs scale, symmetric
+    //    127-step grid — the storage layout ANN serving actually reads.
+    //    Map-side only. The scale is an order-insensitive max (exact), the
+    //    quantized values are single-expression IEEE arithmetic, and the
+    //    emitted sums are integer-exact — bit-parity with the oracle by
+    //    construction. ----------------------------------------------------
+    "embedding_quantize_int8" -> ((s, dir) => {
+      val scale = aggregate(
+        transform(col("embedding"), x => abs(x.cast("double"))),
+        lit(0.0), (acc, x) => greatest(acc, x))
+      val q = transform(col("embedding"),
+        x => when(col("scale") === 0.0, lit(0L))
+          .otherwise(floor(x.cast("double") / col("scale") * 127.0)))
+      emb(s, dir)
+        .withColumn("scale", scale)
+        .withColumn("qs", q)
+        .select(
+          col("vec_id"), col("scale"),
+          aggregate(col("qs"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+          aggregate(transform(col("qs"), v => abs(v)), lit(0L),
+            (acc, v) => acc + v).as("q_l1"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "decontaminate_ngram" ->
+      s"""WITH $SHINGLE_CTE, bench AS (
+         |  SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % $BENCH_MOD = 0
+         |), hits AS (
+         |  SELECT t.doc_id, count(DISTINCT t.h) AS hits
+         |  FROM (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id % $BENCH_MOD <> 0) t
+         |  JOIN bench ON bench.h = t.h
+         |  GROUP BY t.doc_id
+         |)
+         |SELECT s.doc_id, coalesce(hits, 0) AS n_hits, coalesce(hits, 0) > 0 AS contaminated
+         |FROM sh s LEFT JOIN hits ON hits.doc_id = s.doc_id
+         |WHERE s.doc_id % $BENCH_MOD <> 0""".stripMargin,
+
+    "quality_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), counted AS (
+        |  SELECT doc_id, len(ts) AS n_tokens,
+        |         list_max(list_transform(list_distinct(ts),
+        |                  u -> len(list_filter(ts, x -> x = u)))) AS top_uni,
+        |         CASE WHEN len(ts) >= 2 THEN
+        |           list_max(list_transform(
+        |             list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])),
+        |             u -> len(list_filter(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]),
+        |                                  x -> x = u))))
+        |         ELSE 0 END AS top_bi
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(top_uni AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_unigram_frac,
+        |       CASE WHEN n_tokens >= 2
+        |            THEN CAST(top_bi AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE)
+        |            ELSE 0.0 END AS top_bigram_frac,
+        |       (CAST(top_uni AS DOUBLE) / CAST(n_tokens AS DOUBLE)) <= 0.3
+        |         AND (CASE WHEN n_tokens >= 2
+        |                   THEN CAST(top_bi AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE)
+        |                   ELSE 0.0 END) <= 0.18 AS keep
+        |FROM counted""".stripMargin,
+
+    "source_cap_sample" ->
+      s"""SELECT source, doc_id FROM (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+         |  FROM documents
+         |) WHERE rn <= $SOURCE_CAP""".stripMargin,
+
+    "chunk_sliding_window" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         |), ch AS (
+         |  SELECT doc_id, ts, unnest(range(1, len(ts) + 1, $STRIDE)) AS st FROM t
+         |)
+         |SELECT doc_id, CAST((st - 1) // $STRIDE AS BIGINT) AS chunk_idx,
+         |       array_to_string(ts[st:st + ${CHUNK - 1}], ' ') AS chunk_text,
+         |       CAST(len(ts[st:st + ${CHUNK - 1}]) AS BIGINT) AS n_chunk_tokens
+         |FROM ch""".stripMargin,
+
+    "semantic_dedup_ivf" ->
+      s"""WITH $ASSIGN_CTE, dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assign a JOIN assign b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $SEM_T
+         |)
+         |SELECT a.vec_id, a.c_id, d.vec_id IS NULL AS kept
+         |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id""".stripMargin,
+
+    "embedding_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, scale,
+        |         list_transform(embedding,
+        |           x -> CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
+        |                     ELSE CAST(floor(CAST(x AS DOUBLE) / scale * 127.0) AS BIGINT) END) AS qs
+        |  FROM s
+        |)
+        |SELECT vec_id, scale,
+        |       list_reduce([CAST(0 AS BIGINT)] || qs, (a, b) -> a + b) AS q_sum,
+        |       list_reduce([CAST(0 AS BIGINT)] || list_transform(qs, x -> abs(x)),
+        |                   (a, b) -> a + b) AS q_l1
+        |FROM q""".stripMargin
+  )
+}

@@ -205,6 +205,46 @@ object CurationQueries extends QueryPack {
         .select(col("vec_id"), col("c_id"), col("dropped").isNull.as("kept"))
     }),
 
+    // -- single-pass column profiler: the data-quality summary every
+    //    curation pipeline runs before training (row counts, null counts,
+    //    distinct cardinalities, min/max/mean per numeric column). ONE
+    //    scan produces every statistic as partial aggregates (map-side
+    //    combine), then stack() unpivots the single row into one row per
+    //    profiled column — at 100 TB this is one pass over the table, not
+    //    one pass per column. Means are decimal-accumulated sums divided
+    //    once (Num's parity rules); distincts are exact here, with
+    //    approx_count_distinct as the stated 100 TB swap-in. --------------
+    "profile_columns" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def nNull(c: String) =
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
+      val onerow = ev.agg(
+        count(lit(1)).as("n"),
+        nNull("value"), count_distinct(col("value")).as("value_distinct"),
+        min(col("value")).as("value_min"), max(col("value")).as("value_max"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(27, 2)))
+          .as("value_sum"),
+        nNull("user_id"), count_distinct(col("user_id")).as("user_id_distinct"),
+        min(col("user_id")).as("user_id_min"), max(col("user_id")).as("user_id_max"),
+        sum(col("user_id").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("user_id_sum"),
+        nNull("event_id"), count_distinct(col("event_id")).as("event_id_distinct"),
+        min(col("event_id")).as("event_id_min"), max(col("event_id")).as("event_id_max"),
+        sum(col("event_id").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("event_id_sum"))
+      def meanSql(c: String) =
+        s"CAST(${c}_sum AS DOUBLE) / CAST(n - ${c}_nulls AS DOUBLE)"
+      onerow.selectExpr(
+        s"""stack(3,
+           |  'value', n, value_nulls, value_distinct,
+           |     CAST(value_min AS DOUBLE), CAST(value_max AS DOUBLE), ${meanSql("value")},
+           |  'user_id', n, user_id_nulls, user_id_distinct,
+           |     CAST(user_id_min AS DOUBLE), CAST(user_id_max AS DOUBLE), ${meanSql("user_id")},
+           |  'event_id', n, event_id_nulls, event_id_distinct,
+           |     CAST(event_id_min AS DOUBLE), CAST(event_id_max AS DOUBLE), ${meanSql("event_id")}
+           |) AS (col_name, n, n_null, n_distinct, min_d, max_d, mean_d)""".stripMargin)
+    }),
+
     // -- int8 embedding quantization: per-vector max-abs scale, symmetric
     //    127-step grid — the storage layout ANN serving actually reads.
     //    Map-side only. The scale is an order-insensitive max (exact), the
@@ -296,6 +336,18 @@ object CurationQueries extends QueryPack {
          |)
          |SELECT a.vec_id, a.c_id, d.vec_id IS NULL AS kept
          |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id""".stripMargin,
+
+    "profile_columns" -> {
+      def row(c: String, sumType: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           |       count(*) - count($c) AS n_null,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS DOUBLE) AS min_d, CAST(max($c) AS DOUBLE) AS max_d,
+           |       CAST(sum(CAST($c AS $sumType)) AS DOUBLE) / CAST(count($c) AS DOUBLE) AS mean_d
+           |FROM events""".stripMargin
+      Seq(row("value", "DECIMAL(27,2)"), row("user_id", "DECIMAL(38,0)"),
+        row("event_id", "DECIMAL(38,0)")).mkString("\nUNION ALL\n")
+    },
 
     "embedding_quantize_int8" ->
       """WITH s AS (

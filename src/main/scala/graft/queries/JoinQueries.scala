@@ -144,6 +144,37 @@ object JoinQueries extends QueryPack {
         .na.drop(Seq("Open", "High", "Low", "Close"))
     }),
 
+    // -- runtime Bloom-filter join: Catalyst's InjectRuntimeFilter builds a
+    //    Bloom filter from the SELECTIVE dim side and pushes might_contain
+    //    onto the fact scan — rows that cannot join are dropped BEFORE the
+    //    shuffle, the standard semi-join reduction that cuts a 100 TB
+    //    fact-side shuffle down to the matching fraction. The application-
+    //    side threshold (default 10 GB — cluster-sized) is lowered only
+    //    while this plan materializes so the demonstration works at test
+    //    SF; BloomRuntimeFilterSpec asserts might_contain in the plan.
+    //    Exact results regardless of the filter's false positives — the
+    //    join itself stays exact; the Bloom filter only prunes. ------------
+    "join_bloom_runtime" -> ((s, dir) => {
+      // Injection requires a probably-shuffle join: at test SF the dim fits
+      // the broadcast threshold (at 100 TB it would not), so broadcast is
+      // disabled alongside the scan-size floor for this plan only.
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prevs = keys.map { case (k, _) => k -> s.conf.get(k) }
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val dim = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        Tables.lineitem(s, dir).hint("merge")
+          .join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("n"), revenue.as("revenue"))
+          .localCheckpoint()
+      } finally prevs.foreach { case (k, v) => s.conf.set(k, v) }
+    }),
+
     // -- §4 "partition pruning by key" as a first-class layout decision ----
     // The store is written partitionBy(event_type) — the engine-side
     // answer to the reference's one-CSV-per-ticker layout (consumer.py:95,
@@ -496,6 +527,11 @@ object JoinQueries extends QueryPack {
       s"""SELECT p_brand, count(*) AS n, $REV_SQL AS revenue
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_brand""".stripMargin,
+
+    "join_bloom_runtime" ->
+      s"""SELECT count(*) AS n, $REV_SQL AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
 
     "join_shuffle" ->
       s"""SELECT o_orderpriority, count(*) AS n, $REV_SQL AS revenue

@@ -191,6 +191,29 @@ object VectorQueries extends QueryPack {
         .select("q_id", "vec_id", "dist")
     }),
 
+    // -- superset: kNN JOIN — top-3 neighbors for EVERY vector (not a
+    //    small query set), blocked by LSH bucket. The classic kNN-join
+    //    primitive behind embedding-based near-dup mining and retrieval
+    //    indexing: candidates come from an equi-join on bucket id (both
+    //    orientations, so every row is a "query"), and the per-row top-k
+    //    rides the fused partial heaps — no per-vector window sort, no
+    //    all-pairs product. Vectors alone in their bucket emit nothing,
+    //    the standard recall trade of single-table LSH. ---------------------
+    "knn_join_lsh" -> ((s, dir) => {
+      val e = emb(s, dir).select(
+        col("vec_id"), col("embedding"),
+        VectorOps.lshBucket(col("embedding"), PLANES, DIMS).as("bucket"))
+      val a = e.select(col("bucket"), col("vec_id"), col("embedding").as("a_emb"))
+      val b = e.select(col("bucket"), col("vec_id").as("nbr_id"),
+        col("embedding").as("b_emb"))
+      val cands = a.join(b, Seq("bucket"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .withColumn("sim", cosineSim(col("a_emb"), col("b_emb")))
+      VectorOps.topKPerQuery(
+        cands, col("vec_id"), Seq(col("sim").desc, col("nbr_id")), k = 3)
+        .select("vec_id", "nbr_id", "sim")
+    }),
+
     // -- superset: LSH-bucketed near-dup (the 100-TB path: equi-join on
     //    bucket id instead of an all-pairs product) -------------------------
     "ann_lsh_bucketed" -> ((s, dir) => {
@@ -285,6 +308,24 @@ object VectorQueries extends QueryPack {
          |)
          |SELECT q_id, vec_id, dist FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+         |  FROM cands
+         |) WHERE rn <= 3""".stripMargin,
+
+    "knn_join_lsh" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${dotSql("embedding", "embedding")}) AS n,
+         |         $BUCKET_SQL AS bucket
+         |  FROM embeddings
+         |), cands AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |         CASE WHEN a.n = 0.0 OR b.n = 0.0 THEN 0.0
+         |              ELSE ${dotSql("a.embedding", "b.embedding")} / (a.n * b.n) END AS sim
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |)
+         |SELECT vec_id, nbr_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rn
          |  FROM cands
          |) WHERE rn <= 3""".stripMargin,
 

@@ -87,6 +87,40 @@ object CurationQueries extends QueryPack {
        |  ) WHERE rn = 1
        |)""".stripMargin
 
+  /** Adds `n_tokens`, `top_unigram_frac`, `top_bigram_frac` — the Gopher-
+    * style repetition statistics. Pure map-side HOFs; shared by
+    * quality_repetition and the composed curation pipeline. */
+  private def withRepetitionStats(df: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    def maxCount(arr: Column): Column =
+      array_max(transform(array_distinct(arr),
+        t => size(filter(arr, x => x === t))))
+    val bigrams = transform(
+      sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    df.withColumn("n_tokens", size(toks))
+      .withColumn("top_unigram_frac",
+        maxCount(toks).cast("double") / col("n_tokens").cast("double"))
+      .withColumn("top_bigram_frac",
+        when(col("n_tokens") >= 2,
+          maxCount(bigrams).cast("double") / (col("n_tokens") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Training docs sharing at least one shingle hash with the held-out
+    * benchmark set — the decontamination drop list. */
+  private def contaminatedIds(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir).select(
+      col("doc_id"),
+      graft.expressions.TextHash.shingleHashes(col("text")).as("sh"))
+    val benchHashes = sh.filter(col("doc_id") % BENCH_MOD === 0)
+      .select(explode(col("sh")).as("h")).distinct()
+    sh.filter(col("doc_id") % BENCH_MOD =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(benchHashes, "h")
+      .select("doc_id").distinct()
+  }
+
   // ---- registry ----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -125,21 +159,7 @@ object CurationQueries extends QueryPack {
     //    Ratios are single IEEE divisions of exact integer counts, so the
     //    oracle matches bit-for-bit. ---------------------------------------
     "quality_repetition" -> ((s, dir) => {
-      val toks = TextOps.tokens(col("text"))
-      def maxCount(arr: Column): Column =
-        array_max(transform(array_distinct(arr),
-          t => size(filter(arr, x => x === t))))
-      val bigrams = transform(
-        sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
-      docs(s, dir)
-        .withColumn("n_tokens", size(toks))
-        .withColumn("top_unigram_frac",
-          maxCount(toks).cast("double") / col("n_tokens").cast("double"))
-        .withColumn("top_bigram_frac",
-          when(col("n_tokens") >= 2,
-            maxCount(bigrams).cast("double") / (col("n_tokens") - 1).cast("double"))
-            .otherwise(lit(0.0)))
+      withRepetitionStats(docs(s, dir))
         .select(
           col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("top_unigram_frac"), col("top_bigram_frac"),
@@ -203,6 +223,33 @@ object CurationQueries extends QueryPack {
         .select(col("b_id").as("vec_id")).distinct()
       assign.join(dropped.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
         .select(col("vec_id"), col("c_id"), col("dropped").isNull.as("kept"))
+    }),
+
+    // -- the whole curation pass as ONE composed plan: repetition-quality
+    //    filter -> benchmark decontamination -> exact dedup (min-id rep
+    //    carries its row via a struct-min partial agg, no re-join) ->
+    //    deterministic per-source cap. This is the §3-style lifecycle
+    //    demonstration for the curation family: every stage is the
+    //    individually-verified operator, fused into a single DAG Catalyst
+    //    optimizes end-to-end (the quality filter prunes before the
+    //    decontamination join; the dedup agg is map-side partial; the cap
+    //    rides the fused top-k). ------------------------------------------
+    "corpus_curation_pipeline" -> ((s, dir) => {
+      val quality = withRepetitionStats(docs(s, dir))
+        .filter(col("top_unigram_frac") <= 0.3 && col("top_bigram_frac") <= 0.18)
+        .filter(col("doc_id") % BENCH_MOD =!= 0)
+      val clean = quality.join(contaminatedIds(s, dir), Seq("doc_id"), "left_anti")
+      val deduped = clean
+        .groupBy(col("text"))
+        .agg(min(struct(col("doc_id"), col("source"), col("lang"),
+          col("n_tokens").cast("long").as("n_tokens"))).as("keep"))
+        .select(col("keep.doc_id"), col("keep.source"), col("keep.lang"),
+          col("keep.n_tokens"))
+      val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+      VectorOps.topKPerQuery(
+        deduped.withColumn("h", h), col("source"), Seq(col("h"), col("doc_id")),
+        k = SOURCE_CAP)
+        .select("doc_id", "source", "lang", "n_tokens")
     }),
 
     // -- single-pass column profiler: the data-quality summary every
@@ -336,6 +383,43 @@ object CurationQueries extends QueryPack {
          |)
          |SELECT a.vec_id, a.c_id, d.vec_id IS NULL AS kept
          |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id""".stripMargin,
+
+    "corpus_curation_pipeline" ->
+      s"""WITH $SHINGLE_CTE, bench AS (
+         |  SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % $BENCH_MOD = 0
+         |), contaminated AS (
+         |  SELECT DISTINCT t.doc_id
+         |  FROM (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id % $BENCH_MOD <> 0) t
+         |  JOIN bench ON bench.h = t.h
+         |), stats AS (
+         |  SELECT doc_id, text, source, lang,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         list_max(list_transform(list_distinct(string_split(text, ' ')),
+         |                  u -> len(list_filter(string_split(text, ' '), x -> x = u)))) AS top_uni,
+         |         list_max(list_transform(
+         |           list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+         |                         i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])),
+         |           u -> len(list_filter(list_transform(range(1, len(string_split(text, ' '))),
+         |                                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]),
+         |                                x -> x = u)))) AS top_bi
+         |  FROM documents
+         |), quality AS (
+         |  SELECT doc_id, text, source, lang, n_tokens FROM stats
+         |  WHERE CAST(top_uni AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.3
+         |    AND CAST(top_bi AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE) <= 0.18
+         |    AND doc_id % $BENCH_MOD <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |), deduped AS (
+         |  SELECT doc_id, source, lang, CAST(n_tokens AS BIGINT) AS n_tokens FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |    FROM quality
+         |  ) WHERE rn = 1
+         |)
+         |SELECT doc_id, source, lang, n_tokens FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+         |  FROM deduped
+         |) WHERE rn <= $SOURCE_CAP""".stripMargin,
 
     "profile_columns" -> {
       def row(c: String, sumType: String) =

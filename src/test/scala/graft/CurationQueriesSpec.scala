@@ -132,6 +132,23 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(survivors.count() == 0, "kept set still contains a near-dup pair")
   }
 
+  // ---- composed pipeline ------------------------------------------------
+
+  test("corpus_curation_pipeline: every stage's invariant holds on the survivors") {
+    val out = q("corpus_curation_pipeline").cache()
+    assert(out.count() > 0)
+    assert(out.select("doc_id").distinct().count() == out.count(), "unique docs")
+    assert(out.filter(col("doc_id") % 97 === 0).count() == 0, "no benchmark docs")
+    assert(out.groupBy("source").count().filter(col("count") > 15).count() == 0,
+      "per-source cap respected")
+    // survivors pass the repetition filter (re-derive via the public query)
+    val failing = q("quality_repetition").filter(!col("keep")).select("doc_id")
+    assert(out.join(failing, "doc_id").count() == 0, "no low-quality doc survives")
+    // survivors are decontaminated
+    val dirty = q("decontaminate_ngram").filter(col("contaminated")).select("doc_id")
+    assert(out.join(dirty, "doc_id").count() == 0, "no contaminated doc survives")
+  }
+
   // ---- quantization -----------------------------------------------------
 
   test("embedding_quantize_int8: values stay in the int8 grid and l1 bounds the sum") {

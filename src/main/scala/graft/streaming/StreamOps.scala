@@ -10,6 +10,9 @@ import graft.ops.DedupOps
 /** Typed message for the keyed-state snapshot operator. */
 case class SnapshotMsg(ticker: String, publish_time: Long, current_price: Double)
 
+/** Kept document emitted by the streaming near-dup dedup. */
+case class DocKeep(doc_id: Long, text: String)
+
 /** Running per-ticker state for the transformWithState operator. */
 case class TickerStats(ticker: String, n: Long, latest_time: Long,
     latest_price: Double, max_price: Double)
@@ -168,6 +171,49 @@ object StreamOps {
     implicit val enc = org.apache.spark.sql.Encoders.product[TickerStats]
     stream.groupByKey(_.ticker)(org.apache.spark.sql.Encoders.STRING)
       .transformWithState(new TickerStatsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming near-dup dedup — the curation family's streaming twin of
+    * `dedup_minhash_lsh`: documents hash to a MinHash band bucket (band 0
+    * of the batch query, same `(a·x + b) mod P` constants), the FIRST
+    * document to claim a bucket survives, and later bucket-mates are
+    * dropped. State is one long per occupied bucket (the kept doc id) —
+    * bounded by corpus diversity, not stream length, and a fraction of the
+    * reference's unbounded seen-id sets. Within a batch the min doc_id
+    * wins, so replays are deterministic. A production variant adds the
+    * exact-verify re-join of the batch query; the bucket-claim state
+    * machine here is the part batch cannot express. */
+  def minhashDedupStream(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // band-0 key: mh0..mh3 over sorted distinct token hashes — constants
+    // mirror TextQueries.MINHASH_A/B rows 0-3.
+    val as = Seq(7L, 11L, 13L, 17L)
+    val bs = Seq(3L, 5L, 7L, 11L)
+    val th = array_sort(array_distinct(
+      graft.expressions.TextHash.tokenHashes(col("text"))))
+    val mh = as.zip(bs).map { case (a, b) => graft.ops.TextOps.minHash(col("th"), a, b) }
+    val bucketed = docs
+      .withColumn("th", th)
+      .withColumn("bucket", concat_ws("_", lit(0) +: mh: _*))
+      .select(col("bucket"), col("doc_id").cast("long").as("doc_id"), col("text"))
+    implicit val enc = org.apache.spark.sql.Encoders.product[DocKeep]
+    implicit val stateEnc = org.apache.spark.sql.Encoders.scalaLong
+    bucketed.as[(String, Long, String)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING))
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(String, Long, String)], state: GroupState[Long]) => {
+          if (state.exists) Iterator.empty
+          else {
+            val keep = rows.minBy(_._2)
+            state.update(keep._2)
+            Iterator.single(DocKeep(keep._2, keep._3))
+          }
+        })
+      .toDF()
   }
 
   /** T5: event-time tumbling daily aggregation with watermark — the

@@ -234,4 +234,27 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getAs[Long]("volume") == 2L)
     } finally q.stop()
   }
+
+  test("streaming minhash dedup: first bucket claimant survives, later near-dups drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val deduped = StreamOps.minhashDedupStream(
+      in.toDF().toDF("doc_id", "text"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("mh_dedup_out").outputMode(OutputMode.Append).start()
+    try {
+      // docs 1 and 2 are identical -> same band bucket; min id wins in-batch
+      in.addData((2L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),
+        (10L, "totally different tokens here"))
+      q.processAllAvailable()
+      // doc 3 replays the duplicate text in a LATER batch -> dropped by state
+      in.addData((3L, "alpha beta gamma delta"),
+        (11L, "yet another unique document text"))
+      q.processAllAvailable()
+      val kept = spark.table("mh_dedup_out").select("doc_id")
+        .as[Long].collect().sorted
+      assert(kept.toSeq == Seq(1L, 10L, 11L),
+        s"expected first claimants only, got ${kept.mkString(",")}")
+    } finally q.stop()
+  }
 }

@@ -252,6 +252,24 @@ object CurationQueries extends QueryPack {
         .select("doc_id", "source", "lang", "n_tokens")
     }),
 
+    // -- weighted sampling (Efraimidis-Spirakis A-Res): keep the 100 docs
+    //    with the largest ln(u)/w keys, where u is a deterministic
+    //    per-doc uniform and w the token count — longer docs proportionally
+    //    likelier, sample stable across runs AND engines (the ln is 1e-6
+    //    floor-quantized, the same parity rule text_tfidf_top_terms uses).
+    //    At scale this is one map-side key computation + a global top-k
+    //    (TakeOrdered), never a sort of the corpus. -------------------------
+    "sample_weighted" -> ((s, dir) => {
+      val u = (((col("doc_id") * lit(2654435761L)) % lit(1000000007L)) + 1L)
+        .cast("double") / lit(1000000007.0)
+      val w = size(TextOps.tokens(col("text"))).cast("double")
+      docs(s, dir)
+        .withColumn("skey", graft.ops.Num.r6(log(u) / w))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("source"), col("skey"))
+    }),
+
     // -- single-pass column profiler: the data-quality summary every
     //    curation pipeline runs before training (row counts, null counts,
     //    distinct cardinalities, min/max/mean per numeric column). ONE
@@ -420,6 +438,15 @@ object CurationQueries extends QueryPack {
          |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
          |  FROM deduped
          |) WHERE rn <= $SOURCE_CAP""".stripMargin,
+
+    "sample_weighted" -> {
+      val key = graft.ops.Num.R6_SQL(
+        "ln(CAST((doc_id * 2654435761) % 1000000007 + 1 AS DOUBLE) / 1000000007.0)" +
+          " / CAST(len(string_split(text, ' ')) AS DOUBLE)")
+      s"""SELECT doc_id, source, $key AS skey
+         |FROM documents
+         |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin
+    },
 
     "profile_columns" -> {
       def row(c: String, sumType: String) =

@@ -315,6 +315,37 @@ object TextQueries extends QueryPack {
         col("doc_id"),
         TextOps.simHash(TextOps.tokenHashes(col("text"))).as("simhash"))),
 
+    // -- corpus-level n-gram statistics: the top-20 bigrams by occurrence
+    //    count, the vocabulary/tokenizer-training sweep every corpus gets.
+    //    Explode → one partial-aggregated count per bigram → global top-k
+    //    as TakeOrderedAndProject (k rows per partition travel, never the
+    //    full n-gram table). ------------------------------------------------
+    "text_ngram_topk" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val bigrams = transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+      docs(s, dir)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(20)
+    }),
+
+    // -- MinHash signature export: the per-document sketch a production
+    //    pipeline PERSISTS so later increments dedup against the corpus
+    //    without rereading it — 8 longs per doc (the same hash family the
+    //    LSH queries band), pure map-side. --------------------------------
+    "minhash_signatures" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        col("doc_id"),
+        array_sort(array_distinct(TextOps.tokenHashes(col("text")))).as("th"))
+      MINHASH_A.indices.foldLeft(base) { (df, i) =>
+        df.withColumn(f"mh$i", TextOps.minHash(col("th"), MINHASH_A(i), MINHASH_B(i)))
+      }.select(col("doc_id") +: MINHASH_A.indices.map(i => col(f"mh$i")): _*)
+    }),
+
     // -- TF-IDF top-terms: the classic keyword/relevance extraction over
     //    the corpus. Plan shape at scale: explode → one (doc, term) partial
     //    agg, one (term) partial agg for document frequency, a join on
@@ -472,6 +503,18 @@ object TextQueries extends QueryPack {
       s"""WITH $HASHES_CTE
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hashed""".stripMargin
     },
+
+    "text_ngram_topk" ->
+      """SELECT bigram, count(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+        |  FROM documents
+        |) GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+
+    "minhash_signatures" ->
+      s"""WITH $HASHES_CTE
+         |SELECT doc_id, ${MINHASH_A.indices.map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
+         |FROM hashed""".stripMargin,
 
     "text_tfidf_top_terms" -> {
       val tfidf = graft.ops.Num.R6_SQL("tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)")

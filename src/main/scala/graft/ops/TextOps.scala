@@ -21,10 +21,51 @@ object TextOps {
     * acc·31 + code stays < 2^35, so the fold never overflows a long. */
   val P: Long = 1000000007L
 
+  /** The MinHash family h_i(x) = (a_i·x + b_i) mod P, shared by the batch
+    * LSH dedup queries AND the streaming near-dup operator (whose band-0
+    * key is rows 0-3) — one definition so the stream can never silently
+    * bucket differently than the batch twin. */
+  val MINHASH_A: Seq[Long] = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  val MINHASH_B: Seq[Long] = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+
   /** Whitespace tokens (testdata text is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Adjacent-pair bigrams ("tok_i tok_i+1") built with zip_with + slice
+    * so each child array is evaluated exactly ONCE per call. The indexing
+    * form `transform(sequence(1, n-1), i -> element_at(toks, i)...)` has
+    * two failure modes this avoids: (a) under interpreted HOF evaluation
+    * every element_at re-evaluates `toks` — i.e. re-splits the text once
+    * per index, O(n²) characters per row once Catalyst inlines the
+    * projection into a filter; (b) sequence(1, n-1) AUTO-REVERSES to
+    * [1, 0] on a 1-token doc and element_at(_, 0) throws
+    * INVALID_INDEX_OF_ZERO. Here a 0/1-token doc just yields []. */
+  def bigrams(toks: Column): Column = {
+    val n1 = greatest(size(toks) - 1, lit(0))
+    // zip pads the shorter (tail) side with null, producing a trailing
+    // spurious "last-token" entry — the outer slice drops it.
+    slice(zip_with(toks, slice(toks, lit(2), n1), (a, b) => concat_ws(" ", a, b)),
+      lit(1), n1)
+  }
+
+  /** Highest occurrence count of any element (null on an empty array,
+    * mirroring list_max over an empty list). Single sorted pass: sort,
+    * then fold (prev, run, best) over equal-run lengths. O(n log n) per
+    * row versus the count-each-distinct HOF's O(n·distinct) — and immune
+    * to interpreted-HOF subtree re-evaluation, because the child array is
+    * evaluated once per call instead of once per distinct element. */
+  def maxFreq(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(acc("prev").isNotNull && (x === acc("prev")), acc("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => when(acc("best") === 0, lit(null).cast("int")).otherwise(acc("best")))
 
   /** Polynomial rolling hash of a string: fold (acc·31 + charCode) mod P.
     * DuckDB mirror: list_reduce([0] || list_transform(string_split(s, ''),

@@ -88,22 +88,26 @@ object CurationQueries extends QueryPack {
        |)""".stripMargin
 
   /** Adds `n_tokens`, `top_unigram_frac`, `top_bigram_frac` — the Gopher-
-    * style repetition statistics. Pure map-side HOFs; shared by
-    * quality_repetition and the composed curation pipeline. */
+    * style repetition statistics. Pure map-side; shared by
+    * quality_repetition and the composed curation pipeline.
+    *
+    * Built on [[TextOps.maxFreq]] (sorted run-length, O(n log n)) and
+    * [[TextOps.bigrams]] (zip_with) rather than count-per-distinct HOFs:
+    * the HOF form was O(n·distinct) AND, once Catalyst inlined it into the
+    * pipeline's quality filter, interpreted evaluation re-split the text
+    * once per (distinct, index) pair — 30 ms/row, 150 s for 5 k docs. The
+    * single-pass form evaluates each child array exactly once per call, so
+    * it stays microseconds per row no matter how many times the optimizer
+    * duplicates it. */
   private def withRepetitionStats(df: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    def maxCount(arr: Column): Column =
-      array_max(transform(array_distinct(arr),
-        t => size(filter(arr, x => x === t))))
-    val bigrams = transform(
-      sequence(lit(1), size(toks) - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
     df.withColumn("n_tokens", size(toks))
       .withColumn("top_unigram_frac",
-        maxCount(toks).cast("double") / col("n_tokens").cast("double"))
+        TextOps.maxFreq(toks).cast("double") / col("n_tokens").cast("double"))
       .withColumn("top_bigram_frac",
         when(col("n_tokens") >= 2,
-          maxCount(bigrams).cast("double") / (col("n_tokens") - 1).cast("double"))
+          TextOps.maxFreq(TextOps.bigrams(toks)).cast("double") /
+            (col("n_tokens") - 1).cast("double"))
           .otherwise(lit(0.0)))
   }
 
@@ -208,11 +212,15 @@ object CurationQueries extends QueryPack {
       val e = emb(s, dir)
       val cents = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      // assign feeds three consumers (both self-join sides + the verdict
+      // join); materialize it once so the vectors×centroids assignment
+      // subtree doesn't execute three times per run.
       val assign = VectorOps.topKPerQuery(
         e.crossJoin(broadcast(cents))
           .withColumn("csim", cosineSim(col("embedding"), col("c_emb"))),
         col("vec_id"), Seq(col("csim").desc, col("c_id")), k = 1)
         .select(col("vec_id"), col("embedding"), col("c_id"))
+        .localCheckpoint()
       val a = assign.select(col("c_id"), col("vec_id").as("a_id"),
         col("embedding").as("a_emb"))
       val b = assign.select(col("c_id"), col("vec_id").as("b_id"),

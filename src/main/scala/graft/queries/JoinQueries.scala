@@ -72,9 +72,13 @@ object JoinQueries extends QueryPack {
       // range-join fanout collapses before the shuffle instead of being
       // shuffled whole and sorted per key — the shape that survives a
       // dense key. Ordering struct = (ts, event_id): lexicographic max ≡
-      // ORDER BY ts DESC, event_id DESC limit 1. A grid point with no
-      // event in the window left-joins to one all-null row; max_by skips
-      // null ordering keys and yields null → the 0.0 default.
+      // ORDER BY ts DESC, event_id DESC limit 1. Null handling invariant:
+      // struct(e.ts, e.event_id) is NEVER null (even with both fields
+      // null), so max_by does not skip anything — a no-match grid point
+      // is correct only because its group contains exactly ONE null-padded
+      // row, whose value struct has null fields → coalesce applies the
+      // 0.0 default. A change that mixes null and non-null rows in one
+      // group would need real null-key skipping instead.
       joined
         .groupBy(col("g.user_id").as("user_id"), col("g_ts"))
         .agg(max_by(

@@ -22,8 +22,8 @@ import graft.ops.TextOps
 object TextQueries extends QueryPack {
 
   private val P = TextOps.P
-  private val MINHASH_A = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
-  private val MINHASH_B = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+  private val MINHASH_A = TextOps.MINHASH_A
+  private val MINHASH_B = TextOps.MINHASH_B
   private val JACCARD_T = 0.95
   private val MINHASH_VERIFY_T = 0.8
 
@@ -321,12 +321,13 @@ object TextQueries extends QueryPack {
     //    as TakeOrderedAndProject (k rows per partition travel, never the
     //    full n-gram table). ------------------------------------------------
     "text_ngram_topk" -> ((s, dir) => {
-      val toks = TextOps.tokens(col("text"))
-      val bigrams = transform(
-        sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+      // TextOps.bigrams, not the sequence/element_at form: that form
+      // re-splits the text per index under interpreted HOF eval AND throws
+      // INVALID_INDEX_OF_ZERO on 1-token docs (sequence(1, 0) reverses).
+      // Here a 1-token doc contributes no bigrams, like the oracle's
+      // empty range(1, len).
       docs(s, dir)
-        .select(explode(bigrams).as("bigram"))
+        .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram"))

@@ -185,10 +185,11 @@ object StreamOps {
     * machine here is the part batch cannot express. */
   def minhashDedupStream(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    // band-0 key: mh0..mh3 over sorted distinct token hashes — constants
-    // mirror TextQueries.MINHASH_A/B rows 0-3.
-    val as = Seq(7L, 11L, 13L, 17L)
-    val bs = Seq(3L, 5L, 7L, 11L)
+    // band-0 key: mh0..mh3 over sorted distinct token hashes — rows 0-3 of
+    // the SHARED hash family, so batch and stream bucket identically by
+    // construction.
+    val as = graft.ops.TextOps.MINHASH_A.take(4)
+    val bs = graft.ops.TextOps.MINHASH_B.take(4)
     val th = array_sort(array_distinct(
       graft.expressions.TextHash.tokenHashes(col("text"))))
     val mh = as.zip(bs).map { case (a, b) => graft.ops.TextOps.minHash(col("th"), a, b) }

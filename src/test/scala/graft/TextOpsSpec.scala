@@ -99,6 +99,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == exprPath)
   }
 
+  test("bigrams: adjacent pairs; 1-token doc yields empty (no index-0 throw)") {
+    val df = Seq("a b b c", "solo", "x y").toDF("text")
+      .select(TextOps.bigrams(TextOps.tokens($"text")).as("bg"))
+    val got = df.collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got == Seq(Seq("a b", "b b", "b c"), Seq(), Seq("x y")))
+  }
+
+  test("maxFreq: top occurrence count; empty array -> null") {
+    val df = Seq(
+      Seq("b", "a", "b", "c", "b", "a"), // b×3
+      Seq("z"),                          // 1
+      Seq[String]()                      // empty -> null
+    ).toDF("arr").select(TextOps.maxFreq($"arr").as("m"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq
+    assert(got == Seq(3, 1, -1))
+  }
+
   test("simHash: identical docs collide, signature within 16 bits") {
     val df = Seq("spark merge join", "spark merge join", "value data table")
       .toDF("text")

@@ -133,6 +133,42 @@ object TextHash {
     sig
   }
 
+  /** Gopher-style repetition statistics in ONE tokenize pass:
+    * (n_tokens, max unigram count, max bigram count). Bit-equal to the
+    * HOF chain `size(toks)` / `maxFreq(toks)` / `maxFreq(bigrams(toks))`
+    * (spec'd in TextOpsSpec) but a single tight loop per call — so when
+    * Catalyst inlines the quality filter's predicate and evaluates the
+    * expression once per field reference, each evaluation is
+    * microseconds instead of an interpreted array_sort+fold per
+    * reference (the corpus_curation_pipeline hotspot: 3.9 s vs 0.2 s on
+    * 5 k sf0.1 docs). top_bi is null when n_tokens < 2, mirroring
+    * maxFreq's null on an empty bigram array. */
+  def repetitionStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val uni = new java.util.HashMap[String, Integer]()
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val c = uni.merge(toks(i), Integer.valueOf(1), (x, y) => Integer.valueOf(x + y))
+      if (c > best) best = c.intValue()
+      i += 1
+    }
+    var bbest = 0
+    if (n >= 2) {
+      val bi = new java.util.HashMap[String, Integer]()
+      var j = 0
+      while (j < n - 1) {
+        val c = bi.merge(toks(j) + " " + toks(j + 1), Integer.valueOf(1),
+          (x, y) => Integer.valueOf(x + y))
+        if (c > bbest) bbest = c.intValue()
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, best, if (n >= 2) bbest else null))
+  }
+
   // ---- Column API --------------------------------------------------------
   def polyHash(s: Column): Column =
     ColumnBridge.column(PolyHash(ColumnBridge.expression(s)))
@@ -146,6 +182,8 @@ object TextHash {
       org.apache.spark.sql.catalyst.expressions.Literal(b)))
   def simHash16(hashes: Column): Column =
     ColumnBridge.column(SimHash16(ColumnBridge.expression(hashes)))
+  def repetitionStats(text: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
 }
 
 private[expressions] trait StringInput { self: UnaryExpression =>
@@ -244,6 +282,21 @@ case class MinHashExpr(hashes: Expression, a: Expression, b: Expression)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(hashes = newChildren(0), a = newChildren(1), b = newChildren(2))
+}
+
+/** text → struct(n_tokens, top_uni, top_bi) — see
+  * [[TextHash.repetitionStats]]. */
+case class RepetitionStats(child: Expression) extends UnaryExpression with StringInput {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("top_uni", IntegerType, nullable = false),
+    StructField("top_bi", IntegerType, nullable = true)))
+  override protected def nullSafeEval(s: Any): Any =
+    TextHash.repetitionStats(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.repetitionStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class SimHash16(child: Expression) extends UnaryExpression with LongArrayInput {

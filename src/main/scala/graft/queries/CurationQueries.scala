@@ -91,23 +91,25 @@ object CurationQueries extends QueryPack {
     * style repetition statistics. Pure map-side; shared by
     * quality_repetition and the composed curation pipeline.
     *
-    * Built on [[TextOps.maxFreq]] (sorted run-length, O(n log n)) and
-    * [[TextOps.bigrams]] (zip_with) rather than count-per-distinct HOFs:
-    * the HOF form was O(n·distinct) AND, once Catalyst inlined it into the
-    * pipeline's quality filter, interpreted evaluation re-split the text
-    * once per (distinct, index) pair — 30 ms/row, 150 s for 5 k docs. The
-    * single-pass form evaluates each child array exactly once per call, so
-    * it stays microseconds per row no matter how many times the optimizer
-    * duplicates it. */
+    * Built on the native single-loop kernel
+    * [[graft.expressions.TextHash.repetitionStats]] (bit-equal to the
+    * HOF chain `maxFreq(toks)` / `maxFreq(bigrams(toks))`, spec'd in
+    * TextOpsSpec). The HOF forms were the pipeline hotspot twice over:
+    * count-per-distinct was O(n·distinct) with re-split per index
+    * (150 s / 5 k docs), and even the sorted-run form paid an
+    * interpreted array_sort+fold PER REFERENCE once Catalyst inlined
+    * the quality filter's predicate (3.9 s). The native kernel is a
+    * microsecond loop per evaluation, so optimizer duplication is
+    * harmless. */
   private def withRepetitionStats(df: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    df.withColumn("n_tokens", size(toks))
+    val rs = graft.expressions.TextHash.repetitionStats(col("text"))
+    df.withColumn("n_tokens", rs.getField("n_tokens"))
       .withColumn("top_unigram_frac",
-        TextOps.maxFreq(toks).cast("double") / col("n_tokens").cast("double"))
+        rs.getField("top_uni").cast("double") / rs.getField("n_tokens").cast("double"))
       .withColumn("top_bigram_frac",
-        when(col("n_tokens") >= 2,
-          TextOps.maxFreq(TextOps.bigrams(toks)).cast("double") /
-            (col("n_tokens") - 1).cast("double"))
+        when(rs.getField("n_tokens") >= 2,
+          rs.getField("top_bi").cast("double") /
+            (rs.getField("n_tokens") - 1).cast("double"))
           .otherwise(lit(0.0)))
   }
 

@@ -116,6 +116,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Seq(3, 1, -1))
   }
 
+  test("repetitionStats: native kernel bit-equal to the HOF chain") {
+    val texts = Seq(
+      "a b b c b a",      // uni: b×3, bi: "b b"… each once
+      "solo",             // 1 token -> top_bi null
+      "x x x x",          // uni 4, bi "x x"×3
+      "p q p q p",        // bi "p q"×2 / "q p"×2
+      ""                  // split("") -> [""] single empty token
+    )
+    val df = texts.toDF("text")
+    val rs = graft.expressions.TextHash.repetitionStats($"text")
+    val native = df.select(
+      rs.getField("n_tokens"), rs.getField("top_uni"), rs.getField("top_bi"))
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+    val toks = TextOps.tokens($"text")
+    val hof = df.select(
+      size(toks), TextOps.maxFreq(toks),
+      TextOps.maxFreq(TextOps.bigrams(toks)))
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+    assert(native == hof)
+    assert(native == Seq((6, 3, 1), (1, 1, -1), (4, 4, 3), (5, 3, 2), (1, 1, -1)))
+  }
+
   test("simHash: identical docs collide, signature within 16 bits") {
     val df = Seq("spark merge join", "spark merge join", "value data table")
       .toDF("text")

@@ -31,7 +31,8 @@ object SparkEntry {
     JoinQueries,
     PipelineQueries,
     ScaleQueries,
-    CurationQueries)
+    CurationQueries,
+    MiningQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Composes the slice-0 pipeline of SURVEY §7: daily OHLCV summary +

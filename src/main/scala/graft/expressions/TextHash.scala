@@ -133,6 +133,27 @@ object TextHash {
     sig
   }
 
+  /** Polynomial hashes of ALL word n-grams in order (NOT distinct —
+    * the array index IS the 0-based token position of the gram's first
+    * token, which the substring-span dedup needs). Matches
+    * `transform(sequence(1, len-n+1), i ->
+    * polyHash(array_to_string(toks[i:i+n-1], ' ')))`. Empty array when
+    * fewer than n tokens. */
+  def ngramHashes(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = polyHashJava(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Gopher-style repetition statistics in ONE tokenize pass:
     * (n_tokens, max unigram count, max bigram count). Bit-equal to the
     * HOF chain `size(toks)` / `maxFreq(toks)` / `maxFreq(bigrams(toks))`
@@ -184,6 +205,8 @@ object TextHash {
     ColumnBridge.column(SimHash16(ColumnBridge.expression(hashes)))
   def repetitionStats(text: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
+  def ngramHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(NGramHashes(ColumnBridge.expression(text), n))
 }
 
 private[expressions] trait StringInput { self: UnaryExpression =>
@@ -282,6 +305,21 @@ case class MinHashExpr(hashes: Expression, a: Expression, b: Expression)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(hashes = newChildren(0), a = newChildren(1), b = newChildren(2))
+}
+
+/** text → ordered array of word n-gram polynomial hashes — see
+  * [[TextHash.ngramHashes]]. `n` is a compile-time constant, not a
+  * child expression, so codegen bakes it into the static call. */
+case class NGramHashes(child: Expression, n: Int)
+    extends UnaryExpression with StringInput {
+  require(n >= 1, s"ngram size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(s: Any): Any =
+    TextHash.ngramHashes(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.ngramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** text → struct(n_tokens, top_uni, top_bi) — see

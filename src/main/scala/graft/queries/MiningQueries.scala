@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.TextOps
+
+/** Corpus-mining operators (round-5 superset): the retrieval/mixing layer
+  * between curation and training that the curation pack doesn't cover —
+  *
+  *   - substring-span dedup (the published pretraining recipe: find every
+  *     word 8-gram that occurs more than once corpus-wide, merge the
+  *     overlapping hits into per-document spans to cut),
+  *   - per-source token-budget mixing (the "data mixture" sampler: a
+  *     deterministic prefix of each source, capped by token budget),
+  *   - BM25 lexical scoring (the keyword twin of the vector RAG path),
+  *   - inverted-index postings (the serve-side layout BM25 reads).
+  *
+  * Scale notes: substring dedup is an equi-join on 8-byte gram hashes
+  * (shuffle keyed by hash — never an all-pairs doc comparison) followed by
+  * a per-document window merge (partitioned by doc_id, never global);
+  * BM25's corpus stats are one scalar aggregate broadcast to a map-side
+  * score; the token-budget window partitions by source (salting/two-phase
+  * prefix sums are the stated skew fix); postings lists are capped, the
+  * block layout real systems page through. Floating-point follows
+  * [[graft.ops.Num]]: fixed-order term sums via per-term pivot columns,
+  * single IEEE expressions, floor-trick quantization.
+  */
+object MiningQueries extends QueryPack {
+
+  /** Span-dedup gram width: 8 tokens, the classic repeated-substring
+    * threshold scaled to the ~54-token testdata docs. */
+  private val GRAM = 8
+
+  /** Token budget per source for the mixing sampler (testdata sources
+    * hold ~25–250 docs × ~54 tokens; 600 keeps a meaningful prefix). */
+  private val BUDGET = 600L
+
+  /** BM25 parameters (the standard Robertson defaults). */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** Fixed lexical query for bm25_score — high-df testdata terms so the
+    * score exercises the saturation curve. */
+  private val QUERY_TERMS = Seq("join", "hash", "scan")
+
+  /** Posting-list block size: only the first 50 doc ids materialize per
+    * term (real indexes page through blocks; an uncapped list for a stop
+    * word would be the corpus itself). */
+  private val POSTING_CAP = 50
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  private def polySql(s: String): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % ${TextOps.P})"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- substring-span dedup: hash every word 8-gram WITH its position,
+    //    keep the hashes that occur >= 2 times corpus-wide, merge each
+    //    document's overlapping hits into maximal spans. The global step
+    //    is a groupBy on the 8-byte hash (map-side partial counts, no
+    //    doc×doc comparison at any scale); the merge is a gaps-and-
+    //    islands window per document — running max(end) over preceding
+    //    rows marks island starts, a running sum numbers them. A 100 TB
+    //    corpus shuffles (hash, doc, pos) triples, each 24 bytes. --------
+    "dedup_substring_spans" -> ((s, dir) => {
+      val g = docs(s, dir).select(
+        col("doc_id"),
+        posexplode(graft.expressions.TextHash.ngramHashes(col("text"), GRAM))
+          .as(Seq("pos0", "h")))
+      val dup = g.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select("h")
+      val hits = g.join(dup, "h").select(
+        col("doc_id"),
+        (col("pos0") + 1).cast("long").as("st"),
+        (col("pos0") + GRAM).cast("long").as("en"))
+      // (doc_id, st) is unique — one gram per position — so both windows
+      // are deterministic total orders.
+      val prevMax = max(col("en")).over(
+        Window.partitionBy("doc_id").orderBy("st")
+          .rowsBetween(Window.unboundedPreceding, -1))
+      val islands = hits.withColumn("pmax", prevMax)
+        .withColumn("new_island",
+          when(col("pmax").isNull || col("st") > col("pmax"), 1L).otherwise(0L))
+        .withColumn("island", sum(col("new_island")).over(
+          Window.partitionBy("doc_id").orderBy("st")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      islands.groupBy(col("doc_id"), col("island"))
+        .agg(min(col("st")).as("span_start"), max(col("en")).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("n_span_tokens"))
+    }),
+
+    // -- per-source token-budget mixing: each source contributes the
+    //    deterministic-hash-ordered prefix of its docs whose cumulative
+    //    token count fits the budget — the "sample X tokens per domain"
+    //    step of assembling a training mixture, stable across runs and
+    //    engines. One window per source; a pathologically hot source is
+    //    handled the usual way (two-phase prefix sum: per-partition
+    //    partials, then offset merge). ------------------------------------
+    "mix_token_budget" -> ((s, dir) => {
+      val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+      val d = docs(s, dir).select(
+        col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        h.as("h"))
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    }),
+
+    // -- BM25: corpus stats (N, avgdl) are ONE scalar aggregate broadcast
+    //    everywhere; tf is computed only for the query terms (the filter
+    //    precedes the groupBy, so the shuffle carries query-term hits,
+    //    not the corpus vocabulary). The per-term partials pivot into
+    //    fixed columns and sum in ONE expression — float addition order
+    //    is part of the contract (Num rules), so no multi-row double agg.
+    "bm25_score" -> ((s, dir) => {
+      val dl = docs(s, dir).select(
+        col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        .filter(col("t").isin(QUERY_TERMS: _*))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+      val stats = docs(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("sum_dl"))
+      val scored = tf
+        .join(broadcast(dfreq), "t")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl",
+          col("sum_dl").cast("double") / col("n_docs").cast("double"))
+        .withColumn("s",
+          log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5) + 1.0) *
+            (col("tf").cast("double") * lit(K1 + 1.0)) /
+            (col("tf").cast("double") +
+              lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / col("avgdl"))))
+      val p = scored.groupBy(col("doc_id")).agg(
+        max(when(col("t") === QUERY_TERMS(0), col("s"))).as("s0"),
+        max(when(col("t") === QUERY_TERMS(1), col("s"))).as("s1"),
+        max(when(col("t") === QUERY_TERMS(2), col("s"))).as("s2"))
+      p.select(col("doc_id"),
+        graft.ops.Num.r6(
+          coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0)) +
+            coalesce(col("s2"), lit(0.0))).as("bm25"))
+    }),
+
+    // -- inverted-index postings: term -> df + the first POSTING_CAP doc
+    //    ids, sorted — the physical layout the lexical scorer reads.
+    //    Distinct (term, doc) pairs shuffle once, group by term with
+    //    map-side partial collect; the cap bounds reducer output for
+    //    stop-word terms. Postings serialize to CSV so the oracle compare
+    //    hashes scalars, not arrays. --------------------------------------
+    "inverted_index_postings" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("ids"))
+        .select(col("term"), col("df"),
+          array_join(
+            transform(slice(sort_array(col("ids")), 1, POSTING_CAP),
+              _.cast("string")), ",").as("postings_head"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_substring_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |g AS (SELECT doc_id, unnest(range(1, len(ts) - ${GRAM - 2})) AS st, ts FROM t),
+         |gh AS (SELECT doc_id, st,
+         |             ${polySql(s"array_to_string(ts[st:st + ${GRAM - 1}], ' ')")} AS h
+         |       FROM g),
+         |dup AS (SELECT h FROM gh GROUP BY h HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, st, st + ${GRAM - 1} AS en FROM gh JOIN dup USING (h)),
+         |m AS (SELECT doc_id, st, en,
+         |             max(en) OVER (PARTITION BY doc_id ORDER BY st
+         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |      FROM hits),
+         |i AS (SELECT doc_id, st, en,
+         |             sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+         |               OVER (PARTITION BY doc_id ORDER BY st
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |      FROM m)
+         |SELECT doc_id, min(st) AS span_start, max(en) AS span_end,
+         |       max(en) - min(st) + 1 AS n_span_tokens
+         |FROM i GROUP BY doc_id, island""".stripMargin,
+
+    "mix_token_budget" ->
+      s"""SELECT doc_id, source, n_tokens, cum_tokens FROM (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM (SELECT doc_id, source,
+         |               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |               (doc_id * 2654435761) % 1000000007 AS h
+         |        FROM documents)
+         |) WHERE cum_tokens <= $BUDGET""".stripMargin,
+
+    "bm25_score" -> {
+      val terms = QUERY_TERMS.map(t => s"'$t'").mkString(", ")
+      val sExpr =
+        s"ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)" +
+          s" * (CAST(tf AS DOUBLE) * ${K1 + 1.0})" +
+          s" / (CAST(tf AS DOUBLE) + $K1 * (${1.0 - B} + $B * CAST(dl AS DOUBLE) / avgdl))"
+      val total = QUERY_TERMS.zipWithIndex.map { case (t, i) =>
+        s"coalesce(max(CASE WHEN t = '$t' THEN s END), 0.0)"
+      }.mkString(" + ")
+      s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 sum(len(string_split(text, ' '))) AS sum_dl,
+         |                 CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |          FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         |       WHERE t IN ($terms) GROUP BY doc_id, t),
+         |df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+         |s AS (SELECT tf.doc_id, tf.t, $sExpr AS s
+         |      FROM tf JOIN df USING (t) JOIN dl USING (doc_id), stats)
+         |SELECT doc_id, ${graft.ops.Num.R6_SQL(total)} AS bm25
+         |FROM s GROUP BY doc_id""".stripMargin
+    },
+
+    "inverted_index_postings" ->
+      s"""SELECT t AS term, count(*) AS df,
+         |       array_to_string(list_sort(list(doc_id))[1:$POSTING_CAP], ',') AS postings_head
+         |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |      FROM documents)
+         |GROUP BY t""".stripMargin
+  )
+}

@@ -32,7 +32,8 @@ object SparkEntry {
     PipelineQueries,
     ScaleQueries,
     CurationQueries,
-    MiningQueries)
+    MiningQueries,
+    FeatureQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Composes the slice-0 pipeline of SURVEY §7: daily OHLCV summary +

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Tables
+
+/** Feature-engineering / warehouse-modeling operators (round-5): the
+  * steps between raw events and model features that the relational pack
+  * doesn't cover —
+  *
+  *   - SCD2 validity intervals (each event becomes a version row valid
+  *     [ts, next ts) — the slowly-changing-dimension build),
+  *   - per-group z-score normalization (feature scaling with
+  *     decimal-exact moments so both engines derive the identical
+  *     mean/std),
+  *   - per-group winsorization (p05/p95 outlier clipping, the robust-
+  *     stats twin of normalization).
+  *
+  * Scale notes: SCD2 is one lead() window per key (shuffle by key, never
+  * global); normalization reduces each group to ONE stats row joined
+  * back broadcast; winsorize's exact percentiles are the stated
+  * small-group path with approx_percentile as the 100 TB swap-in
+  * (property-checked by percentile_approx_sketch). Float parity follows
+  * [[graft.ops.Num]]: moments accumulate in decimals (order-insensitive
+  * exact), every double expression is single-shot IEEE.
+  */
+object FeatureQueries extends QueryPack {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- SCD2 dimension build: per-key version rows with [valid_from,
+    //    valid_to) ranges; the open (current) version has null valid_to.
+    //    One lead() window per user — shuffle keyed by user_id, bounded
+    //    frame, no global sort. (ts, event_id) is the deterministic
+    //    version order. ----------------------------------------------------
+    "scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"), col("ts").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+    }),
+
+    // -- per-group z-score: mean/std from decimal-exact sums (value has
+    //    2 decimals, its square 4 — both sums exact at any row count and
+    //    any accumulation order), so the doubles both engines divide are
+    //    bit-identical. Stats reduce to one row per event_type; the join
+    //    back is a broadcast. Sample std (n-1), computed from the same
+    //    closed form on both sides. ---------------------------------------
+    "normalize_zscore" -> ((s, dir) => {
+      val d2 = DecimalType(18, 2)
+      val stats = events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(d2)).cast("double").as("sx"),
+          sum(col("value").cast(d2) * col("value").cast(d2)).cast("double").as("sxx"))
+        .select(col("event_type"),
+          (col("sx") / col("n").cast("double")).as("mean"),
+          sqrt((col("n").cast("double") * col("sxx") - col("sx") * col("sx")) /
+            (col("n").cast("double") * (col("n").cast("double") - 1.0))).as("std"))
+      events(s, dir)
+        .join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          ((col("value") - col("mean")) / col("std")).as("z"))
+    }),
+
+    // -- per-group winsorization: clip to [p05, p95] computed exactly per
+    //    group (quantile_cont interpolation, identical in both engines —
+    //    percentile_value proves the parity). Percentile rows broadcast
+    //    back; the clip itself is a map-side least/greatest. --------------
+    "winsorize_clip" -> ((s, dir) => {
+      val pct = events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+      events(s, dir)
+        .join(broadcast(pct), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          least(greatest(col("value"), col("p05")), col("p95")).as("value_w"),
+          (col("value") < col("p05") || col("value") > col("p95")).as("clipped"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "scd2_intervals" ->
+      """SELECT user_id, event_id, value, ts AS valid_from,
+        |       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events""".stripMargin,
+
+    "normalize_zscore" ->
+      """WITH stats AS (
+        |  SELECT event_type,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
+        |         sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |               - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
+        |              / (CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) - 1.0))) AS std
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_id, e.event_type, value, (value - mean) / std AS z
+        |FROM events e JOIN stats s ON e.event_type = s.event_type""".stripMargin,
+
+    "winsorize_clip" ->
+      """WITH pct AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.05) AS p05,
+        |         quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_id, e.event_type, value,
+        |       least(greatest(value, p05), p95) AS value_w,
+        |       (value < p05 OR value > p95) AS clipped
+        |FROM events e JOIN pct p ON e.event_type = p.event_type""".stripMargin
+  )
+}

@@ -51,11 +51,46 @@ object MiningQueries extends QueryPack {
     * word would be the corpus itself). */
   private val POSTING_CAP = 50
 
+  /** MMR diversification: λ weight, pool size, picks. */
+  private val MMR_LAMBDA = 0.5
+  private val MMR_POOL = 20
+  private val MMR_K = 8
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
   private def polySql(s: String): String =
     s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % ${TextOps.P})"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+
+  private def cosSql(a: String, b: String): String =
+    s"CASE WHEN sqrt(${dotSql(a, a)}) = 0.0 OR sqrt(${dotSql(b, b)}) = 0.0 THEN 0.0 " +
+      s"ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END"
+
+  /** Scalar cosine, bit-equal to the oracle's `cosSql` fragment AND the
+    * codegen [[graft.expressions.CosineSimilarity]]: each of the three
+    * dot products accumulates in index order (the same IEEE add sequence
+    * as DuckDB's list_reduce), the zero-norm guard and the final divide
+    * are the identical expressions. Used inside the MMR loop where the
+    * pair similarity is computed between already-collected candidates. */
+  private[graft] def cosScalar(a: Seq[Double], b: Seq[Double]): Double = {
+    var daa = 0.0; var dbb = 0.0; var dab = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      daa += a(i) * a(i); dbb += b(i) * b(i); dab += a(i) * b(i); i += 1
+    }
+    if (math.sqrt(daa) == 0.0 || math.sqrt(dbb) == 0.0) 0.0
+    else dab / (math.sqrt(daa) * math.sqrt(dbb))
+  }
+
+  /** r6 floor-trick quantization, scalar twin of [[graft.ops.Num.r6]]. */
+  private def r6Scalar(x: Double): Double =
+    math.floor(x * 1000000 + 0.5) / 1000000
+
+  private[graft] case class MmrCand(vec_id: Long, rel: Double, embedding: Seq[Double])
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -154,6 +189,65 @@ object MiningQueries extends QueryPack {
             coalesce(col("s2"), lit(0.0))).as("bm25"))
     }),
 
+    // -- MMR diversification re-rank: from the top-POOL candidates by
+    //    query similarity, greedily pick K maximizing
+    //    λ·rel − (1−λ)·max-sim-to-already-picked (rank 1 = pure argmax
+    //    rel; ties break on vec_id). The candidate pool is bounded by the
+    //    distributed top-k, so the O(pool²) greedy loop runs per QUERY
+    //    group over ≤ POOL rows — with a million queries it's a million
+    //    small groups, never a big one. The pair similarity inside the
+    //    loop is [[cosScalar]], bit-equal to the oracle's recursive-CTE
+    //    formulation. ------------------------------------------------------
+    "mmr_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val cand = e
+        .filter(col("label").between(2, 6) && col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("rel",
+          graft.expressions.CosineSimilarity.cosineSim(col("embedding"), col("q_emb")))
+        .orderBy(col("rel").desc, col("vec_id")).limit(MMR_POOL)
+        .select(col("vec_id"), col("rel"),
+          col("embedding").cast("array<double>").as("embedding"))
+      cand.as[MmrCand]
+        .groupByKey(_ => 0L)
+        .flatMapGroups { (_, it) =>
+          val pool = it.toArray.sortBy(c => (-c.rel, c.vec_id))
+          val selected = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+          val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          while (selected.length < MMR_K && remaining.nonEmpty) {
+            var bestIdx = 0
+            var bestScore = Double.NegativeInfinity
+            var bestId = Long.MaxValue
+            var i = 0
+            while (i < remaining.length) {
+              val c = remaining(i)
+              val score =
+                if (selected.isEmpty) c.rel
+                else {
+                  var maxSim = Double.NegativeInfinity
+                  selected.foreach { p =>
+                    val sim = cosScalar(c.embedding, p.embedding)
+                    if (sim > maxSim) maxSim = sim
+                  }
+                  MMR_LAMBDA * c.rel - (1.0 - MMR_LAMBDA) * maxSim
+                }
+              if (score > bestScore || (score == bestScore && c.vec_id < bestId)) {
+                bestScore = score; bestIdx = i; bestId = c.vec_id
+              }
+              i += 1
+            }
+            val pick = remaining.remove(bestIdx)
+            selected += pick
+            out += ((pick.vec_id, selected.length.toLong, r6Scalar(bestScore)))
+          }
+          out.iterator
+        }
+        .toDF("vec_id", "mmr_rank", "mmr_score")
+    }),
+
     // -- inverted-index postings: term -> df + the first POSTING_CAP doc
     //    ids, sorted — the physical layout the lexical scorer reads.
     //    Distinct (term, doc) pairs shuffle once, group by term with
@@ -229,6 +323,38 @@ object MiningQueries extends QueryPack {
          |SELECT doc_id, ${graft.ops.Num.R6_SQL(total)} AS bm25
          |FROM s GROUP BY doc_id""".stripMargin
     },
+
+    "mmr_rerank" ->
+      s"""WITH RECURSIVE
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id, embedding, ${cosSql("embedding", "q_emb")} AS rel
+         |  FROM embeddings, q
+         |  WHERE label BETWEEN 2 AND 6 AND vec_id <> 0
+         |  ORDER BY rel DESC, vec_id LIMIT $MMR_POOL
+         |),
+         |pair AS (
+         |  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |         ${cosSql("a.embedding", "b.embedding")} AS sim
+         |  FROM cand a, cand b
+         |),
+         |mmr AS (
+         |  (SELECT CAST(1 AS BIGINT) AS mmr_rank, vec_id, rel AS score, [vec_id] AS selected
+         |   FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+         |  UNION ALL
+         |  SELECT mmr_rank + 1, pick.vec_id, pick.score, list_append(selected, pick.vec_id)
+         |  FROM mmr, LATERAL (
+         |    SELECT c.vec_id,
+         |           $MMR_LAMBDA * c.rel - ${1.0 - MMR_LAMBDA} * (
+         |             SELECT max(sim) FROM pair
+         |             WHERE ai = c.vec_id AND list_contains(mmr.selected, bi)) AS score
+         |    FROM cand c WHERE NOT list_contains(mmr.selected, c.vec_id)
+         |    ORDER BY score DESC, c.vec_id LIMIT 1
+         |  ) pick
+         |  WHERE mmr_rank < $MMR_K
+         |)
+         |SELECT vec_id, mmr_rank, ${graft.ops.Num.R6_SQL("score")} AS mmr_score
+         |FROM mmr""".stripMargin,
 
     "inverted_index_postings" ->
       s"""SELECT t AS term, count(*) AS df,

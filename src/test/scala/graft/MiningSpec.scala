@@ -70,6 +70,39 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("cosScalar: bit-equal to the codegen CosineSimilarity expression") {
+    val vecs = Seq(
+      (Seq(1.0, 2.0, -3.0), Seq(0.5, -1.5, 2.0)),
+      (Seq(0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0)),
+      (Seq(0.1, 0.2, 0.3), Seq(0.1, 0.2, 0.3)))
+    val fromExpr = vecs.toDF("a", "b")
+      .select(graft.expressions.CosineSimilarity.cosineSim($"a", $"b"))
+      .collect().map(_.getDouble(0)).toSeq
+    val fromScalar = vecs.map { case (a, b) => graft.queries.MiningQueries.cosScalar(a, b) }
+    assert(fromExpr == fromScalar)
+  }
+
+  test("mmr: diversification reorders vs pure relevance; ranks are 1..k") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("mmr_rerank")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    assert(got.map(_._2).toSeq == (1L to got.length.toLong))
+    // the same pool ranked purely by query similarity
+    val e = graft.model.Tables.embeddings(spark, dir)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    val byRel = e.filter($"label".between(2, 6) && $"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("rel",
+        graft.expressions.CosineSimilarity.cosineSim($"embedding", $"q_emb"))
+      .orderBy($"rel".desc, $"vec_id").limit(got.length)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    // rank 1 is the pure-relevance argmax...
+    assert(got.head._1 == byRel.head)
+    // ...but diversification must reorder the rest on this corpus
+    assert(got.map(_._1).toSeq != byRel)
+  }
+
   test("bm25: more query-term hits score higher; absent terms score 0") {
     val df = Seq(
       (1L, "join join join filter row"),

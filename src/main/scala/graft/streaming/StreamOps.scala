@@ -13,6 +13,9 @@ case class SnapshotMsg(ticker: String, publish_time: Long, current_price: Double
 /** Kept document emitted by the streaming near-dup dedup. */
 case class DocKeep(doc_id: Long, text: String)
 
+/** Output row of [[StreamOps.tokenBudgetAdmitStream]]. */
+case class AdmittedDoc(doc_id: Long, source: String, n_tokens: Long, cum_tokens: Long)
+
 /** Running per-ticker state for the transformWithState operator. */
 case class TickerStats(ticker: String, n: Long, latest_time: Long,
     latest_price: Double, max_price: Double)
@@ -215,6 +218,48 @@ object StreamOps {
           }
         })
       .toDF()
+  }
+
+  /** Streaming twin of `mix_token_budget`: per-source token-budget
+    * ADMISSION. State is one long per source (tokens admitted so far);
+    * a document is admitted iff its tokens still fit the budget, and
+    * emitted with the post-admission cumulative count. Within a batch,
+    * rows are processed in the batch query's deterministic (hash,
+    * doc_id) order, so a single-batch stream reproduces the batch
+    * result exactly (spec'd); across batches, admission follows arrival
+    * order — the semantics a live ingest actually wants (you can't
+    * un-admit yesterday's docs when a better-hashed one arrives). Once
+    * a source's budget is exhausted the group emits nothing forever;
+    * state stays one long regardless of stream length. */
+  def tokenBudgetAdmitStream(docs: DataFrame, budget: Long): org.apache.spark.sql.Dataset[AdmittedDoc] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[AdmittedDoc]
+    implicit val stateEnc = org.apache.spark.sql.Encoders.scalaLong
+    docs
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        h.as("h"))
+      .as[(String, Long, Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (src: String, rows: Iterator[(String, Long, Long, Long)], state: GroupState[Long]) => {
+          var cum = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AdmittedDoc]
+          rows.toArray.sortBy(r => (r._4, r._2)).foreach { r =>
+            if (cum + r._3 <= budget) {
+              cum += r._3
+              out += AdmittedDoc(r._2, src, r._3, cum)
+            }
+          }
+          state.update(cum)
+          out.iterator
+        })
   }
 
   /** T5: event-time tumbling daily aggregation with watermark — the

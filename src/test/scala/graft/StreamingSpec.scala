@@ -235,6 +235,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming token-budget admission: single batch == batch query; state persists") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val admitted = StreamOps.tokenBudgetAdmitStream(
+      in.toDF().toDF("doc_id", "source", "text"), budget = 5L)
+    val q = admitted.writeStream.format("memory")
+      .queryName("budget_out").outputMode(OutputMode.Append).start()
+    try {
+      // srcA docs: ids 1,2,3 with 2,2,2 tokens. Hash order (h, doc_id) of
+      // (id*2654435761)%1000000007: whatever it is, exactly two of the
+      // three fit budget 5 in that order — the same two the batch window
+      // keeps.
+      in.addData(
+        (1L, "srcA", "a b"), (2L, "srcA", "c d"), (3L, "srcA", "e f"),
+        (10L, "srcB", "one two three four five six"))  // 6 > 5: never admitted
+      q.processAllAvailable()
+      val got1 = spark.table("budget_out")
+        .as[graft.streaming.AdmittedDoc].collect().sortBy(_.doc_id)
+      assert(got1.forall(_.cum_tokens <= 5L))
+      assert(got1.count(_.source == "srcA") == 2)
+      assert(!got1.exists(_.source == "srcB"))
+      // batch-parity on the same one-batch data: replicate the window form
+      val batch = Seq((1L, "srcA", "a b"), (2L, "srcA", "c d"), (3L, "srcA", "e f"),
+        (10L, "srcB", "one two three four five six"))
+        .toDF("doc_id", "source", "text")
+      val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("h"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val batchKept = batch
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"), h.as("h"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 5L)
+        .select("doc_id").as[Long].collect().sorted
+      assert(got1.map(_.doc_id).toSeq == batchKept.toSeq)
+      // a later batch cannot overspend the remaining budget (5-4=1 token)
+      in.addData((4L, "srcA", "g h"))   // 2 tokens > 1 remaining -> dropped
+      q.processAllAvailable()
+      val got2 = spark.table("budget_out").as[graft.streaming.AdmittedDoc].collect()
+      assert(!got2.exists(_.doc_id == 4L))
+    } finally q.stop()
+  }
+
   test("streaming minhash dedup: first bucket claimant survives, later near-dups drop") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]

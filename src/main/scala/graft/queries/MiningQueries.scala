@@ -107,12 +107,18 @@ object MiningQueries extends QueryPack {
         col("doc_id"),
         posexplode(graft.expressions.TextHash.ngramHashes(col("text"), GRAM))
           .as(Seq("pos0", "h")))
-      val dup = g.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= 2).select("h")
-      val hits = g.join(dup, "h").select(
-        col("doc_id"),
-        (col("pos0") + 1).cast("long").as("st"),
-        (col("pos0") + GRAM).cast("long").as("en"))
+      // duplicate detection as a COUNT window over the hash partition:
+      // one scan and one shuffle keyed by h, instead of a groupBy side
+      // plus a join that re-scans (and re-hashes) the whole corpus. A
+      // degenerate hash (every doc identical) concentrates one key the
+      // same way in either shape; the window costs no second scan.
+      val hits = g
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("cnt") >= 2)
+        .select(
+          col("doc_id"),
+          (col("pos0") + 1).cast("long").as("st"),
+          (col("pos0") + GRAM).cast("long").as("en"))
       // (doc_id, st) is unique — one gram per position — so both windows
       // are deterministic total orders.
       val prevMax = max(col("en")).over(

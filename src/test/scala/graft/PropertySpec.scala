@@ -88,6 +88,55 @@ object PropertySpec extends Properties("graft") {
       else got == (cur - prev) / prev * 100
     }
 
+  private val tokenGen = Gen.oneOf("join", "hash", "scan", "row", "agg", "a", "x1")
+  private val docGen = Gen.nonEmptyListOf(tokenGen).map(_.mkString(" "))
+
+  property("ngramHashes: count = max(0, n-k+1); each hash = polyHash of the gram") =
+    forAll(Gen.listOfN(4, docGen), Gen.choose(2, 4)) { (texts, k) =>
+      val df = texts.toDF("text")
+      val got = df.select(
+        graft.expressions.TextHash.ngramHashes($"text", k).as("g"),
+        split($"text", " ").as("toks"))
+        .collect()
+      got.forall { r =>
+        val toks = r.getSeq[String](1)
+        val hashes = r.getSeq[Long](0)
+        val expectLen = math.max(0, toks.length - k + 1)
+        hashes.length == expectLen &&
+        hashes.indices.forall { i =>
+          val gram = toks.slice(i, i + k).mkString(" ")
+          // scalar polyHash twin of the expression
+          hashes(i) == graft.expressions.TextHash.polyHash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(gram))
+        }
+      }
+    }
+
+  property("repetitionStats: native == HOF chain on random corpora") =
+    forAll(Gen.listOfN(6, docGen)) { texts =>
+      val df = texts.toDF("text")
+      val rs = graft.expressions.TextHash.repetitionStats($"text")
+      val toks = graft.ops.TextOps.tokens($"text")
+      val both = df.select(
+        rs.getField("n_tokens"), rs.getField("top_uni"), rs.getField("top_bi"),
+        size(toks), graft.ops.TextOps.maxFreq(toks),
+        graft.ops.TextOps.maxFreq(graft.ops.TextOps.bigrams(toks)))
+        .collect()
+      both.forall { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getInt(i))
+        r.getInt(0) == r.getInt(3) && opt(1) == opt(4) && opt(2) == opt(5)
+      }
+    }
+
+  property("cosScalar: symmetric, and |cos| bounded (allowing 1-ulp)") =
+    forAll(Gen.listOfN(8, Gen.choose(-1000, 1000)),
+      Gen.listOfN(8, Gen.choose(-1000, 1000))) { (ai, bi) =>
+      val a = ai.map(_ / 100.0); val b = bi.map(_ / 100.0)
+      val ab = graft.queries.MiningQueries.cosScalar(a, b)
+      val ba = graft.queries.MiningQueries.cosScalar(b, a)
+      ab == ba && math.abs(ab) <= 1.0 + 1e-12
+    }
+
   property("negative variation round-trips with sign") = Prop.passed && {
     val df = Seq((10.0, 5.0, 4.0, 11.0, -42.37, 7L))
       .toDF("open", "close", "low", "high", "vari", "vol")

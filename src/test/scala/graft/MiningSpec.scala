@@ -103,6 +103,41 @@ class MiningSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq != byRel)
   }
 
+  test("plan shapes: spans join-free, budget single-shuffle, bm25 broadcasts stats") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val dir = "/root/testdata/sf0.001"
+    def executed(name: String) = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.count()
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    }
+    // substring spans: duplicate detection is a window, not a join — the
+    // plan must contain NO join operator of any kind
+    val spans = executed("dedup_substring_spans")
+    assert(spans.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, s"spans plan must be join-free:\n${spans.treeString.take(600)}")
+    // token budget: exactly one shuffle (by source) feeds the window
+    val budget = executed("mix_token_budget")
+    val shuffles = budget.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.length == 1,
+      s"budget must shuffle once, got ${shuffles.length}:\n${budget.treeString.take(600)}")
+    // bm25: df/stats sides broadcast — no shuffled join for the stats
+    val bm25 = executed("bm25_score")
+    assert(bm25.collect { case j: BroadcastHashJoinExec => j }.nonEmpty ||
+      bm25.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      s"bm25 stats join must broadcast:\n${bm25.treeString.take(600)}")
+  }
+
   test("bm25: more query-term hits score higher; absent terms score 0") {
     val df = Seq(
       (1L, "join join join filter row"),

@@ -92,48 +92,73 @@ object MiningQueries extends QueryPack {
 
   private[graft] case class MmrCand(vec_id: Long, rel: Double, embedding: Seq[Double])
 
+  /** Merged duplicate-substring spans per document — the shared core of
+    * dedup_substring_spans (reporting) and dedup_substring_apply (the
+    * cut). Duplicate detection is a COUNT window over the hash partition:
+    * one scan and one shuffle keyed by h, instead of a groupBy side plus
+    * a join that re-scans (and re-hashes) the whole corpus. The merge is
+    * a gaps-and-islands window per document — running max(end) over
+    * preceding rows marks island starts, a running sum numbers them.
+    * (doc_id, st) is unique — one gram per position — so both windows are
+    * deterministic total orders. A 100 TB corpus shuffles (hash, doc,
+    * pos) triples, each 24 bytes. */
+  private def substringSpans(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir).select(
+      col("doc_id"),
+      posexplode(graft.expressions.TextHash.ngramHashes(col("text"), GRAM))
+        .as(Seq("pos0", "h")))
+    val hits = g
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("cnt") >= 2)
+      .select(
+        col("doc_id"),
+        (col("pos0") + 1).cast("long").as("st"),
+        (col("pos0") + GRAM).cast("long").as("en"))
+    val prevMax = max(col("en")).over(
+      Window.partitionBy("doc_id").orderBy("st")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val islands = hits.withColumn("pmax", prevMax)
+      .withColumn("new_island",
+        when(col("pmax").isNull || col("st") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        Window.partitionBy("doc_id").orderBy("st")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("st")).as("span_start"), max(col("en")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_span_tokens"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // -- substring-span dedup: hash every word 8-gram WITH its position,
-    //    keep the hashes that occur >= 2 times corpus-wide, merge each
-    //    document's overlapping hits into maximal spans. The global step
-    //    is a groupBy on the 8-byte hash (map-side partial counts, no
-    //    doc×doc comparison at any scale); the merge is a gaps-and-
-    //    islands window per document — running max(end) over preceding
-    //    rows marks island starts, a running sum numbers them. A 100 TB
-    //    corpus shuffles (hash, doc, pos) triples, each 24 bytes. --------
-    "dedup_substring_spans" -> ((s, dir) => {
-      val g = docs(s, dir).select(
+    // -- substring-span dedup (reporting form): see [[substringSpans]]. --
+    "dedup_substring_spans" -> ((s, dir) => substringSpans(s, dir)),
+
+    // -- substring-span dedup (apply form): cut every duplicated span out
+    //    of its document. Tokens explode with positions and anti-join the
+    //    span table on doc_id equality + pos-in-range — a hash anti-join
+    //    on the doc key with a residual range predicate, NOT a cross
+    //    product (per-doc span lists are small by construction). The
+    //    surviving tokens re-assemble in position order with a partial
+    //    collect per doc. Docs whose every token is covered disappear,
+    //    mirroring the oracle's GROUP BY over the anti-joined stream. ----
+    "dedup_substring_apply" -> ((s, dir) => {
+      val spans = substringSpans(s, dir)
+        .select(col("doc_id").as("sp_doc"), col("span_start"), col("span_end"))
+      val toks = docs(s, dir).select(
         col("doc_id"),
-        posexplode(graft.expressions.TextHash.ngramHashes(col("text"), GRAM))
-          .as(Seq("pos0", "h")))
-      // duplicate detection as a COUNT window over the hash partition:
-      // one scan and one shuffle keyed by h, instead of a groupBy side
-      // plus a join that re-scans (and re-hashes) the whole corpus. A
-      // degenerate hash (every doc identical) concentrates one key the
-      // same way in either shape; the window costs no second scan.
-      val hits = g
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
-        .filter(col("cnt") >= 2)
-        .select(
-          col("doc_id"),
-          (col("pos0") + 1).cast("long").as("st"),
-          (col("pos0") + GRAM).cast("long").as("en"))
-      // (doc_id, st) is unique — one gram per position — so both windows
-      // are deterministic total orders.
-      val prevMax = max(col("en")).over(
-        Window.partitionBy("doc_id").orderBy("st")
-          .rowsBetween(Window.unboundedPreceding, -1))
-      val islands = hits.withColumn("pmax", prevMax)
-        .withColumn("new_island",
-          when(col("pmax").isNull || col("st") > col("pmax"), 1L).otherwise(0L))
-        .withColumn("island", sum(col("new_island")).over(
-          Window.partitionBy("doc_id").orderBy("st")
-            .rowsBetween(Window.unboundedPreceding, 0)))
-      islands.groupBy(col("doc_id"), col("island"))
-        .agg(min(col("st")).as("span_start"), max(col("en")).as("span_end"))
-        .select(col("doc_id"), col("span_start"), col("span_end"),
-          (col("span_end") - col("span_start") + 1).as("n_span_tokens"))
+        posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+      val kept = toks.join(spans,
+        col("doc_id") === col("sp_doc") &&
+          col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+        "left_anti")
+      kept.groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens_after"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              _.getField("tok")), " ").as("text_cut"))
     }),
 
     // -- per-source token-budget mixing: each source contributes the
@@ -273,27 +298,47 @@ object MiningQueries extends QueryPack {
     })
   )
 
+  /** Shared oracle CTE chain ending in `spans(doc_id, span_start,
+    * span_end)` — the SQL twin of [[substringSpans]]. */
+  private lazy val SPAN_CTES: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |g AS (SELECT doc_id, unnest(range(1, len(ts) - ${GRAM - 2})) AS st, ts FROM t),
+       |gh AS (SELECT doc_id, st,
+       |             ${polySql(s"array_to_string(ts[st:st + ${GRAM - 1}], ' ')")} AS h
+       |       FROM g),
+       |dup AS (SELECT h FROM gh GROUP BY h HAVING count(*) >= 2),
+       |hits AS (SELECT doc_id, st, st + ${GRAM - 1} AS en FROM gh JOIN dup USING (h)),
+       |m AS (SELECT doc_id, st, en,
+       |             max(en) OVER (PARTITION BY doc_id ORDER BY st
+       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |      FROM hits),
+       |i AS (SELECT doc_id, st, en,
+       |             sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+       |               OVER (PARTITION BY doc_id ORDER BY st
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |      FROM m),
+       |spans AS (SELECT doc_id, min(st) AS span_start, max(en) AS span_end
+       |          FROM i GROUP BY doc_id, island)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_substring_spans" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |g AS (SELECT doc_id, unnest(range(1, len(ts) - ${GRAM - 2})) AS st, ts FROM t),
-         |gh AS (SELECT doc_id, st,
-         |             ${polySql(s"array_to_string(ts[st:st + ${GRAM - 1}], ' ')")} AS h
-         |       FROM g),
-         |dup AS (SELECT h FROM gh GROUP BY h HAVING count(*) >= 2),
-         |hits AS (SELECT doc_id, st, st + ${GRAM - 1} AS en FROM gh JOIN dup USING (h)),
-         |m AS (SELECT doc_id, st, en,
-         |             max(en) OVER (PARTITION BY doc_id ORDER BY st
-         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-         |      FROM hits),
-         |i AS (SELECT doc_id, st, en,
-         |             sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
-         |               OVER (PARTITION BY doc_id ORDER BY st
-         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-         |      FROM m)
-         |SELECT doc_id, min(st) AS span_start, max(en) AS span_end,
-         |       max(en) - min(st) + 1 AS n_span_tokens
-         |FROM i GROUP BY doc_id, island""".stripMargin,
+      s"""WITH $SPAN_CTES
+         |SELECT doc_id, span_start, span_end,
+         |       span_end - span_start + 1 AS n_span_tokens
+         |FROM spans""".stripMargin,
+
+    "dedup_substring_apply" ->
+      s"""WITH $SPAN_CTES,
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |               generate_subscripts(string_split(text, ' '), 1) AS pos
+         |        FROM documents),
+         |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+         |         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |                           WHERE sp.doc_id = k.doc_id
+         |                             AND k.pos BETWEEN sp.span_start AND sp.span_end))
+         |SELECT doc_id, count(*) AS n_tokens_after,
+         |       string_agg(tok, ' ' ORDER BY pos) AS text_cut
+         |FROM kept GROUP BY doc_id""".stripMargin,
 
     "mix_token_budget" ->
       s"""SELECT doc_id, source, n_tokens, cum_tokens FROM (

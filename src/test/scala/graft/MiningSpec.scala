@@ -103,6 +103,30 @@ class MiningSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq != byRel)
   }
 
+  test("substring apply: cut length = original minus span coverage; clean docs unchanged") {
+    val dir = "/root/testdata/sf0.01"
+    val spans = SparkEntry.queries("dedup_substring_spans")(spark, dir)
+      .groupBy("doc_id").agg(sum("n_span_tokens").as("cut"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orig = graft.model.Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val applied = SparkEntry.queries("dedup_substring_apply")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val appliedIds = applied.map(_._1).toSet
+    applied.foreach { case (id, nAfter, textCut) =>
+      val nBefore = orig(id).split(" ", -1).length.toLong
+      assert(nAfter == nBefore - spans.getOrElse(id, 0L),
+        s"doc $id: after=$nAfter before=$nBefore cut=${spans.getOrElse(id, 0L)}")
+      if (!spans.contains(id)) assert(textCut == orig(id))
+    }
+    // docs missing from the output are exactly the fully-covered ones
+    orig.keySet.diff(appliedIds).foreach { id =>
+      assert(spans.get(id).contains(orig(id).split(" ", -1).length.toLong),
+        s"doc $id absent but not fully covered")
+    }
+  }
+
   test("plan shapes: spans join-free, budget single-shuffle, bm25 broadcasts stats") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}

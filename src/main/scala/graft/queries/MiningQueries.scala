@@ -279,6 +279,36 @@ object MiningQueries extends QueryPack {
         .toDF("vec_id", "mmr_rank", "mmr_score")
     }),
 
+    // -- the mining lifecycle as ONE composed plan: substring-span cut ->
+    //    re-attach source -> per-source token-budget admission over the
+    //    POST-CUT token counts. The composition is the point: budget
+    //    decisions are made on deduplicated token counts (the tokens a
+    //    model would actually train on), not raw lengths — and the whole
+    //    chain optimizes as a single Catalyst DAG. ------------------------
+    "mining_pipeline" -> ((s, dir) => {
+      val spans = substringSpans(s, dir)
+        .select(col("doc_id").as("sp_doc"), col("span_start"), col("span_end"))
+      val toks = docs(s, dir).select(
+        col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"))
+      val cut = toks.join(spans,
+        col("doc_id") === col("sp_doc") &&
+          col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+        "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens_after"))
+      val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+      val j = cut
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("h", h)
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      j.withColumn("cum_tokens", sum(col("n_tokens_after")).over(w))
+        .filter(col("cum_tokens") <= BUDGET)
+        .select("doc_id", "source", "n_tokens_after", "cum_tokens")
+    }),
+
     // -- inverted-index postings: term -> df + the first POSTING_CAP doc
     //    ids, sorted — the physical layout the lexical scorer reads.
     //    Distinct (term, doc) pairs shuffle once, group by term with
@@ -406,6 +436,25 @@ object MiningQueries extends QueryPack {
          |)
          |SELECT vec_id, mmr_rank, ${graft.ops.Num.R6_SQL("score")} AS mmr_score
          |FROM mmr""".stripMargin,
+
+    "mining_pipeline" ->
+      s"""WITH $SPAN_CTES,
+         |tok AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos
+         |        FROM documents),
+         |cut AS (SELECT k.doc_id, count(*) AS n_tokens_after FROM tok k
+         |        WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |                          WHERE sp.doc_id = k.doc_id
+         |                            AND k.pos BETWEEN sp.span_start AND sp.span_end)
+         |        GROUP BY k.doc_id),
+         |j AS (SELECT c.doc_id, d.source, c.n_tokens_after,
+         |             (c.doc_id * 2654435761) % 1000000007 AS h
+         |      FROM cut c JOIN documents d USING (doc_id))
+         |SELECT doc_id, source, n_tokens_after, cum_tokens FROM (
+         |  SELECT doc_id, source, n_tokens_after,
+         |         CAST(sum(n_tokens_after) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM j
+         |) WHERE cum_tokens <= $BUDGET""".stripMargin,
 
     "inverted_index_postings" ->
       s"""SELECT t AS term, count(*) AS df,

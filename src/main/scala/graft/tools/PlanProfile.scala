@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSession
   * can be attributed to Catalyst (plan blowup) or the cluster (data). Not
   * part of the driver contract.
   *
+  * Caveats: (1) iterative queries (dedup_cluster_cc) run their loop DURING
+  * query construction, so that cost lands in neither bucket here — trust
+  * Bench for those. (2) Repeat a name to see warm cost; the first
+  * occurrence absorbs codegen+JIT (often 3-10× the steady state).
+  *
   * Usage: runMain graft.tools.PlanProfile <sfDir> <query> [query…]
   */
 object PlanProfile {

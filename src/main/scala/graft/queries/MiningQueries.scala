@@ -309,6 +309,43 @@ object MiningQueries extends QueryPack {
         .select("doc_id", "source", "n_tokens_after", "cum_tokens")
     }),
 
+    // -- LM quality score: per-document mean bigram log-probability under
+    //    the corpus's own add-one-smoothed bigram model — the KenLM-style
+    //    perplexity filter of pretraining pipelines, self-trained so no
+    //    external model ships. Count tables are hash-shuffled aggregates;
+    //    the per-doc sum folds the position-ORDERED lnp array (float
+    //    addition order is part of the contract — a groupBy SUM of
+    //    doubles would be partition-order dependent), so both engines
+    //    execute the identical IEEE add sequence. Docs with no bigrams
+    //    (one token) drop, like the oracle's inner join + GROUP BY. -------
+    "quality_lm_score" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val bi = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextOps.bigrams(toks)).as(Seq("bpos", "bg")))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+      val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val uni = docs(s, dir)
+        .select(explode(toks).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = uni.agg(count(lit(1)).as("v"))
+      val lnp = bi
+        .join(c2, "bg")
+        .join(broadcast(uni), "w1")
+        .crossJoin(broadcast(v))
+        .withColumn("lnp",
+          log((col("c2").cast("double") + 1.0) /
+            (col("c1").cast("double") + col("v").cast("double"))))
+      lnp.groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("bpos"), col("lnp"))).as("ps"))
+        .select(col("doc_id"),
+          size(col("ps")).cast("long").as("n_bigrams"),
+          graft.ops.Num.r6(
+            aggregate(transform(array_sort(col("ps")), _.getField("lnp")),
+              lit(0.0), (acc, x) => acc + x) /
+              size(col("ps")).cast("double")).as("mean_lnp"))
+    }),
+
     // -- inverted-index postings: term -> df + the first POSTING_CAP doc
     //    ids, sorted — the physical layout the lexical scorer reads.
     //    Distinct (term, doc) pairs shuffle once, group by term with
@@ -455,6 +492,23 @@ object MiningQueries extends QueryPack {
          |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |  FROM j
          |) WHERE cum_tokens <= $BUDGET""".stripMargin,
+
+    "quality_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |bi AS (SELECT doc_id, i AS bpos, ts[i] || ' ' || ts[i+1] AS bg, ts[i] AS w1
+         |       FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM t)),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
+         |uni AS (SELECT u AS w1, count(*) AS c1
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS u FROM documents)
+         |        GROUP BY u),
+         |v AS (SELECT count(*) AS v FROM uni),
+         |lnp AS (SELECT bi.doc_id, bi.bpos,
+         |               ln((CAST(c2 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))) AS lnp
+         |        FROM bi JOIN c2 USING (bg) JOIN uni USING (w1), v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       ${graft.ops.Num.R6_SQL(
+                   "list_reduce([CAST(0.0 AS DOUBLE)] || list(lnp ORDER BY bpos), (a, b) -> a + b) / CAST(count(*) AS DOUBLE)")} AS mean_lnp
+         |FROM lnp GROUP BY doc_id""".stripMargin,
 
     "inverted_index_postings" ->
       s"""SELECT t AS term, count(*) AS df,

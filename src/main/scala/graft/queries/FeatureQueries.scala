@@ -71,6 +71,46 @@ object FeatureQueries extends QueryPack {
           ((col("value") - col("mean")) / col("std")).as("z"))
     }),
 
+    // -- funnel conversion: how far each user progresses through the
+    //    ordered view -> click -> purchase funnel, matched as a
+    //    SUBSEQUENCE of the user's event-time-ordered history (other
+    //    events may interleave). One shuffle per user; the per-user fold
+    //    is an integer state machine over the ordered type array — the
+    //    struct-sort makes collect_list's nondeterministic order
+    //    irrelevant, same trick as sequence_per_user. -----------------------
+    "funnel_conversion" -> ((s, dir) => {
+      val stages = Seq("view", "click", "purchase")
+      val target = array(stages.map(lit): _*)
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(collect_list(struct(col("ts"), col("event_id"), col("event_type"))).as("evs"))
+        .select(col("user_id"),
+          transform(array_sort(col("evs")), _.getField("event_type")).as("seq"))
+        .select(col("user_id"),
+          aggregate(col("seq"), lit(0),
+            (acc, t) => when(acc < stages.length &&
+              t === element_at(target, acc + 1), acc + 1).otherwise(acc))
+            .cast("long").as("stages_matched"))
+        .withColumn("converted", col("stages_matched") === stages.length)
+    }),
+
+    // -- cohort retention: users grouped by first-active week, counted in
+    //    each later week they return — the classic retention triangle.
+    //    Two hash aggregations and one equi-join on user_id; every output
+    //    column is an exact integer. ---------------------------------------
+    "cohort_retention" -> ((s, dir) => {
+      val week = floor(
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("double") / 7.0)
+        .cast("long")
+      val weeks = events(s, dir)
+        .select(col("user_id"), week.as("week")).distinct()
+      val cohort = weeks.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      weeks.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // -- per-group winsorization: clip to [p05, p95] computed exactly per
     //    group (quantile_cont interpolation, identical in both engines —
     //    percentile_value proves the parity). Percentile rows broadcast
@@ -107,6 +147,37 @@ object FeatureQueries extends QueryPack {
         |)
         |SELECT event_id, e.event_type, value, (value - mean) / std AS z
         |FROM events e JOIN stats s ON e.event_type = s.event_type""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH seqs AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id
+        |), matched AS (
+        |  -- accumulator rides as a VARCHAR stage counter ('0'..'3') because
+        |  -- list_reduce's fold type must equal the element type
+        |  SELECT user_id,
+        |         CAST(list_reduce(['0'] || seq,
+        |           (acc, t) -> CASE WHEN acc = '0' AND t = 'view' THEN '1'
+        |                            WHEN acc = '1' AND t = 'click' THEN '2'
+        |                            WHEN acc = '2' AND t = 'purchase' THEN '3'
+        |                            ELSE acc END) AS BIGINT) AS stages_matched
+        |  FROM seqs
+        |)
+        |SELECT user_id, stages_matched, stages_matched = 3 AS converted
+        |FROM matched""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor(CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) / 7.0) AS BIGINT) AS week
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id
+        |)
+        |SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+        |       count(DISTINCT w.user_id) AS n_users
+        |FROM weeks w JOIN cohort c USING (user_id)
+        |GROUP BY c.cohort_week, w.week - c.cohort_week""".stripMargin,
 
     "winsorize_clip" ->
       """WITH pct AS (

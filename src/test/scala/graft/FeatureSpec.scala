@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge semantics for the feature/analytics pack the sf corpus may not
+  * reach: funnel subsequence matching with interleaved noise and
+  * out-of-order stages. */
+class FeatureSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel: interleaved noise still converts; out-of-order stages don't") {
+    // build a tiny events table and run the registered query's exact logic
+    // against it via a temp parquet dir
+    val dir = java.nio.file.Files.createTempDirectory("funnel_test").toString
+    Seq(
+      // user 1: view .. error .. click .. signup .. purchase -> converted
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "error", 1.0),
+      (1L, ts("2024-01-01 12:00:00"), 3L, "click", 1.0),
+      (1L, ts("2024-01-01 13:00:00"), 4L, "signup", 1.0),
+      (1L, ts("2024-01-01 14:00:00"), 5L, "purchase", 1.0),
+      // user 2: purchase BEFORE view/click -> only stage 1 (the later view)
+      (2L, ts("2024-01-01 10:00:00"), 6L, "purchase", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), 7L, "view", 1.0),
+      // user 3: view click view purchase -> converted (second view ignored)
+      (3L, ts("2024-01-01 10:00:00"), 8L, "view", 1.0),
+      (3L, ts("2024-01-01 11:00:00"), 9L, "click", 1.0),
+      (3L, ts("2024-01-01 12:00:00"), 10L, "view", 1.0),
+      (3L, ts("2024-01-01 13:00:00"), 11L, "purchase", 1.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("funnel_conversion")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L) == (3L, true))
+    assert(got(2L) == (1L, false))
+    assert(got(3L) == (3L, true))
+  }
+}

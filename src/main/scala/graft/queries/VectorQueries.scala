@@ -228,10 +228,77 @@ object VectorQueries extends QueryPack {
         .withColumn("sim", cosineSim(col("a_emb"), col("b_emb")))
         .filter(col("sim") > 0.3)
         .select(col("a_id"), col("b_id"), col("a_bucket").as("bucket"), col("sim"))
+    }),
+
+    // -- superset: product quantization — the other standard embedding
+    //    compression next to int8 (embedding_quantize_int8): split each
+    //    64-dim vector into 4 16-dim subvectors, assign each to its
+    //    nearest codebook entry (deterministic code-book: every 31st
+    //    vector, the IVF trick), emit the 4 codes + the reconstruction
+    //    error. At serve time a vector is 4 small ints instead of 256
+    //    bytes. Shapes: codebook broadcasts, the subspace explode is a
+    //    4× narrow fan-out, the argmin is a min_by partial aggregate (no
+    //    window), codes pivot into fixed columns so the error sum has a
+    //    fixed float order. ------------------------------------------------
+    "ann_pq_codes" -> ((s, dir) => {
+      val SUBS = 4
+      val SUBDIM = DIMS / SUBS
+      val sIdx = explode(sequence(lit(0), lit(SUBS - 1)))
+      def subvec(emb: org.apache.spark.sql.Column) =
+        slice(emb, col("s") * SUBDIM + 1, lit(SUBDIM))
+      def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(
+          zip_with(a, b, (x, y) => {
+            val d = x.cast("double") - y.cast("double"); d * d
+          }),
+          lit(0.0), (acc, v) => acc + v)
+      val e = emb(s, dir)
+      val vsub = e.select(col("vec_id"), sIdx.as("s"), col("embedding"))
+        .withColumn("sub", subvec(col("embedding")))
+        .select("vec_id", "s", "sub")
+      val csub = e.filter(col("vec_id") % 31 === 0)
+        .select(col("vec_id").as("c_id"), sIdx.as("s"), col("embedding").as("c_emb"))
+        .withColumn("csub", subvec(col("c_emb")))
+        .select("c_id", "s", "csub")
+      val assigned = vsub.join(broadcast(csub), "s")
+        .withColumn("d2", d2(col("sub"), col("csub")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min_by(struct(col("c_id"), col("d2")),
+          struct(col("d2"), col("c_id"))).as("best"))
+        .select(col("vec_id"), col("s"),
+          col("best.c_id").as("code"), col("best.d2").as("dd"))
+      def codeAt(i: Int) = max(when(col("s") === i, col("code"))).as(s"code$i")
+      def dAt(i: Int) = max(when(col("s") === i, col("dd")))
+      assigned.groupBy(col("vec_id"))
+        .agg(codeAt(0), codeAt(1), codeAt(2), codeAt(3),
+          dAt(0).as("d0"), dAt(1).as("d1"), dAt(2).as("d2"), dAt(3).as("d3"))
+        .select(col("vec_id"), col("code0"), col("code1"), col("code2"), col("code3"),
+          graft.ops.Num.r6(col("d0") + col("d1") + col("d2") + col("d3"))
+            .as("recon_err"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ann_pq_codes" -> {
+      val sq = "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+      val d2 = s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(list_zip(sub, csub), x -> $sq), (a, b) -> a + b)"
+      def codeAt(i: Int) = s"max(CASE WHEN s = $i THEN c_id END) AS code$i"
+      val err = (0 until 4).map(i => s"max(CASE WHEN s = $i THEN d2 END)").mkString(" + ")
+      s"""WITH ss AS (SELECT unnest(range(0, 4)) AS s),
+         |vsub AS (SELECT vec_id, s, embedding[s * 16 + 1 : s * 16 + 16] AS sub
+         |         FROM embeddings, ss),
+         |csub AS (SELECT vec_id AS c_id, s, embedding[s * 16 + 1 : s * 16 + 16] AS csub
+         |         FROM embeddings, ss WHERE vec_id % 31 = 0),
+         |d AS (SELECT vec_id, vsub.s, c_id, $d2 AS d2
+         |      FROM vsub JOIN csub USING (s)),
+         |a AS (SELECT vec_id, s, c_id, d2,
+         |             row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c_id) AS rn
+         |      FROM d)
+         |SELECT vec_id, ${(0 until 4).map(codeAt).mkString(", ")},
+         |       ${graft.ops.Num.R6_SQL(err)} AS recon_err
+         |FROM a WHERE rn = 1 GROUP BY vec_id""".stripMargin
+    },
+
     "cosine_similarity" ->
       s"""WITH $Q_CTE
          |SELECT vec_id, ${cosSql("embedding", "q_emb")} AS sim

@@ -28,6 +28,16 @@ object TextOps {
   val MINHASH_A: Seq[Long] = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
   val MINHASH_B: Seq[Long] = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
 
+  /** Deterministic per-row sampling key: Knuth multiplicative hash mod P.
+    * ONE definition shared by every hash-ordered sampler (source caps,
+    * weighted sampling, token-budget mixing — batch AND stream) so a
+    * constant tweak cannot silently de-synchronize a batch/stream twin.
+    * DuckDB mirror: [[SAMPLE_KEY_SQL]]. */
+  def sampleKey(id: Column): Column = (id * lit(2654435761L)) % lit(P)
+
+  /** Oracle fragment of [[sampleKey]]. */
+  val SAMPLE_KEY_SQL: String => String = id => s"($id * 2654435761) % $P"
+
   /** Whitespace tokens (testdata text is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 

@@ -34,8 +34,11 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   val RSD_KEY = "spark.graft.approxDistinct.rsd"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString(ENABLED_KEY, "false").toBoolean) return plan
-    val rsd = conf.getConfString(RSD_KEY, "0.05").toDouble
+    // Parse defensively: a malformed setting must surface as "flag off",
+    // not as an optimizer exception failing every query in the session.
+    if (!conf.getConfString(ENABLED_KEY, "false").equalsIgnoreCase("true")) return plan
+    val rsd = conf.getConfString(RSD_KEY, "0.05").toDoubleOption
+      .filter(r => r > 0.0 && r < 1.0).getOrElse(0.05)
     plan.transformUp {
       case agg: Aggregate =>
         agg.transformExpressionsUp {

@@ -101,7 +101,7 @@ object CurationQueries extends QueryPack {
     * the quality filter's predicate (3.9 s). The native kernel is a
     * microsecond loop per evaluation, so optimizer duplication is
     * harmless. */
-  private def withRepetitionStats(df: DataFrame): DataFrame = {
+  private[graft] def withRepetitionStats(df: DataFrame): DataFrame = {
     val rs = graft.expressions.TextHash.repetitionStats(col("text"))
     df.withColumn("n_tokens", rs.getField("n_tokens"))
       .withColumn("top_unigram_frac",
@@ -115,7 +115,7 @@ object CurationQueries extends QueryPack {
 
   /** Training docs sharing at least one shingle hash with the held-out
     * benchmark set — the decontamination drop list. */
-  private def contaminatedIds(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def contaminatedIds(s: SparkSession, dir: String): DataFrame = {
     val sh = docs(s, dir).select(
       col("doc_id"),
       graft.expressions.TextHash.shingleHashes(col("text")).as("sh"))
@@ -179,7 +179,7 @@ object CurationQueries extends QueryPack {
     //    so a 100 TB source with billions of docs still moves only
     //    O(partitions·cap) rows, never the source's whole row set. --------
     "source_cap_sample" -> ((s, dir) => {
-      val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+      val h = TextOps.sampleKey(col("doc_id"))
       val ranked = docs(s, dir).select(col("doc_id"), col("source"), h.as("h"))
       VectorOps.topKPerQuery(
         ranked, col("source"), Seq(col("h"), col("doc_id")), k = SOURCE_CAP)
@@ -255,7 +255,7 @@ object CurationQueries extends QueryPack {
           col("n_tokens").cast("long").as("n_tokens"))).as("keep"))
         .select(col("keep.doc_id"), col("keep.source"), col("keep.lang"),
           col("keep.n_tokens"))
-      val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+      val h = TextOps.sampleKey(col("doc_id"))
       VectorOps.topKPerQuery(
         deduped.withColumn("h", h), col("source"), Seq(col("h"), col("doc_id")),
         k = SOURCE_CAP)
@@ -270,7 +270,7 @@ object CurationQueries extends QueryPack {
     //    At scale this is one map-side key computation + a global top-k
     //    (TakeOrdered), never a sort of the corpus. -------------------------
     "sample_weighted" -> ((s, dir) => {
-      val u = (((col("doc_id") * lit(2654435761L)) % lit(1000000007L)) + 1L)
+      val u = (TextOps.sampleKey(col("doc_id")) + 1L)
         .cast("double") / lit(1000000007.0)
       val w = size(TextOps.tokens(col("text"))).cast("double")
       docs(s, dir)

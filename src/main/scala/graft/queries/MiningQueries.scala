@@ -129,37 +129,54 @@ object MiningQueries extends QueryPack {
         (col("span_end") - col("span_start") + 1).as("n_span_tokens"))
   }
 
+  /** Token stream (doc_id, pos, tok) with every duplicated-span position
+    * removed: tokens explode with positions and anti-join the span table
+    * on doc_id equality + pos-in-range — a hash anti-join on the doc key
+    * with a residual range predicate, NOT a cross product (per-doc span
+    * lists are small by construction). Shared by dedup_substring_apply
+    * and mining_pipeline so the cut semantics cannot drift. */
+  private def tokensAfterCut(s: SparkSession, dir: String): DataFrame = {
+    val spans = substringSpans(s, dir)
+      .select(col("doc_id").as("sp_doc"), col("span_start"), col("span_end"))
+    docs(s, dir).select(
+      col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+      .join(spans,
+        col("doc_id") === col("sp_doc") &&
+          col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+        "left_anti")
+  }
+
+  /** Per-source token-budget admission: the deterministic-hash-ordered
+    * prefix of each source whose running token sum fits BUDGET. Shared
+    * by mix_token_budget and mining_pipeline (and mirrored by the
+    * streaming twin `StreamOps.tokenBudgetAdmitStream`). Input needs
+    * (doc_id, source, <tokCol>); adds `cum_tokens`. */
+  private def admitByBudget(d: DataFrame, tokCol: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    d.withColumn("h", TextOps.sampleKey(col("doc_id")))
+      .withColumn("cum_tokens", sum(col(tokCol)).over(w))
+      .filter(col("cum_tokens") <= BUDGET)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- substring-span dedup (reporting form): see [[substringSpans]]. --
     "dedup_substring_spans" -> ((s, dir) => substringSpans(s, dir)),
 
-    // -- substring-span dedup (apply form): cut every duplicated span out
-    //    of its document. Tokens explode with positions and anti-join the
-    //    span table on doc_id equality + pos-in-range — a hash anti-join
-    //    on the doc key with a residual range predicate, NOT a cross
-    //    product (per-doc span lists are small by construction). The
-    //    surviving tokens re-assemble in position order with a partial
+    // -- substring-span dedup (apply form): the surviving tokens of
+    //    [[tokensAfterCut]] re-assemble in position order with a partial
     //    collect per doc. Docs whose every token is covered disappear,
     //    mirroring the oracle's GROUP BY over the anti-joined stream. ----
-    "dedup_substring_apply" -> ((s, dir) => {
-      val spans = substringSpans(s, dir)
-        .select(col("doc_id").as("sp_doc"), col("span_start"), col("span_end"))
-      val toks = docs(s, dir).select(
-        col("doc_id"),
-        posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "tok")))
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
-      val kept = toks.join(spans,
-        col("doc_id") === col("sp_doc") &&
-          col("pos") >= col("span_start") && col("pos") <= col("span_end"),
-        "left_anti")
-      kept.groupBy(col("doc_id"))
+    "dedup_substring_apply" -> ((s, dir) =>
+      tokensAfterCut(s, dir).groupBy(col("doc_id"))
         .agg(
           count(lit(1)).as("n_tokens_after"),
           array_join(
             transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-              _.getField("tok")), " ").as("text_cut"))
-    }),
+              _.getField("tok")), " ").as("text_cut"))),
 
     // -- per-source token-budget mixing: each source contributes the
     //    deterministic-hash-ordered prefix of its docs whose cumulative
@@ -168,18 +185,13 @@ object MiningQueries extends QueryPack {
     //    engines. One window per source; a pathologically hot source is
     //    handled the usual way (two-phase prefix sum: per-partition
     //    partials, then offset merge). ------------------------------------
-    "mix_token_budget" -> ((s, dir) => {
-      val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
-      val d = docs(s, dir).select(
-        col("doc_id"), col("source"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
-        h.as("h"))
-      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-        .filter(col("cum_tokens") <= BUDGET)
-        .select("doc_id", "source", "n_tokens", "cum_tokens")
-    }),
+    "mix_token_budget" -> ((s, dir) =>
+      admitByBudget(
+        docs(s, dir).select(
+          col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        "n_tokens")
+        .select("doc_id", "source", "n_tokens", "cum_tokens")),
 
     // -- BM25: corpus stats (N, avgdl) are ONE scalar aggregate broadcast
     //    everywhere; tf is computed only for the query terms (the filter
@@ -286,26 +298,12 @@ object MiningQueries extends QueryPack {
     //    model would actually train on), not raw lengths — and the whole
     //    chain optimizes as a single Catalyst DAG. ------------------------
     "mining_pipeline" -> ((s, dir) => {
-      val spans = substringSpans(s, dir)
-        .select(col("doc_id").as("sp_doc"), col("span_start"), col("span_end"))
-      val toks = docs(s, dir).select(
-        col("doc_id"),
-        posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "tok")))
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"))
-      val cut = toks.join(spans,
-        col("doc_id") === col("sp_doc") &&
-          col("pos") >= col("span_start") && col("pos") <= col("span_end"),
-        "left_anti")
+      val cut = tokensAfterCut(s, dir)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens_after"))
-      val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
-      val j = cut
-        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
-        .withColumn("h", h)
-      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      j.withColumn("cum_tokens", sum(col("n_tokens_after")).over(w))
-        .filter(col("cum_tokens") <= BUDGET)
+      admitByBudget(
+        cut.join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id"),
+        "n_tokens_after")
         .select("doc_id", "source", "n_tokens_after", "cum_tokens")
     }),
 
@@ -329,9 +327,12 @@ object MiningQueries extends QueryPack {
         .select(explode(toks).as("w1"))
         .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
       val v = uni.agg(count(lit(1)).as("v"))
+      // uni is vocabulary-sized: no broadcast hint — Spark broadcasts it
+      // while it fits and falls back to a hash-shuffled join on w1 when a
+      // real corpus's vocab outgrows the threshold.
       val lnp = bi
         .join(c2, "bg")
-        .join(broadcast(uni), "w1")
+        .join(uni, "w1")
         .crossJoin(broadcast(v))
         .withColumn("lnp",
           log((col("c2").cast("double") + 1.0) /

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.model.Tables
+import graft.ops.TextOps
 
 /** Scale-shape operators for the training-data-pipeline superset (round 3):
   * sequence packing, stratified splits, per-key heavy hitters, the binned
@@ -78,7 +79,7 @@ object ScaleQueries extends QueryPack {
     // exact at any stratum size. One shuffle (partition by stratum);
     // integer arithmetic end-to-end so the oracle hash-matches.
     "split_stratified_hash" -> ((s, dir) => {
-      val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+      val h = TextOps.sampleKey(col("doc_id"))
       val byLang = Window.partitionBy(col("lang"))
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"))

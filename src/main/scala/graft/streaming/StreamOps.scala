@@ -221,25 +221,28 @@ object StreamOps {
   }
 
   /** Streaming twin of `mix_token_budget`: per-source token-budget
-    * ADMISSION. State is one long per source (tokens admitted so far);
-    * a document is admitted iff its tokens still fit the budget, and
-    * emitted with the post-admission cumulative count. Within a batch,
-    * rows are processed in the batch query's deterministic (hash,
-    * doc_id) order, so a single-batch stream reproduces the batch
-    * result exactly (spec'd); across batches, admission follows arrival
-    * order — the semantics a live ingest actually wants (you can't
-    * un-admit yesterday's docs when a better-hashed one arrives). Once
-    * a source's budget is exhausted the group emits nothing forever;
-    * state stays one long regardless of stream length. */
+    * ADMISSION. State is one long per source (tokens admitted so far;
+    * budget+1 poisons a closed source); a document is admitted iff its
+    * tokens still fit AND no earlier document has overflowed — the first
+    * overflow CLOSES the source for good, exactly like the batch query's
+    * monotone running sum (once any prefix exceeds the budget, every
+    * later doc's cum exceeds it too). Without the close, a big doc would
+    * be skipped and a smaller later doc admitted — a knapsack-ish
+    * semantic the batch window cannot express, and the two would
+    * diverge. Within a batch, rows are processed in the batch query's
+    * deterministic (hash, doc_id) order, so a single-batch stream
+    * reproduces the batch result exactly (spec'd); across batches,
+    * admission follows arrival order — a live ingest can't un-admit
+    * yesterday's docs when a better-hashed one arrives. State stays one
+    * long regardless of stream length. */
   def tokenBudgetAdmitStream(docs: DataFrame, budget: Long): org.apache.spark.sql.Dataset[AdmittedDoc] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
     implicit val outEnc = org.apache.spark.sql.Encoders.product[AdmittedDoc]
     implicit val stateEnc = org.apache.spark.sql.Encoders.scalaLong
     docs
       .select(col("source"), col("doc_id").cast("long").as("doc_id"),
         size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
-        h.as("h"))
+        graft.ops.TextOps.sampleKey(col("doc_id")).as("h"))
       .as[(String, Long, Long, Long)](
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.STRING,
@@ -250,14 +253,19 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (src: String, rows: Iterator[(String, Long, Long, Long)], state: GroupState[Long]) => {
           var cum = state.getOption.getOrElse(0L)
+          var closed = cum > budget
           val out = scala.collection.mutable.ArrayBuffer.empty[AdmittedDoc]
           rows.toArray.sortBy(r => (r._4, r._2)).foreach { r =>
-            if (cum + r._3 <= budget) {
-              cum += r._3
-              out += AdmittedDoc(r._2, src, r._3, cum)
+            if (!closed) {
+              if (cum + r._3 <= budget) {
+                cum += r._3
+                out += AdmittedDoc(r._2, src, r._3, cum)
+              } else {
+                closed = true
+              }
             }
           }
-          state.update(cum)
+          state.update(if (closed) budget + 1 else cum)
           out.iterator
         })
   }

@@ -162,18 +162,24 @@ class MiningSpec extends AnyFunSuite {
       s"bm25 stats join must broadcast:\n${bm25.treeString.take(600)}")
   }
 
-  test("bm25: more query-term hits score higher; absent terms score 0") {
-    val df = Seq(
-      (1L, "join join join filter row"),
-      (2L, "join filter row batch scan"),
-      (3L, "filter row batch column merge"))
-      .toDF("doc_id", "text").createOrReplaceTempView("bm25_docs")
-    // run the registered query shape against a tiny in-memory corpus by
-    // checking the real query on testdata instead: monotonicity only
-    val dir = "/root/testdata/sf0.001"
+  test("bm25: more query-term hits score higher; absent-term docs drop out") {
+    // tiny crafted corpus through the REAL registered query via a temp dir
+    val dir = java.nio.file.Files.createTempDirectory("bm25_test").toString
+    Seq(
+      (1L, "join join join filter row", "srcA", "en"),
+      (2L, "join filter row batch part", "srcA", "en"),
+      (3L, "filter row batch column merge", "srcA", "en"), // no query terms
+      (4L, "join hash scan filter row", "srcA", "en"))     // all three terms
+      .toDF("doc_id", "text", "source", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val scores = SparkEntry.queries("bm25_score")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(scores.nonEmpty)
-    assert(scores.values.forall(_ >= 0.0))
+    // doc 3 has none of the query terms -> not in the output at all
+    assert(!scores.contains(3L))
+    // same length docs: tf saturation still ranks 3x 'join' above 1x
+    assert(scores(1L) > scores(2L))
+    // hitting all three terms beats repeating one (idf sums across terms)
+    assert(scores(4L) > scores(1L))
+    assert(scores.values.forall(_ > 0.0))
   }
 }

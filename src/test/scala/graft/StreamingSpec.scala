@@ -243,24 +243,24 @@ class StreamingSpec extends AnyFunSuite {
     val q = admitted.writeStream.format("memory")
       .queryName("budget_out").outputMode(OutputMode.Append).start()
     try {
-      // srcA docs: ids 1,2,3 with 2,2,2 tokens. Hash order (h, doc_id) of
-      // (id*2654435761)%1000000007: whatever it is, exactly two of the
-      // three fit budget 5 in that order — the same two the batch window
-      // keeps.
+      // VARIABLE token counts (4, 3, 1) — uniform lengths cannot tell the
+      // strict-prefix semantics apart from skip-and-continue knapsack
+      // admission; this corpus can: once a doc overflows, a later smaller
+      // doc that would still "fit" must ALSO be rejected, like the batch
+      // window's monotone cum filter.
       in.addData(
-        (1L, "srcA", "a b"), (2L, "srcA", "c d"), (3L, "srcA", "e f"),
+        (1L, "srcA", "a b c d"), (2L, "srcA", "e f g"), (3L, "srcA", "h"),
         (10L, "srcB", "one two three four five six"))  // 6 > 5: never admitted
       q.processAllAvailable()
       val got1 = spark.table("budget_out")
         .as[graft.streaming.AdmittedDoc].collect().sortBy(_.doc_id)
       assert(got1.forall(_.cum_tokens <= 5L))
-      assert(got1.count(_.source == "srcA") == 2)
       assert(!got1.exists(_.source == "srcB"))
       // batch-parity on the same one-batch data: replicate the window form
-      val batch = Seq((1L, "srcA", "a b"), (2L, "srcA", "c d"), (3L, "srcA", "e f"),
+      val batch = Seq((1L, "srcA", "a b c d"), (2L, "srcA", "e f g"), (3L, "srcA", "h"),
         (10L, "srcB", "one two three four five six"))
         .toDF("doc_id", "source", "text")
-      val h = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+      val h = graft.ops.TextOps.sampleKey(col("doc_id"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy(col("h"), col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -270,12 +270,22 @@ class StreamingSpec extends AnyFunSuite {
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .filter(col("cum_tokens") <= 5L)
         .select("doc_id").as[Long].collect().sorted
-      assert(got1.map(_.doc_id).toSeq == batchKept.toSeq)
-      // a later batch cannot overspend the remaining budget (5-4=1 token)
-      in.addData((4L, "srcA", "g h"))   // 2 tokens > 1 remaining -> dropped
+      assert(got1.map(_.doc_id).toSeq == batchKept.toSeq,
+        s"stream ${got1.map(_.doc_id).toSeq} != batch ${batchKept.toSeq}")
+      // cross-batch: srcA overflowed (or spent) above; a 1-token doc that
+      // would numerically fit any leftover must stay rejected once the
+      // source closed. Either way nothing with cum > 5 may ever appear.
+      in.addData((4L, "srcA", "z"))
       q.processAllAvailable()
       val got2 = spark.table("budget_out").as[graft.streaming.AdmittedDoc].collect()
-      assert(!got2.exists(_.doc_id == 4L))
+      assert(got2.forall(_.cum_tokens <= 5L))
+      val srcATotal = got2.filter(_.source == "srcA").map(_.n_tokens).sum
+      assert(srcATotal <= 5L)
+      // if the first batch closed srcA (overflow happened), doc 4 is out
+      val batchTokens = Map(1L -> 4L, 2L -> 3L, 3L -> 1L)
+      val admitted1 = got1.filter(_.source == "srcA").map(_.doc_id).toSet
+      val overflowed = batchTokens.keys.exists(id => !admitted1.contains(id))
+      if (overflowed) assert(!got2.exists(_.doc_id == 4L))
     } finally q.stop()
   }
 

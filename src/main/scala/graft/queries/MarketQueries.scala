@@ -55,6 +55,66 @@ object MarketQueries extends QueryPack {
       MarketOps.withRollingMas(MarketOps.dailyBars(Tables.events(s, dir)))
         .select("ticker", "date", "close", "ma_10", "ma_50", "ma_200")),
 
+    // -- W1 extension: Cutler's RSI-14 (the SMA form — the recursive
+    //    Wilder smoothing is not window-expressible; the SMA variant is
+    //    the standard closed form). Deltas feed DECIMAL-accumulated gain/
+    //    loss window sums (order-insensitive, so DuckDB's segment-tree
+    //    window evaluation cannot produce a different float than Spark's
+    //    running frame). Convention mirrored in the oracle: <14 deltas →
+    //    0.0 (the MA min-periods convention), zero avg loss → 100. -------
+    "indicator_rsi_14" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val d2 = DecimalType(27, 2)
+      val wLag = Window.partitionBy("ticker").orderBy("date")
+      val w = Window.partitionBy("ticker").orderBy("date").rowsBetween(-13, 0)
+      MarketOps.dailyBars(Tables.events(s, dir))
+        .withColumn("delta", col("close") - lag(col("close"), 1).over(wLag))
+        .withColumn("gain",
+          when(col("delta").isNotNull, greatest(col("delta"), lit(0.0)).cast(d2)))
+        .withColumn("loss",
+          when(col("delta").isNotNull, greatest(-col("delta"), lit(0.0)).cast(d2)))
+        .withColumn("n_d", count(col("delta")).over(w))
+        .withColumn("sg", sum(col("gain")).over(w).cast("double"))
+        .withColumn("sl", sum(col("loss")).over(w).cast("double"))
+        .select(col("ticker"), col("date"), col("close"),
+          graft.ops.Num.r6(
+            when(col("n_d") < 14, lit(0.0))
+              .when(col("sl") === 0.0, lit(100.0))
+              .otherwise(lit(100.0) - lit(100.0) /
+                (lit(1.0) + col("sg") / col("sl"))))
+            .as("rsi_14"))
+    }),
+
+    // -- W1 extension: exact EMA-12/26 + MACD. The EMA recursion
+    //    EMA_t = α·x_t + (1−α)·EMA_{t−1} folds over the ordered close
+    //    prefix (window collect in frame order), seeded with the first
+    //    close — the EXACT recursive EMA, not a truncated approximation,
+    //    with the identical IEEE op sequence in both engines (aggregate /
+    //    list_reduce both fold left in element order). Per-key history is
+    //    bounded by trading days, so the prefix array stays small; the
+    //    unbounded-history variant is the streaming stateful op. ----------
+    "indicator_ema_macd" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("ticker").orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      def ema(n: Int) = {
+        val a = lit(2.0 / (n + 1.0))
+        aggregate(
+          expr("slice(prefix, 2, size(prefix) - 1)"),
+          element_at(col("prefix"), 1),
+          (acc, x) => a * x + (lit(1.0) - a) * acc)
+      }
+      MarketOps.dailyBars(Tables.events(s, dir))
+        .withColumn("prefix", collect_list(col("close")).over(w))
+        .withColumn("e12", ema(12))
+        .withColumn("e26", ema(26))
+        .select(col("ticker"), col("date"), col("close"),
+          graft.ops.Num.r6(col("e12")).as("ema_12"),
+          graft.ops.Num.r6(col("e26")).as("ema_26"),
+          graft.ops.Num.r6(col("e12") - col("e26")).as("macd"))
+    }),
+
     // -- W2: trend bucket vs rolling mean ----------------------------------
     "trend_classify" -> ((s, dir) =>
       MarketOps.withRollingMas(MarketOps.dailyBars(Tables.events(s, dir)))
@@ -96,6 +156,42 @@ object MarketQueries extends QueryPack {
          |SELECT ticker, date,
          |       ${pctSql("close", "lag(close) OVER w")} AS variation_pct
          |FROM bars WINDOW w AS (PARTITION BY ticker ORDER BY date)""".stripMargin,
+
+    "indicator_rsi_14" ->
+      s"""WITH $BARS_CTE,
+         |d AS (SELECT ticker, date, close,
+         |             close - lag(close, 1) OVER (PARTITION BY ticker ORDER BY date) AS delta
+         |      FROM bars),
+         |g AS (SELECT ticker, date, close, delta,
+         |             CASE WHEN delta IS NULL THEN NULL
+         |                  ELSE CAST(greatest(delta, 0.0) AS DECIMAL(27,2)) END AS gain,
+         |             CASE WHEN delta IS NULL THEN NULL
+         |                  ELSE CAST(greatest(-delta, 0.0) AS DECIMAL(27,2)) END AS loss
+         |      FROM d)
+         |SELECT ticker, date, close,
+         |       ${graft.ops.Num.R6_SQL(
+               "CASE WHEN count(delta) OVER w < 14 THEN 0.0 " +
+                 "WHEN CAST(sum(loss) OVER w AS DOUBLE) = 0.0 THEN 100.0 " +
+                 "ELSE 100.0 - 100.0 / (1.0 + CAST(sum(gain) OVER w AS DOUBLE) / CAST(sum(loss) OVER w AS DOUBLE)) END")} AS rsi_14
+         |FROM g
+         |WINDOW w AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "indicator_ema_macd" -> {
+      // DuckDB list_reduce seeds with the FIRST element and folds the rest
+      // — exactly the EMA seed semantics.
+      def ema(n: Int) =
+        s"list_reduce(prefix, (acc, x) -> (2.0 / ${n + 1}.0) * x + (1.0 - 2.0 / ${n + 1}.0) * acc)"
+      s"""WITH $BARS_CTE,
+         |p AS (SELECT ticker, date, close,
+         |             list(close) OVER (PARTITION BY ticker ORDER BY date
+         |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+         |      FROM bars)
+         |SELECT ticker, date, close,
+         |       ${graft.ops.Num.R6_SQL(ema(12))} AS ema_12,
+         |       ${graft.ops.Num.R6_SQL(ema(26))} AS ema_26,
+         |       ${graft.ops.Num.R6_SQL(s"${ema(12)} - ${ema(26)}")} AS macd
+         |FROM p""".stripMargin
+    },
 
     "rolling_ma_10_50_200" ->
       s"""WITH $BARS_CTE

@@ -115,6 +115,45 @@ object MarketQueries extends QueryPack {
           graft.ops.Num.r6(col("e12") - col("e26")).as("macd"))
     }),
 
+    // -- W1 extension: Bollinger bands (20-day SMA ± 2σ) + stochastic %K
+    //    (14-day). Mean and sample-σ derive from decimal-exact window
+    //    sums of close and close² (order-insensitive; close has 2
+    //    decimals so close² has 4 — both sums exact), %K from exact
+    //    min/max windows. Min-periods convention: bands/%K are 0.0 until
+    //    the window fills; flat 14-day ranges emit %K = 50. --------------
+    "indicator_bollinger_stoch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val d2 = DecimalType(27, 2)
+      val d4 = DecimalType(38, 4)
+      val w20 = Window.partitionBy("ticker").orderBy("date").rowsBetween(-19, 0)
+      val w14 = Window.partitionBy("ticker").orderBy("date").rowsBetween(-13, 0)
+      val n20 = count(lit(1)).over(w20)
+      val sx = sum(col("close").cast(d2)).over(w20).cast("double")
+      val sxx = sum((col("close").cast(d2) * col("close").cast(d2)).cast(d4))
+        .over(w20).cast("double")
+      val mean = sx / lit(20.0)
+      val sd = sqrt((lit(20.0) * sxx - sx * sx) / (lit(20.0) * lit(19.0)))
+      val lo14 = min(col("close")).over(w14)
+      val hi14 = max(col("close")).over(w14)
+      val n14 = count(lit(1)).over(w14)
+      MarketOps.dailyBars(Tables.events(s, dir))
+        .withColumn("n20", n20).withColumn("sx", sx).withColumn("sxx", sxx)
+        .withColumn("n14", n14).withColumn("lo", lo14).withColumn("hi", hi14)
+        .select(col("ticker"), col("date"), col("close"),
+          graft.ops.Num.r6(when(col("n20") < 20, lit(0.0)).otherwise(mean))
+            .as("bb_mid"),
+          graft.ops.Num.r6(when(col("n20") < 20, lit(0.0))
+            .otherwise(mean + lit(2.0) * sd)).as("bb_upper"),
+          graft.ops.Num.r6(when(col("n20") < 20, lit(0.0))
+            .otherwise(mean - lit(2.0) * sd)).as("bb_lower"),
+          graft.ops.Num.r6(
+            when(col("n14") < 14, lit(0.0))
+              .when(col("hi") === col("lo"), lit(50.0))
+              .otherwise(lit(100.0) * (col("close") - col("lo")) /
+                (col("hi") - col("lo")))).as("stoch_k"))
+    }),
+
     // -- W2: trend bucket vs rolling mean ----------------------------------
     "trend_classify" -> ((s, dir) =>
       MarketOps.withRollingMas(MarketOps.dailyBars(Tables.events(s, dir)))
@@ -191,6 +230,25 @@ object MarketQueries extends QueryPack {
          |       ${graft.ops.Num.R6_SQL(ema(26))} AS ema_26,
          |       ${graft.ops.Num.R6_SQL(s"${ema(12)} - ${ema(26)}")} AS macd
          |FROM p""".stripMargin
+    },
+
+    "indicator_bollinger_stoch" -> {
+      val sx = "CAST(sum(CAST(close AS DECIMAL(27,2))) OVER w20 AS DOUBLE)"
+      val sxx = "CAST(sum(CAST(CAST(close AS DECIMAL(27,2)) * CAST(close AS DECIMAL(27,2)) AS DECIMAL(38,4))) OVER w20 AS DOUBLE)"
+      val mean = s"$sx / 20.0"
+      val sd = s"sqrt((20.0 * $sxx - $sx * $sx) / (20.0 * 19.0))"
+      s"""WITH $BARS_CTE
+         |SELECT ticker, date, close,
+         |       ${graft.ops.Num.R6_SQL(s"CASE WHEN count(*) OVER w20 < 20 THEN 0.0 ELSE $mean END")} AS bb_mid,
+         |       ${graft.ops.Num.R6_SQL(s"CASE WHEN count(*) OVER w20 < 20 THEN 0.0 ELSE $mean + 2.0 * $sd END")} AS bb_upper,
+         |       ${graft.ops.Num.R6_SQL(s"CASE WHEN count(*) OVER w20 < 20 THEN 0.0 ELSE $mean - 2.0 * $sd END")} AS bb_lower,
+         |       ${graft.ops.Num.R6_SQL(
+               "CASE WHEN count(*) OVER w14 < 14 THEN 0.0 " +
+                 "WHEN max(close) OVER w14 = min(close) OVER w14 THEN 50.0 " +
+                 "ELSE 100.0 * (close - min(close) OVER w14) / (max(close) OVER w14 - min(close) OVER w14) END")} AS stoch_k
+         |FROM bars
+         |WINDOW w20 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         |       w14 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin
     },
 
     "rolling_ma_10_50_200" ->

@@ -154,6 +154,24 @@ object MarketQueries extends QueryPack {
                 (col("hi") - col("lo")))).as("stoch_k"))
     }),
 
+    // -- W1 extension: on-balance volume — running sum of volume signed
+    //    by the close-to-close direction. All integers: the cumsum is
+    //    exact at any scale and any accumulation order. -------------------
+    "indicator_obv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wLag = Window.partitionBy("ticker").orderBy("date")
+      val wCum = Window.partitionBy("ticker").orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      MarketOps.dailyBars(Tables.events(s, dir))
+        .withColumn("prev", lag(col("close"), 1).over(wLag))
+        .withColumn("signed_vol",
+          when(col("prev").isNull || col("close") === col("prev"), lit(0L))
+            .when(col("close") > col("prev"), col("volume"))
+            .otherwise(-col("volume")))
+        .select(col("ticker"), col("date"), col("close"),
+          sum(col("signed_vol")).over(wCum).as("obv"))
+    }),
+
     // -- W2: trend bucket vs rolling mean ----------------------------------
     "trend_classify" -> ((s, dir) =>
       MarketOps.withRollingMas(MarketOps.dailyBars(Tables.events(s, dir)))
@@ -250,6 +268,18 @@ object MarketQueries extends QueryPack {
          |WINDOW w20 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
          |       w14 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin
     },
+
+    "indicator_obv" ->
+      s"""WITH $BARS_CTE,
+         |d AS (SELECT ticker, date, close, volume,
+         |             lag(close, 1) OVER (PARTITION BY ticker ORDER BY date) AS prev
+         |      FROM bars)
+         |SELECT ticker, date, close,
+         |       CAST(sum(CASE WHEN prev IS NULL OR close = prev THEN 0
+         |                     WHEN close > prev THEN volume ELSE -volume END)
+         |         OVER (PARTITION BY ticker ORDER BY date
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+         |FROM d""".stripMargin,
 
     "rolling_ma_10_50_200" ->
       s"""WITH $BARS_CTE

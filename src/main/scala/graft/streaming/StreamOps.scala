@@ -16,6 +16,9 @@ case class DocKeep(doc_id: Long, text: String)
 /** Output row of [[StreamOps.tokenBudgetAdmitStream]]. */
 case class AdmittedDoc(doc_id: Long, source: String, n_tokens: Long, cum_tokens: Long)
 
+/** Output row of [[StreamOps.emaStream]]. */
+case class EmaPoint(ticker: String, date: String, close: Double, ema: Double)
+
 /** Running per-ticker state for the transformWithState operator. */
 case class TickerStats(ticker: String, n: Long, latest_time: Long,
     latest_price: Double, max_price: Double)
@@ -266,6 +269,44 @@ object StreamOps {
             }
           }
           state.update(if (closed) budget + 1 else cum)
+          out.iterator
+        })
+  }
+
+  /** Streaming EMA — the indicator whose recursion IS a stateful stream:
+    * state per ticker is one double (the previous EMA), each bar updates
+    * it as α·x + (1−α)·prev. Because the recursion is applied in bar
+    * order with the identical IEEE ops, a stream fed the same bars in
+    * order produces BIT-EQUAL values to the batch prefix-fold form
+    * (`indicator_ema_macd`'s kernel) — spec-asserted. Within a batch,
+    * rows process in (date ascending) order; state is one double per
+    * (ticker) forever, the unbounded-history shape the batch prefix
+    * array cannot reach. */
+  def emaStream(bars: DataFrame, n: Int): org.apache.spark.sql.Dataset[EmaPoint] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val alpha = 2.0 / (n + 1.0)
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[EmaPoint]
+    implicit val stateEnc = org.apache.spark.sql.Encoders.scalaDouble
+    bars
+      .select(col("ticker"), col("date").cast("string").as("date"),
+        col("close").cast("double").as("close"))
+      .as[(String, String, Double)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaDouble))
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (ticker: String, rows: Iterator[(String, String, Double)], state: GroupState[Double]) => {
+          var hasPrev = state.exists
+          var ema = state.getOption.getOrElse(0.0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[EmaPoint]
+          rows.toArray.sortBy(_._2).foreach { r =>
+            ema = if (!hasPrev) r._3 else alpha * r._3 + (1.0 - alpha) * ema
+            hasPrev = true
+            out += EmaPoint(ticker, r._2, r._3, ema)
+          }
+          if (hasPrev) state.update(ema)
           out.iterator
         })
   }

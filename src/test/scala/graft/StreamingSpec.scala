@@ -289,6 +289,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EMA: bit-equal to the batch prefix fold, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Double)]
+    val q = StreamOps.emaStream(in.toDF().toDF("ticker", "date", "close"), n = 12)
+      .writeStream.format("memory").queryName("ema_out")
+      .outputMode(OutputMode.Append).start()
+    val closes = Seq(10.0, 10.5, 9.75, 11.25, 10.9, 12.0)
+    try {
+      // feed the bars split across two micro-batches — state must carry
+      in.addData((0 until 3).map(i => ("X", f"2024-01-${i + 1}%02d", closes(i))): _*)
+      q.processAllAvailable()
+      in.addData((3 until 6).map(i => ("X", f"2024-01-${i + 1}%02d", closes(i))): _*)
+      q.processAllAvailable()
+      val got = spark.table("ema_out").as[graft.streaming.EmaPoint]
+        .collect().sortBy(_.date).map(_.ema).toSeq
+      // the batch form: exact left fold over the whole prefix
+      val alpha = 2.0 / 13.0
+      val expect = closes.tail.scanLeft(closes.head)((acc, x) => alpha * x + (1.0 - alpha) * acc)
+      assert(got == expect, s"stream $got != batch fold $expect")
+    } finally q.stop()
+  }
+
   test("streaming minhash dedup: first bucket claimant survives, later near-dups drop") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]

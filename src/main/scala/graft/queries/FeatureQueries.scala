@@ -111,6 +111,44 @@ object FeatureQueries extends QueryPack {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // -- decile bucketizing: ntile(10) per event_type over the total
+    //    order (value, event_id) — the quantile feature-binning step.
+    //    Deterministic because the order is total; exact integers out. ----
+    "quantile_bucketize" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          ntile(10).over(w).cast("long").as("decile"))
+    }),
+
+    // -- one-hot encoding: event_type to fixed indicator columns — the
+    //    categorical-feature step. Pure map-side projection; the column
+    //    set is the (small, known) category domain, never inferred by a
+    //    driver-side collect. --------------------------------------------
+    "one_hot_encode" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      types.foldLeft(
+        events(s, dir).select(col("event_id"), col("event_type"))) {
+        case (df, t) =>
+          df.withColumn(s"is_$t", (col("event_type") === t).cast("long"))
+      }
+    }),
+
+    // -- feature hashing (the hashing trick): tokens project into a fixed
+    //    32-bucket count vector per document — unbounded vocabulary to
+    //    bounded dimensionality with no fitted dictionary. Emitted sparse
+    //    as (doc_id, bucket, cnt): map-side hash + one count aggregate;
+    //    the dense assembly is a downstream reshape. ----------------------
+    "feature_hashing" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          pmod(graft.expressions.TextHash.polyHash(col("tok")), lit(32L)).as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     // -- per-group winsorization: clip to [p05, p95] computed exactly per
     //    group (quantile_cont interpolation, identical in both engines —
     //    percentile_value proves the parity). Percentile rows broadcast
@@ -129,7 +167,27 @@ object FeatureQueries extends QueryPack {
     })
   )
 
+  private def polySql(s: String): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % ${graft.ops.TextOps.P})"
+
   def oracleSql: Map[String, String] = Map(
+    "quantile_bucketize" ->
+      """SELECT event_id, event_type, value,
+        |       CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS decile
+        |FROM events""".stripMargin,
+
+    "one_hot_encode" -> {
+      val cols = Seq("click", "view", "purchase", "signup", "error")
+        .map(t => s"CAST(event_type = '$t' AS BIGINT) AS is_$t").mkString(", ")
+      s"SELECT event_id, event_type, $cols FROM events"
+    },
+
+    "feature_hashing" ->
+      s"""SELECT doc_id, h % 32 AS bucket, count(*) AS cnt
+         |FROM (SELECT doc_id, ${polySql("t")} AS h
+         |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents))
+         |GROUP BY doc_id, h % 32""".stripMargin,
+
     "scd2_intervals" ->
       """SELECT user_id, event_id, value, ts AS valid_from,
         |       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,

@@ -149,6 +149,36 @@ object FeatureQueries extends QueryPack {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    // -- data-drift monitor: binned KL divergence of the value
+    //    distribution between the reference half (first 15 days) and the
+    //    current half, per event_type — the distribution-shift check a
+    //    production pipeline runs before retraining. ONE aggregation
+    //    produces all 20 Laplace-smoothed bin counts as pivot columns;
+    //    the 10-term KL sum is a fixed left-assoc expression chain, so
+    //    float order is identical cross-engine. -------------------------
+    "monitor_drift_kl" -> ((s, dir) => {
+      val bin = least(lit(9L), floor(col("value") / 50.0).cast("long"))
+      val isRef = col("ts") < lit("2024-01-16").cast("timestamp")
+      val aggs =
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref") +:
+          (sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur") +:
+            (0 until 10).flatMap(i => Seq(
+              sum(when(col("is_ref") && col("bin") === i, 1L).otherwise(0L)).as(s"r$i"),
+              sum(when(!col("is_ref") && col("bin") === i, 1L).otherwise(0L)).as(s"c$i"))))
+      val counts = events(s, dir)
+        .select(col("event_type"), bin.as("bin"), isRef.as("is_ref"))
+        .groupBy(col("event_type"))
+        .agg(aggs.head, aggs.tail: _*)
+      def p(i: Int) =
+        (col(s"r$i").cast("double") + 1.0) / (col("n_ref").cast("double") + 10.0)
+      def q(i: Int) =
+        (col(s"c$i").cast("double") + 1.0) / (col("n_cur").cast("double") + 10.0)
+      val kl = (0 until 10).map(i => q(i) * log(q(i) / p(i))).reduce(_ + _)
+      counts.select(col("event_type"), col("n_ref"), col("n_cur"),
+        graft.ops.Num.r6(kl).as("kl"),
+        (graft.ops.Num.r6(kl) > 0.05).as("drift"))
+    }),
+
     // -- per-group winsorization: clip to [p05, p95] computed exactly per
     //    group (quantile_cont interpolation, identical in both engines —
     //    percentile_value proves the parity). Percentile rows broadcast
@@ -236,6 +266,35 @@ object FeatureQueries extends QueryPack {
         |       count(DISTINCT w.user_id) AS n_users
         |FROM weeks w JOIN cohort c USING (user_id)
         |GROUP BY c.cohort_week, w.week - c.cohort_week""".stripMargin,
+
+    "monitor_drift_kl" -> {
+      def cnt(ref: Boolean, i: Int) = {
+        val side = if (ref) "ts < TIMESTAMP '2024-01-16'" else "ts >= TIMESTAMP '2024-01-16'"
+        s"sum(CASE WHEN $side AND least(9, CAST(floor(value / 50.0) AS BIGINT)) = $i THEN 1 ELSE 0 END)"
+      }
+      def tot(ref: Boolean) = {
+        val side = if (ref) "ts < TIMESTAMP '2024-01-16'" else "ts >= TIMESTAMP '2024-01-16'"
+        s"sum(CASE WHEN $side THEN 1 ELSE 0 END)"
+      }
+      def pq(ref: Boolean, i: Int, nAlias: String) =
+        s"((CAST(${if (ref) s"r$i" else s"c$i"} AS DOUBLE) + 1.0) / (CAST($nAlias AS DOUBLE) + 10.0))"
+      val kl = (0 until 10)
+        .map(i => s"${pq(false, i, "n_cur")} * ln(${pq(false, i, "n_cur")} / ${pq(true, i, "n_ref")})")
+        .mkString(" + ")
+      val binCols = (0 until 10)
+        .map(i => s"${cnt(true, i)} AS r$i, ${cnt(false, i)} AS c$i").mkString(",\n       ")
+      s"""WITH counts AS (
+         |  SELECT event_type,
+         |       CAST(${tot(true)} AS BIGINT) AS n_ref,
+         |       CAST(${tot(false)} AS BIGINT) AS n_cur,
+         |       $binCols
+         |  FROM events GROUP BY event_type
+         |)
+         |SELECT event_type, n_ref, n_cur,
+         |       ${graft.ops.Num.R6_SQL(kl)} AS kl,
+         |       ${graft.ops.Num.R6_SQL(kl)} > 0.05 AS drift
+         |FROM counts""".stripMargin
+    },
 
     "winsorize_clip" ->
       """WITH pct AS (

@@ -19,6 +19,40 @@ case class AdmittedDoc(doc_id: Long, source: String, n_tokens: Long, cum_tokens:
 /** Output row of [[StreamOps.emaStream]]. */
 case class EmaPoint(ticker: String, date: String, close: Double, ema: Double)
 
+/** Streaming funnel state/output: how far a user has progressed. */
+case class FunnelProgress(user_id: Long, stages_matched: Long, converted: Boolean)
+
+/** An event for the streaming funnel (ts as epoch micros). */
+case class FunnelEvent(user_id: Long, ts: Long, event_id: Long, event_type: String)
+
+/** Real-time funnel tracking on `transformWithState`: one
+  * `ValueState[Long]` per user holds the highest stage reached; each
+  * batch's events apply in (ts, event_id) order and advance the
+  * subsequence state machine exactly like the batch
+  * `funnel_conversion` fold — a stream that sees the same events
+  * reaches the same stage (spec'd across micro-batches). Emits a row
+  * per user per batch (Update mode semantics). */
+class FunnelProcessor(stages: Seq[String])
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelEvent, FunnelProgress] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var state: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[Long]("stage",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+      timerValues: TimerValues): Iterator[FunnelProgress] = {
+    var stage = if (state.exists()) state.get() else 0L
+    rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+      if (stage < stages.length && e.event_type == stages(stage.toInt)) stage += 1
+    }
+    state.update(stage)
+    Iterator.single(FunnelProgress(key, stage, stage == stages.length))
+  }
+}
+
 /** Running per-ticker state for the transformWithState operator. */
 case class TickerStats(ticker: String, n: Long, latest_time: Long,
     latest_price: Double, max_price: Double)
@@ -309,6 +343,16 @@ object StreamOps {
           if (hasPrev) state.update(ema)
           out.iterator
         })
+  }
+
+  /** Streaming funnel — see [[FunnelProcessor]]. */
+  def funnelStream(events: org.apache.spark.sql.Dataset[FunnelEvent],
+      stages: Seq[String] = Seq("view", "click", "purchase"))
+      : org.apache.spark.sql.Dataset[FunnelProgress] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val enc = org.apache.spark.sql.Encoders.product[FunnelProgress]
+    events.groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .transformWithState(new FunnelProcessor(stages), TimeMode.None(), OutputMode.Update())
   }
 
   /** T5: event-time tumbling daily aggregation with watermark — the

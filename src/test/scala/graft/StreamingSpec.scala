@@ -311,6 +311,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: stage state carries across batches, matches batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{FunnelEvent, FunnelProgress}
+    // transformWithState requires RocksDB (same as the ticker-stats test)
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamOps.funnelStream(in.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: user 1 views then clicks (out-of-order arrival within the
+      // batch — the processor sorts by ts); user 2 purchases first (no-op)
+      in.addData(
+        FunnelEvent(1L, 2000L, 11L, "click"),
+        FunnelEvent(1L, 1000L, 10L, "view"),
+        FunnelEvent(2L, 1000L, 20L, "purchase"))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases -> converted; user 2 views -> stage 1
+      in.addData(
+        FunnelEvent(1L, 3000L, 12L, "purchase"),
+        FunnelEvent(2L, 2000L, 21L, "view"))
+      q.processAllAvailable()
+      val last = spark.table("funnel_out").as[FunnelProgress].collect()
+        .groupBy(_.user_id).map { case (u, rows) =>
+          u -> rows.maxBy(_.stages_matched) }
+      assert(last(1L).stages_matched == 3L && last(1L).converted)
+      assert(last(2L).stages_matched == 1L && !last(2L).converted)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming minhash dedup: first bucket claimant survives, later near-dups drop") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]

@@ -179,6 +179,27 @@ object FeatureQueries extends QueryPack {
         (graft.ops.Num.r6(kl) > 0.05).as("drift"))
     }),
 
+    // -- per-group Shannon entropy of the event-type mix — the class-
+    //    balance health stat next to the KL drift monitor. The category
+    //    domain is fixed, so the 5 probabilities pivot into columns and
+    //    the entropy sum is a fixed left-assoc chain (cross-engine float
+    //    order); empty categories contribute 0 via the p>0 guard. --------
+    "stats_entropy" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val aggList = count(lit(1)).as("n") +:
+        types.map(t =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+      val counts = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(aggList.head, aggList.tail: _*)
+      def term(t: String) = {
+        val p = col(s"n_$t").cast("double") / col("n").cast("double")
+        when(col(s"n_$t") > 0, -p * log(p)).otherwise(lit(0.0))
+      }
+      counts.select(col("user_id"), col("n").as("n_events"),
+        graft.ops.Num.r6(types.map(term).reduce(_ + _)).as("entropy"))
+    }),
+
     // -- per-group winsorization: clip to [p05, p95] computed exactly per
     //    group (quantile_cont interpolation, identical in both engines —
     //    percentile_value proves the parity). Percentile rows broadcast
@@ -293,6 +314,21 @@ object FeatureQueries extends QueryPack {
          |SELECT event_type, n_ref, n_cur,
          |       ${graft.ops.Num.R6_SQL(kl)} AS kl,
          |       ${graft.ops.Num.R6_SQL(kl)} > 0.05 AS drift
+         |FROM counts""".stripMargin
+    },
+
+    "stats_entropy" -> {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val cnts = types.map(t =>
+        s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS n_$t").mkString(", ")
+      def term(t: String) =
+        s"CASE WHEN n_$t > 0 THEN -(CAST(n_$t AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(n_$t AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END"
+      val h = types.map(term).mkString(" + ")
+      s"""WITH counts AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n, $cnts
+         |  FROM events GROUP BY user_id
+         |)
+         |SELECT user_id, n AS n_events, ${graft.ops.Num.R6_SQL(h)} AS entropy
          |FROM counts""".stripMargin
     },
 

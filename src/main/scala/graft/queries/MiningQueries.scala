@@ -347,6 +347,39 @@ object MiningQueries extends QueryPack {
               size(col("ps")).cast("double")).as("mean_lnp"))
     }),
 
+    // -- BPE-style phrase-merge trainer: 3 iterations of "count adjacent
+    //    token pairs, merge the most frequent one corpus-wide" — the
+    //    vocabulary-learning loop (word-level BPE / phrase mining).
+    //    Iterative DRIVER orchestration like dedup_cluster_cc: each round
+    //    is one distributed aggregate; only the single winning pair (one
+    //    row) ever reaches the driver, and the re-tokenization is a pure
+    //    map-side string rewrite (double-space framing makes " w1  w2 "
+    //    occurrences non-overlapping, so left-to-right replace is the
+    //    greedy BPE merge in both engines). At 100 TB this is k passes
+    //    over the corpus — the standard trainer shape. -------------------
+    "phrase_merges_bpe" -> ((s, dir) => {
+      import s.implicits._
+      var corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      for (step <- 1L to 3L) {
+        val top = corpus
+          .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bg"))
+          .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+          .select(
+            split(col("bg"), " ").getItem(0).as("w1"),
+            split(col("bg"), " ").getItem(1).as("w2"), col("cnt"))
+          .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+          .collect()(0)
+        val (w1, w2, cnt) =
+          (top.getAs[String]("w1"), top.getAs[String]("w2"), top.getAs[Long]("cnt"))
+        merges += ((step, w1, w2, cnt))
+        corpus = corpus.select(col("doc_id"),
+          expr(s"trim(replace(replace(' ' || replace(text, ' ', '  ') || ' ', " +
+            s"' $w1  $w2 ', ' ${w1}_$w2 '), '  ', ' '))").as("text"))
+      }
+      merges.toSeq.toDF("step", "w1", "w2", "cnt")
+    }),
+
     // -- inverted-index postings: term -> df + the first POSTING_CAP doc
     //    ids, sorted — the physical layout the lexical scorer reads.
     //    Distinct (term, doc) pairs shuffle once, group by term with
@@ -510,6 +543,31 @@ object MiningQueries extends QueryPack {
          |       ${graft.ops.Num.R6_SQL(
                    "list_reduce([CAST(0.0 AS DOUBLE)] || list(lnp ORDER BY bpos), (a, b) -> a + b) / CAST(count(*) AS DOUBLE)")} AS mean_lnp
          |FROM lnp GROUP BY doc_id""".stripMargin,
+
+    "phrase_merges_bpe" -> {
+      // three chained merge stages; each stage's winner feeds the next
+      // stage's corpus rewrite as scalar subqueries
+      def bigramsOf(src: String) =
+        s"""SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+           |       j -> string_split(text, ' ')[j] || ' ' || string_split(text, ' ')[j+1])) AS bg
+           |FROM $src""".stripMargin
+      def stage(i: Int, src: String) =
+        s"""c$i AS (SELECT bg, count(*) AS cnt FROM (${bigramsOf(src)}) GROUP BY bg),
+           |m$i AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, cnt
+           |        FROM c$i ORDER BY cnt DESC, w1, w2 LIMIT 1),
+           |t$i AS (SELECT doc_id,
+           |               trim(replace(replace(' ' || replace(text, ' ', '  ') || ' ',
+           |                 (SELECT ' ' || w1 || '  ' || w2 || ' ' FROM m$i),
+           |                 (SELECT ' ' || w1 || '_' || w2 || ' ' FROM m$i)), '  ', ' ')) AS text
+           |        FROM $src)""".stripMargin
+      s"""WITH t0 AS (SELECT doc_id, text FROM documents),
+         |${stage(1, "t0")},
+         |${stage(2, "t1")},
+         |${stage(3, "t2")}
+         |SELECT CAST(1 AS BIGINT) AS step, w1, w2, cnt FROM m1
+         |UNION ALL SELECT CAST(2 AS BIGINT), w1, w2, cnt FROM m2
+         |UNION ALL SELECT CAST(3 AS BIGINT), w1, w2, cnt FROM m3""".stripMargin
+    },
 
     "inverted_index_postings" ->
       s"""SELECT t AS term, count(*) AS df,

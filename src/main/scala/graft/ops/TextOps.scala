@@ -32,11 +32,20 @@ object TextOps {
     * ONE definition shared by every hash-ordered sampler (source caps,
     * weighted sampling, token-budget mixing — batch AND stream) so a
     * constant tweak cannot silently de-synchronize a batch/stream twin.
-    * DuckDB mirror: [[SAMPLE_KEY_SQL]]. */
-  def sampleKey(id: Column): Column = (id * lit(2654435761L)) % lit(P)
+    * DuckDB mirror: [[SAMPLE_KEY_SQL]].
+    *
+    * Reduced-before-multiply: (id mod P)·(A mod P) mod P ≡ (id·A) mod P,
+    * but the left side's intermediate tops out at ~6.5e17 < 2^63 for ANY
+    * id, where the naive product overflows 64-bit (silently wrapping in
+    * Spark, erroring in DuckDB) once id ≳ 3.47e9 — inside the doc-id
+    * range of a 100 TB corpus. Identical values wherever the naive form
+    * didn't overflow, so existing oracles are unchanged. */
+  def sampleKey(id: Column): Column =
+    ((id % lit(P)) * lit(2654435761L % P)) % lit(P)
 
-  /** Oracle fragment of [[sampleKey]]. */
-  val SAMPLE_KEY_SQL: String => String = id => s"($id * 2654435761) % $P"
+  /** Oracle fragment of [[sampleKey]] (same overflow-safe shape). */
+  val SAMPLE_KEY_SQL: String => String =
+    id => s"(($id % $P) * (2654435761 % $P)) % $P"
 
   /** Whitespace tokens (testdata text is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")

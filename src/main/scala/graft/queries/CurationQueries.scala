@@ -30,10 +30,10 @@ import graft.ops.{TextOps, VectorOps}
 object CurationQueries extends QueryPack {
 
   /** Benchmark membership: every 97th document is the held-out eval set. */
-  private val BENCH_MOD = 97L
+  private[graft] val BENCH_MOD = 97L
 
   /** Per-source document cap for the balancing sampler. */
-  private val SOURCE_CAP = 15
+  private[graft] val SOURCE_CAP = 15
 
   /** Within-cell cosine threshold for semantic dedup (picked against the
     * synthetic embeddings so drops actually occur at test SF). */
@@ -388,7 +388,7 @@ object CurationQueries extends QueryPack {
       s"""SELECT source, doc_id FROM (
          |  SELECT source, doc_id,
          |         row_number() OVER (PARTITION BY source
-         |           ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+         |           ORDER BY ((doc_id % 1000000007) * (2654435761 % 1000000007)) % 1000000007, doc_id) AS rn
          |  FROM documents
          |) WHERE rn <= $SOURCE_CAP""".stripMargin,
 
@@ -445,13 +445,13 @@ object CurationQueries extends QueryPack {
          |)
          |SELECT doc_id, source, lang, n_tokens FROM (
          |  SELECT *, row_number() OVER (PARTITION BY source
-         |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+         |    ORDER BY ((doc_id % 1000000007) * (2654435761 % 1000000007)) % 1000000007, doc_id) AS rn
          |  FROM deduped
          |) WHERE rn <= $SOURCE_CAP""".stripMargin,
 
     "sample_weighted" -> {
       val key = graft.ops.Num.R6_SQL(
-        "ln(CAST((doc_id * 2654435761) % 1000000007 + 1 AS DOUBLE) / 1000000007.0)" +
+        "ln(CAST(((doc_id % 1000000007) * (2654435761 % 1000000007)) % 1000000007 + 1 AS DOUBLE) / 1000000007.0)" +
           " / CAST(len(string_split(text, ' ')) AS DOUBLE)")
       s"""SELECT doc_id, source, $key AS skey
          |FROM documents

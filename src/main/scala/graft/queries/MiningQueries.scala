@@ -315,24 +315,39 @@ object MiningQueries extends QueryPack {
     //    addition order is part of the contract — a groupBy SUM of
     //    doubles would be partition-order dependent), so both engines
     //    execute the identical IEEE add sequence. Docs with no bigrams
-    //    (one token) drop, like the oracle's inner join + GROUP BY. -------
+    //    (one token) drop, like the oracle's inner join + GROUP BY.
+    //    Physically: the bigram explode is materialized ONCE
+    //    (localCheckpoint — it feeds both the count table and the join
+    //    probe side; unmaterialized, Catalyst re-executes the whole
+    //    explode subtree per consumer), and every shuffle after the
+    //    explode is keyed by xxhash64 of the token strings, not the
+    //    strings themselves — token-level rows dominate this query's
+    //    shuffle volume, and 8-byte keys compare/partition ~an order of
+    //    magnitude cheaper than variable-length UTF-8. The hash is a
+    //    partitioning/join key only; counts and log-probs are unchanged
+    //    (a 64-bit collision over a real corpus vocabulary is a
+    //    birthday-bound ~1e-9 event at 1e5 distinct grams per shuffle). -
     "quality_lm_score" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
       val bi = docs(s, dir)
         .select(col("doc_id"),
           posexplode(TextOps.bigrams(toks)).as(Seq("bpos", "bg")))
-        .withColumn("w1", split(col("bg"), " ").getItem(0))
-      val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+        .select(col("doc_id"), col("bpos"),
+          xxhash64(col("bg")).as("bgh"),
+          xxhash64(split(col("bg"), " ").getItem(0)).as("w1h"))
+        .localCheckpoint()
+      val c2 = bi.groupBy(col("bgh")).agg(count(lit(1)).as("c2"))
       val uni = docs(s, dir)
         .select(explode(toks).as("w1"))
-        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        .select(xxhash64(col("w1")).as("w1h"))
+        .groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
       val v = uni.agg(count(lit(1)).as("v"))
       // uni is vocabulary-sized: no broadcast hint — Spark broadcasts it
-      // while it fits and falls back to a hash-shuffled join on w1 when a
-      // real corpus's vocab outgrows the threshold.
+      // while it fits and falls back to a hash-shuffled join on w1h when
+      // a real corpus's vocab outgrows the threshold.
       val lnp = bi
-        .join(c2, "bg")
-        .join(uni, "w1")
+        .join(c2, "bgh")
+        .join(uni, "w1h")
         .crossJoin(broadcast(v))
         .withColumn("lnp",
           log((col("c2").cast("double") + 1.0) /
@@ -373,9 +388,15 @@ object MiningQueries extends QueryPack {
         val (w1, w2, cnt) =
           (top.getAs[String]("w1"), top.getAs[String]("w2"), top.getAs[Long]("cnt"))
         merges += ((step, w1, w2, cnt))
+        // Column API with lit() operands — the winning tokens are data,
+        // not SQL text; an expr() splice would mis-parse on any corpus
+        // token containing a quote or backslash.
+        val framed =
+          concat(lit(" "), replace(col("text"), lit(" "), lit("  ")), lit(" "))
         corpus = corpus.select(col("doc_id"),
-          expr(s"trim(replace(replace(' ' || replace(text, ' ', '  ') || ' ', " +
-            s"' $w1  $w2 ', ' ${w1}_$w2 '), '  ', ' '))").as("text"))
+          trim(replace(
+            replace(framed, lit(s" $w1  $w2 "), lit(s" ${w1}_$w2 ")),
+            lit("  "), lit(" "))).as("text"))
       }
       merges.toSeq.toDF("step", "w1", "w2", "cnt")
     }),
@@ -448,7 +469,7 @@ object MiningQueries extends QueryPack {
          |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |  FROM (SELECT doc_id, source,
          |               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |               (doc_id * 2654435761) % 1000000007 AS h
+         |               ((doc_id % 1000000007) * (2654435761 % 1000000007)) % 1000000007 AS h
          |        FROM documents)
          |) WHERE cum_tokens <= $BUDGET""".stripMargin,
 
@@ -518,7 +539,7 @@ object MiningQueries extends QueryPack {
          |                            AND k.pos BETWEEN sp.span_start AND sp.span_end)
          |        GROUP BY k.doc_id),
          |j AS (SELECT c.doc_id, d.source, c.n_tokens_after,
-         |             (c.doc_id * 2654435761) % 1000000007 AS h
+         |             ((c.doc_id % 1000000007) * (2654435761 % 1000000007)) % 1000000007 AS h
          |      FROM cut c JOIN documents d USING (doc_id))
          |SELECT doc_id, source, n_tokens_after, cum_tokens FROM (
          |  SELECT doc_id, source, n_tokens_after,

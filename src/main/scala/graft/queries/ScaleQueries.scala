@@ -211,7 +211,7 @@ object ScaleQueries extends QueryPack {
         |FROM (
         |  SELECT doc_id, lang,
         |         row_number() OVER (PARTITION BY lang
-        |           ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn,
+        |           ORDER BY ((doc_id % 1000000007) * (2654435761 % 1000000007)) % 1000000007, doc_id) AS rn,
         |         count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents)""".stripMargin,
 

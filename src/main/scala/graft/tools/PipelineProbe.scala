@@ -14,8 +14,10 @@ import graft.queries.CurationQueries
   * different plan than the pipeline ships. Not part of the driver
   * contract. */
 object PipelineProbe {
-  private val BENCH_MOD = 97L
-  private val SOURCE_CAP = 15
+  // The pipeline's OWN constants (private[graft]) — a local copy could
+  // silently drift and time a different plan than the one that ships.
+  private val BENCH_MOD = CurationQueries.BENCH_MOD
+  private val SOURCE_CAP = CurationQueries.SOURCE_CAP
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)

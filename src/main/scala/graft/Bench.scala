@@ -9,8 +9,11 @@ object Bench {
     * pressure bleeds into every later query's time. */
   private def dropCachedBlocks(spark: SparkSession): Unit = {
     try spark.catalog.clearCache() catch { case _: Throwable => }
+    // blocking = true: the release runs here, in the UNtimed gap, instead
+    // of asynchronously during the next query's timed region — async
+    // removals were one suspect for r5's phantom per-query regressions.
     try spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
     catch { case _: Throwable => }
   }
 

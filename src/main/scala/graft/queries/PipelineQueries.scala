@@ -3,9 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.CosineSimilarity.cosineSim
 import graft.model.Tables
 import graft.ops._
+import graft.plans.{QueryIntent, QuerySpec, RagPlans}
 
 /** SURVEY §3's traced entry points, composed end-to-end as single Catalyst
   * plans — the lifecycle proof that the per-operator pieces compose the way
@@ -20,25 +20,60 @@ import graft.ops._
   */
 object PipelineQueries extends QueryPack {
 
+  /** Fixed "query time" for the spec-driven RAG plans — the reference
+    * reads the wall clock (rag_engine.py:158); a pinned epoch keeps the
+    * plan deterministic and oracle-checkable. */
+  private val NOW0 = 1700000000L
+
+  /** The testdata embeddings table shaped as a [[RagPlans.StoreColumns]]
+    * vector store: label becomes the ticker symbol, and rows are stamped
+    * one 5-minute batch per 5 consecutive vec_ids walking back from NOW0
+    * — so (ticker, ts) collisions exist and the retrieval dedup has real
+    * work, mirroring the reference's re-indexed-document duplicates
+    * (rag_engine.py:230-239). */
+  private def vectorStore(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      col("embedding"),
+      concat(lit("T"), col("label")).as("ticker"),
+      (lit(NOW0) - (col("vec_id") - col("vec_id") % 5) * 60L).as("ts"))
+
+  private def queryVec(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+
+  /** Oracle fragment of [[vectorStore]]. */
+  private val STORE_SQL: String =
+    s"""store AS (
+       |  SELECT vec_id, embedding,
+       |         'T' || CAST(label AS VARCHAR) AS ticker,
+       |         $NOW0 - (vec_id - vec_id % 5) * 60 AS ts
+       |  FROM embeddings)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // -- §3.3: the full RAG retrieval pipeline as ONE plan -----------------
+    // -- §3.3: the full RAG retrieval pipeline as ONE plan, driven by the
+    //    typed QuerySpec surface (the router's output with the LLM front
+    //    end stripped): REAL_TIME intent over the last ~400 minutes, no
+    //    ticker clause — the reference's fallback route
+    //    (rag_engine.py:138-145). --------------------------------------
     "rag_search_pipeline" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-      val knn20 = e
-        .filter(col("label").between(2, 6))               // metadata prefilter
-        .crossJoin(broadcast(q))
-        .withColumn("dist", lit(1.0) - cosineSim(col("embedding"), col("q_emb")))
-        .orderBy(col("dist"), col("vec_id")).limit(20)    // k-NN k=20
-      val deduped = DedupOps.keepFirst(                    // retrieval dedup
-        knn20.withColumn("dup_key", col("vec_id") % 5),
-        keys = Seq(col("label"), col("dup_key")),
-        order = Seq(col("dist"), col("vec_id")))
-      deduped
-        .withColumn("score", VectorOps.timeDecayScore(     // re-rank
-          col("dist"), col("vec_id").cast("double") * 60.0))
-        .orderBy(col("score").desc, col("vec_id")).limit(8) // top-8 context
-        .select("vec_id", "label", "dist", "score")
+      val spec = QuerySpec(
+        ticker = None,
+        start = NOW0 - 400L * 60L, end = NOW0,
+        intent = QueryIntent.RealTime, now = NOW0)
+      RagPlans.search(spec, queryVec(s, dir))(vectorStore(s, dir))
+    }),
+
+    // -- §3.3 variant: ticker-routed HISTORICAL query — decay OFF, pure
+    //    semantic similarity (rag_engine.py:152-153), ticker equality
+    //    prefilter (rag_engine.py:207-210). Same plan builder, different
+    //    spec: the point of the QuerySpec surface. ----------------------
+    "rag_query_spec" -> ((s, dir) => {
+      val spec = QuerySpec(
+        ticker = Some("T3"),
+        start = NOW0 - 1200L * 60L, end = NOW0,
+        intent = QueryIntent.Historical, now = NOW0)
+      RagPlans.search(spec, queryVec(s, dir))(vectorStore(s, dir))
     }),
 
     // -- §3.2: the full enrich/upsert pipeline as ONE plan -----------------
@@ -76,26 +111,37 @@ object PipelineQueries extends QueryPack {
       s"CASE WHEN t = '$w' THEN $v ELSE $els END"
     }
 
+  /** Shared oracle chain: window/ticker filter → k-NN 20 → (ticker, ts)
+    * keep-first dedup, parameterized by the spec's WHERE clause. */
+  private def ragOracle(where: String, scoreSql: String): String =
+    s"""WITH $STORE_SQL,
+       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |knn AS (
+       |  SELECT vec_id, ticker, ts, 1.0 - ${cosSql("embedding", "q_emb")} AS dist
+       |  FROM store, q WHERE $where
+       |  ORDER BY dist, vec_id LIMIT 20
+       |), deduped AS (
+       |  SELECT vec_id, ticker, ts, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY ticker, ts
+       |                                 ORDER BY dist, vec_id) AS rn
+       |    FROM knn
+       |  ) WHERE rn = 1
+       |), scored AS (
+       |  SELECT vec_id, ticker, ts, dist, $scoreSql AS score
+       |  FROM deduped
+       |)
+       |SELECT vec_id, ticker, ts, dist, score FROM scored
+       |ORDER BY score DESC, vec_id LIMIT 8""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "rag_search_pipeline" ->
-      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
-         |knn AS (
-         |  SELECT vec_id, label, 1.0 - ${cosSql("embedding", "q_emb")} AS dist
-         |  FROM embeddings, q WHERE label BETWEEN 2 AND 6
-         |  ORDER BY dist, vec_id LIMIT 20
-         |), deduped AS (
-         |  SELECT vec_id, label, dist FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY label, vec_id % 5
-         |                                 ORDER BY dist, vec_id) AS rn
-         |    FROM knn
-         |  ) WHERE rn = 1
-         |), scored AS (
-         |  SELECT vec_id, label, dist,
-         |         floor((0.6 * (1.0 - dist) + 0.4 * exp(-(CAST(vec_id AS DOUBLE) * 60.0) / 14400.0)) * 1000000 + 0.5) / 1000000 AS score
-         |  FROM deduped
-         |)
-         |SELECT vec_id, label, dist, score FROM scored
-         |ORDER BY score DESC, vec_id LIMIT 8""".stripMargin,
+    "rag_search_pipeline" -> ragOracle(
+      where = s"ts BETWEEN ${NOW0 - 400L * 60L} AND $NOW0",
+      scoreSql = graft.ops.Num.R6_SQL(
+        s"0.6 * (1.0 - dist) + 0.4 * exp(-CAST(greatest($NOW0 - ts, 0) AS DOUBLE) / 14400.0)")),
+
+    "rag_query_spec" -> ragOracle(
+      where = s"ts BETWEEN ${NOW0 - 1200L * 60L} AND $NOW0 AND ticker = 'T3'",
+      scoreSql = graft.ops.Num.R6_SQL("1.0 - dist")),
 
     "consumer_enrich_pipeline" ->
       s"""WITH enriched AS (

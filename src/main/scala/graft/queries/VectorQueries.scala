@@ -275,6 +275,79 @@ object VectorQueries extends QueryPack {
         .select(col("vec_id"), col("code0"), col("code1"), col("code2"), col("code3"),
           graft.ops.Num.r6(col("d0") + col("d1") + col("d2") + col("d3"))
             .as("recon_err"))
+    }),
+
+    // -- superset: the PRODUCTION ANN serve path — IVF + PQ composed.
+    //    Candidate generation probes the 2 nearest IVF cells per query
+    //    (ann_ivf_probe's machinery); ranking is asymmetric-distance
+    //    computation (ADC) against PQ codes: per query, a tiny lookup
+    //    table d2(query-subvector, codeword) is built once per subspace,
+    //    and each candidate costs 4 table probes instead of a 64-dim
+    //    float scan. This is how a 100 TB vector store actually serves: the
+    //    full vectors never leave the index build — candidates ship as
+    //    4 small ints, the per-query LUT broadcasts, and the cell probe
+    //    is an equi-join on cell id, never a corpus scan. ---------------
+    "ann_ivf_pq_search" -> ((s, dir) => {
+      val SUBS = 4
+      val SUBDIM = DIMS / SUBS
+      val sIdx = explode(sequence(lit(0), lit(SUBS - 1)))
+      def subvec(e: org.apache.spark.sql.Column) =
+        slice(e, col("s") * SUBDIM + 1, lit(SUBDIM))
+      def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(
+          zip_with(a, b, (x, y) => {
+            val d = x.cast("double") - y.cast("double"); d * d
+          }),
+          lit(0.0), (acc, v) => acc + v)
+      val e = emb(s, dir)
+      // IVF build: centroids + nearest-cell assignment (index time).
+      val cents = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val assign = VectorOps.topKPerQuery(
+        e.crossJoin(broadcast(cents))
+          .withColumn("csim", cosineSim(col("embedding"), col("c_emb"))),
+        col("vec_id"), Seq(col("csim").desc, col("c_id")), k = 1)
+        .select(col("vec_id"), col("c_id"))
+      // PQ build: per-vector codes — argmin codeword per subspace.
+      val csub = e.filter(col("vec_id") % 31 === 0)
+        .select(col("vec_id").as("code"), sIdx.as("s"), col("embedding").as("cb"))
+        .withColumn("csub", subvec(col("cb"))).select("code", "s", "csub")
+      val codes = e.select(col("vec_id"), sIdx.as("s"), col("embedding"))
+        .withColumn("sub", subvec(col("embedding")))
+        .join(broadcast(csub), "s")
+        .withColumn("dd", sqd(col("sub"), col("csub")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min_by(col("code"), struct(col("dd"), col("code"))).as("code"))
+      // Query time: probe 2 cells; build the ADC lookup table
+      // (q subvector × codeword) — SUBS·|codebook| rows per query.
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val qprobe = VectorOps.topKPerQuery(
+        qs.crossJoin(broadcast(cents))
+          .withColumn("csim", cosineSim(col("q_emb"), col("c_emb"))),
+        col("q_id"), Seq(col("csim").desc, col("c_id")), k = 2)
+        .select(col("q_id"), col("c_id"))
+      val dtab = qs.select(col("q_id"), sIdx.as("s"), col("q_emb"))
+        .withColumn("qsub", subvec(col("q_emb")))
+        .join(csub, "s")
+        .withColumn("qd2", sqd(col("qsub"), col("csub")))
+        .select("q_id", "s", "code", "qd2")
+      // Serve: cells -> candidate ids -> their codes -> 4 LUT probes each;
+      // the per-s pivot fixes the float add order (d0+d1+d2+d3) so the
+      // ADC sum is bit-stable under shuffle, like ann_pq_codes.
+      def dAt(i: Int) = max(when(col("s") === i, col("qd2")))
+      val adist = qprobe.join(assign, "c_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(codes, "vec_id")
+        .join(broadcast(dtab), Seq("q_id", "s", "code"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(dAt(0).as("d0"), dAt(1).as("d1"), dAt(2).as("d2"), dAt(3).as("d3"))
+        .select(col("q_id"), col("vec_id"),
+          graft.ops.Num.r6(col("d0") + col("d1") + col("d2") + col("d3"))
+            .as("adist"))
+      VectorOps.topKPerQuery(
+        adist, col("q_id"), Seq(col("adist"), col("vec_id")), k = 3)
+        .select("q_id", "vec_id", "adist")
     })
   )
 
@@ -297,6 +370,62 @@ object VectorQueries extends QueryPack {
          |SELECT vec_id, ${(0 until 4).map(codeAt).mkString(", ")},
          |       ${graft.ops.Num.R6_SQL(err)} AS recon_err
          |FROM a WHERE rn = 1 GROUP BY vec_id""".stripMargin
+    },
+
+    "ann_ivf_pq_search" -> {
+      val sq = "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+      def d2(a: String, b: String) =
+        s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(list_zip($a, $b), x -> $sq), (a, b) -> a + b)"
+      val adc = (0 until 4).map(i => s"max(CASE WHEN c.s = $i THEN t.qd2 END)").mkString(" + ")
+      s"""WITH ss AS (SELECT unnest(range(0, 4)) AS s),
+         |cents AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0
+         |), assign AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+         |    FROM embeddings e, cents c
+         |  ) WHERE rn = 1
+         |), csub AS (
+         |  SELECT vec_id AS code, s, embedding[s * 16 + 1 : s * 16 + 16] AS csub
+         |  FROM embeddings, ss WHERE vec_id % 31 = 0
+         |), codes AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT vec_id, s, code,
+         |           row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, code) AS rn
+         |    FROM (
+         |      SELECT v.vec_id, v.s, c.code, ${d2("v.sub", "c.csub")} AS dd
+         |      FROM (SELECT vec_id, s, embedding[s * 16 + 1 : s * 16 + 16] AS sub
+         |            FROM embeddings, ss) v
+         |      JOIN csub c USING (s))
+         |  ) WHERE rn = 1
+         |), qprobe AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT e.vec_id AS q_id, c.c_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+         |    FROM embeddings e, cents c WHERE e.vec_id < 5
+         |  ) WHERE rn <= 2
+         |), dtab AS (
+         |  SELECT q.q_id, q.s, c.code, ${d2("q.qsub", "c.csub")} AS qd2
+         |  FROM (SELECT vec_id AS q_id, s, embedding[s * 16 + 1 : s * 16 + 16] AS qsub
+         |        FROM embeddings, ss WHERE vec_id < 5) q
+         |  JOIN csub c USING (s)
+         |), ad AS (
+         |  SELECT c.q_id, c.vec_id, ${graft.ops.Num.R6_SQL(adc)} AS adist
+         |  FROM (SELECT p.q_id, a.vec_id, k.s, k.code
+         |        FROM qprobe p
+         |        JOIN assign a USING (c_id)
+         |        JOIN codes k ON k.vec_id = a.vec_id
+         |        WHERE a.vec_id <> p.q_id) c
+         |  JOIN dtab t ON t.q_id = c.q_id AND t.s = c.s AND t.code = c.code
+         |  GROUP BY c.q_id, c.vec_id
+         |)
+         |SELECT q_id, vec_id, adist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+         |  FROM ad
+         |) WHERE rn <= 3""".stripMargin
     },
 
     "cosine_similarity" ->

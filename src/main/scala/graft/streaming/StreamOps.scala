@@ -19,6 +19,17 @@ case class AdmittedDoc(doc_id: Long, source: String, n_tokens: Long, cum_tokens:
 /** Output row of [[StreamOps.emaStream]]. */
 case class EmaPoint(ticker: String, date: String, close: Double, ema: Double)
 
+/** A duplicated-gram occurrence emitted by [[StreamOps.substringDupStream]]
+  * — the same (doc_id, st, en) rows the batch span detector feeds its
+  * gaps-and-islands merge. */
+case class GramHit(doc_id: Long, st: Long, en: Long)
+
+/** Per-gram state of [[StreamOps.substringDupStream]]: the first occurrence
+  * held back until a duplicate proves the gram repeated (dup = false), or
+  * the gram is known-duplicated and future occurrences emit immediately
+  * (dup = true; doc/st no longer meaningful). */
+case class GramSeen(doc_id: Long, st: Long, dup: Boolean)
+
 /** Streaming funnel state/output: how far a user has progressed. */
 case class FunnelProgress(user_id: Long, stages_matched: Long, converted: Boolean)
 
@@ -341,6 +352,61 @@ object StreamOps {
             out += EmaPoint(ticker, r._2, r._3, ema)
           }
           if (hasPrev) state.update(ema)
+          out.iterator
+        })
+  }
+
+  /** Streaming twin of `dedup_substring_spans`' duplicate detection — the
+    * mining pack's headline operator as an incremental gram-hash state
+    * machine. Documents explode into word n-gram hashes (the SAME
+    * [[graft.expressions.TextHash.ngramHashes]] kernel as the batch
+    * query, so stream and batch can never hash differently); state is one
+    * [[GramSeen]] per distinct gram hash: the FIRST occurrence is held
+    * back, and the moment a second arrives — same batch or any later one —
+    * the held-back first is emitted RETROACTIVELY together with the new
+    * one, after which the gram is marked duplicated and every further
+    * occurrence streams straight through. On a single batch the emitted
+    * (doc_id, st, en) hits equal the batch detector's corpus-wide
+    * `count ≥ 2` window exactly (spec-asserted); across batches the state
+    * carries what batch recomputation cannot: yesterday's singleton gram
+    * becomes a duplicate the instant today's copy arrives. State is one
+    * small row per DISTINCT gram (bounded by corpus vocabulary, not
+    * stream length); the downstream per-doc islands merge is the batch
+    * query's own window, applied per micro-batch in foreachBatch. */
+  def substringDupStream(docs: DataFrame, gram: Int)
+      : org.apache.spark.sql.Dataset[GramHit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[GramHit]
+    implicit val stateEnc = org.apache.spark.sql.Encoders.product[GramSeen]
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(graft.expressions.TextHash.ngramHashes(col("text"), gram))
+          .as(Seq("pos0", "h")))
+      .select(col("h"), col("doc_id"), (col("pos0") + 1).cast("long").as("st"))
+      .as[(Long, Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[GramSeen]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[GramHit]
+          var st = state.getOption
+          // (doc_id, st) order within the batch so replays are deterministic.
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, doc, pos) =>
+            st match {
+              case None =>
+                st = Some(GramSeen(doc, pos, dup = false))
+              case Some(GramSeen(d0, p0, false)) =>
+                out += GramHit(d0, p0, p0 + gram - 1)   // retroactive first
+                out += GramHit(doc, pos, pos + gram - 1)
+                st = Some(GramSeen(d0, p0, dup = true))
+              case Some(GramSeen(_, _, true)) =>
+                out += GramHit(doc, pos, pos + gram - 1)
+            }
+          }
+          st.foreach(state.update)
           out.iterator
         })
   }

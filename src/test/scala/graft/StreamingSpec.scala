@@ -349,6 +349,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming substring dedup: single batch == batch detector; cross-batch gram turns dup retroactively") {
+    implicit val sqlCtx = spark.sqlContext
+    val Gram = 3
+    // doc 1 and doc 2 share the 3-gram "b c d" (doc1 pos 2, doc2 pos 1);
+    // doc 1 repeats "a b c" internally (pos 1 and pos 4); doc 3 is clean.
+    val batch1 = Seq(
+      (1L, "a b c d a b c"),
+      (2L, "b c d x y z"),
+      (3L, "p q r s t u"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.substringDupStream(in.toDF().toDF("doc_id", "text"), Gram)
+      .writeStream.format("memory")
+      .queryName("substr_dup_out").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      val got1 = spark.table("substr_dup_out")
+        .as[(Long, Long, Long)].collect().toSet
+      // Batch detector on the same rows: corpus-wide count >= 2 per gram hash.
+      val g = batch1.toDF("doc_id", "text").select(
+        col("doc_id"),
+        posexplode(graft.expressions.TextHash.ngramHashes(col("text"), Gram))
+          .as(Seq("pos0", "h")))
+      val expected = g
+        .withColumn("cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")))
+        .filter(col("cnt") >= 2)
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("st"),
+          (col("pos0") + Gram).cast("long").as("en"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got1 == expected, s"single-batch parity: $got1 vs $expected")
+      assert(got1.nonEmpty && got1.exists(_._1 == 2L))
+      // Batch 2: doc 4 repeats doc 3's "p q r" — a gram that was a
+      // SINGLETON in batch 1. The stream must now emit doc 3's held-back
+      // occurrence retroactively along with doc 4's.
+      in.addData((4L, "p q r z z z"))
+      q.processAllAvailable()
+      val got2 = spark.table("substr_dup_out")
+        .as[(Long, Long, Long)].collect().toSet -- got1
+      assert(got2 == Set((3L, 1L, 3L), (4L, 1L, 3L)),
+        s"expected retroactive doc-3 hit + doc-4 hit, got $got2")
+    } finally q.stop()
+  }
+
   test("streaming minhash dedup: first bucket claimant survives, later near-dups drop") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]

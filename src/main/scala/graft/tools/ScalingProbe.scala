@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-curve probe (dev tool, not part of the driver contract): runs
+  * the historically slowest registry queries at two scale factors and
+  * checks that wall time grows no worse than ~linearly in the size of the
+  * query's driving table. A query whose time ratio exceeds the data ratio
+  * by more than SLACK is flagged SUPERLINEAR — the early-warning signal
+  * for the next corpus_curation_pipeline-style blowup (that one went
+  * quadratic silently and cost a full round to find).
+  *
+  * Method: per query, one untimed warm pass at the SMALL sf (codegen +
+  * JIT), then `reps` timed runs at each sf keeping the MINIMUM (the
+  * stable-floor estimator — min is far less noisy than mean under GC /
+  * scheduling jitter at these sub-second magnitudes). Queries faster than
+  * MIN_SECS at the big sf are reported but never flagged: at that
+  * magnitude task-launch overhead dominates and a ratio is meaningless.
+  *
+  * Usage: runMain graft.tools.ScalingProbe [smallDir bigDir [q1,q2,...]]
+  */
+object ScalingProbe {
+
+  /** The r5 bench's top-10 slowest queries, each with the table whose
+    * cardinality drives its cost (documents/events scale 10× between
+    * sf0.01 and sf0.1; embeddings only 4× — using one global ratio would
+    * mis-flag every vector query). */
+  private val DefaultQueries: Seq[(String, String)] = Seq(
+    "quality_lm_score" -> "documents",
+    "dedup_cluster_cc" -> "documents",
+    "profile_columns" -> "events",
+    "mining_pipeline" -> "documents",
+    "join_shuffle" -> "lineitem",
+    "ann_ivf_probe" -> "embeddings",
+    "join_shuffled_hash" -> "lineitem",
+    "dedup_substring_apply" -> "documents",
+    "text_ngram_topk" -> "documents",
+    "ann_lsh_bucketed" -> "embeddings")
+
+  /** Headroom over perfectly-linear before a query is called superlinear:
+    * covers constant per-stage overhead amortizing differently across SFs
+    * and the known ±20% run-to-run variance. */
+  private val SLACK = 1.6
+
+  /** Below this wall time at the big SF, scheduling noise > signal. */
+  private val MIN_SECS = 0.5
+
+  def main(args: Array[String]): Unit = {
+    val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val big = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val queries: Seq[(String, String)] =
+      if (args.length > 2)
+        args(2).split(",").toSeq.map { q =>
+          q -> DefaultQueries.toMap.getOrElse(q, "documents")
+        }
+      else DefaultQueries
+    val reps = 2
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def release(): Unit = {
+      try spark.catalog.clearCache() catch { case _: Throwable => }
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      catch { case _: Throwable => }
+    }
+
+    def rows(dir: String, table: String): Long =
+      graft.model.Tables.load(spark, dir, table).count()
+
+    def time(q: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(q)
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        release()
+        secs
+      }.min
+    }
+
+    val sizeRatio: Map[String, Double] =
+      queries.map(_._2).distinct.map { t =>
+        t -> rows(big, t).toDouble / rows(small, t).toDouble
+      }.toMap
+
+    println(f"${"query"}%-24s ${"t_small"}%8s ${"t_big"}%8s ${"t_ratio"}%8s ${"d_ratio"}%8s  verdict")
+    var flagged = List.empty[String]
+    queries.foreach { case (q, table) =>
+      try {
+        graft.SparkEntry.queries(q)(spark, small.replaceAll("sf[0-9.]+/?$", "sf0.001")).count()
+        release()
+        val ts = time(q, small)
+        val tb = time(q, big)
+        val tr = tb / ts
+        val dr = sizeRatio(table)
+        val verdict =
+          if (tb < MIN_SECS) "ok (below noise floor)"
+          else if (tr > SLACK * dr) { flagged ::= q; "SUPERLINEAR" }
+          else "ok"
+        println(f"$q%-24s $ts%8.2f $tb%8.2f $tr%8.2f $dr%8.1f  $verdict")
+      } catch {
+        case e: Throwable => println(f"$q%-24s ERROR ${e.getMessage.take(60)}")
+      }
+    }
+    if (flagged.nonEmpty)
+      println(s"SUPERLINEAR: ${flagged.reverse.mkString(", ")}")
+    else println("SUPERLINEAR: none")
+    spark.stop()
+  }
+}

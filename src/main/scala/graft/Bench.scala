@@ -28,6 +28,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing stays parallelism-first (the default): an A/B run
+      // with size-based coalescing (parallelismFirst=false) cut the suite
+      // total ~6% but serialized every compute-dense, byte-light stage —
+      // dedup_substring_spans/apply 3×, asof_join_native 2.4× — because
+      // token-level windows shuffle few bytes per unit of CPU. Bytes are
+      // the wrong proxy for work here; rejected (BENCH_NOTES.md r6).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -374,7 +374,15 @@ object MiningQueries extends QueryPack {
     //    over the corpus — the standard trainer shape. -------------------
     "phrase_merges_bpe" -> ((s, dir) => {
       import s.implicits._
+      // repartition: the one-file testdata scan would otherwise run every
+      // round's bigram explode+count in a single task; a real corpus scan
+      // is already wide. localCheckpoint per round: round k's corpus is
+      // the round-(k-1) rewrite applied ONCE — without it Catalyst
+      // re-executes the whole rewrite chain from the raw scan inside
+      // every later round (1+2+3 rewrites instead of 3), the same
+      // re-executed-subtree trap as quality_lm_score's bigram frame.
       var corpus = docs(s, dir).select(col("doc_id"), col("text"))
+        .repartition(32).localCheckpoint()
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
       for (step <- 1L to 3L) {
         val top = corpus
@@ -397,6 +405,9 @@ object MiningQueries extends QueryPack {
           trim(replace(
             replace(framed, lit(s" $w1  $w2 "), lit(s" ${w1}_$w2 ")),
             lit("  "), lit(" "))).as("text"))
+        // Materialize only corpora a later round will re-read; the final
+        // rewrite is dead (lazy, never executed) without a checkpoint.
+        if (step < 3L) corpus = corpus.localCheckpoint()
       }
       merges.toSeq.toDF("step", "w1", "w2", "cnt")
     }),

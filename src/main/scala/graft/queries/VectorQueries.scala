@@ -299,7 +299,12 @@ object VectorQueries extends QueryPack {
             val d = x.cast("double") - y.cast("double"); d * d
           }),
           lit(0.0), (acc, v) => acc + v)
-      val e = emb(s, dir)
+      // Spread the store across cores before the index-build stages: the
+      // testdata is one parquet file (one scan partition), which would run
+      // the whole codes/assign compute on a single task. A real store is
+      // already thousands of files; the small shuffle here is the same
+      // compensation `pairs` makes for the all-pairs path.
+      val e = emb(s, dir).repartition(32)
       // IVF build: centroids + nearest-cell assignment (index time).
       val cents = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))

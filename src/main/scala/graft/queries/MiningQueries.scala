@@ -56,6 +56,13 @@ object MiningQueries extends QueryPack {
   private val MMR_POOL = 20
   private val MMR_K = 8
 
+  /** Hybrid-fusion parameters: the standard RRF constant (k=60 from the
+    * original reciprocal-rank-fusion paper), per-list candidate pool, and
+    * fused context size. */
+  private val RRF_K = 60
+  private val HYBRID_POOL = 20
+  private val HYBRID_TOPN = 10
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
@@ -68,6 +75,32 @@ object MiningQueries extends QueryPack {
   private def cosSql(a: String, b: String): String =
     s"CASE WHEN sqrt(${dotSql(a, a)}) = 0.0 OR sqrt(${dotSql(b, b)}) = 0.0 THEN 0.0 " +
       s"ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END"
+
+  /** Oracle twin of [[bm25Scores]], ending in a `bm25(doc_id, bm25)` CTE —
+    * shared by the bm25_score and hybrid_rrf_fusion oracles. */
+  private lazy val BM25_CTES: String = {
+    val terms = QUERY_TERMS.map(t => s"'$t'").mkString(", ")
+    val sExpr =
+      s"ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)" +
+        s" * (CAST(tf AS DOUBLE) * ${K1 + 1.0})" +
+        s" / (CAST(tf AS DOUBLE) + $K1 * (${1.0 - B} + $B * CAST(dl AS DOUBLE) / avgdl))"
+    val total = QUERY_TERMS.map { t =>
+      s"coalesce(max(CASE WHEN t = '$t' THEN s END), 0.0)"
+    }.mkString(" + ")
+    s"""dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n_docs,
+       |                 sum(len(string_split(text, ' '))) AS sum_dl,
+       |                 CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |          FROM documents),
+       |tf AS (SELECT doc_id, t, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |       WHERE t IN ($terms) GROUP BY doc_id, t),
+       |df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+       |s AS (SELECT tf.doc_id, tf.t, $sExpr AS s
+       |      FROM tf JOIN df USING (t) JOIN dl USING (doc_id), stats),
+       |bm25 AS (SELECT doc_id, ${graft.ops.Num.R6_SQL(total)} AS bm25
+       |         FROM s GROUP BY doc_id)""".stripMargin
+  }
 
   /** Scalar cosine, bit-equal to the oracle's `cosSql` fragment AND the
     * codegen [[graft.expressions.CosineSimilarity]]: each of the three
@@ -91,6 +124,44 @@ object MiningQueries extends QueryPack {
     math.floor(x * 1000000 + 0.5) / 1000000
 
   private[graft] case class MmrCand(vec_id: Long, rel: Double, embedding: Seq[Double])
+
+  /** BM25 per-document scores over [[QUERY_TERMS]] — shared by bm25_score
+    * and the hybrid RRF fusion so the lexical tower cannot drift from the
+    * standalone scorer. Corpus stats and per-term document frequencies
+    * broadcast; the per-term pivot fixes the float add order (see the
+    * class doc). */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val dl = docs(s, dir).select(
+      col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .filter(col("t").isin(QUERY_TERMS: _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+    val stats = docs(s, dir).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextOps.tokens(col("text"))).cast("long")).as("sum_dl"))
+    val scored = tf
+      .join(broadcast(dfreq), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("s",
+        log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0) *
+          (col("tf").cast("double") * lit(K1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / col("avgdl"))))
+    val p = scored.groupBy(col("doc_id")).agg(
+      max(when(col("t") === QUERY_TERMS(0), col("s"))).as("s0"),
+      max(when(col("t") === QUERY_TERMS(1), col("s"))).as("s1"),
+      max(when(col("t") === QUERY_TERMS(2), col("s"))).as("s2"))
+    p.select(col("doc_id"),
+      graft.ops.Num.r6(
+        coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0)) +
+          coalesce(col("s2"), lit(0.0))).as("bm25"))
+  }
 
   /** Merged duplicate-substring spans per document — the shared core of
     * dedup_substring_spans (reporting) and dedup_substring_apply (the
@@ -199,37 +270,41 @@ object MiningQueries extends QueryPack {
     //    not the corpus vocabulary). The per-term partials pivot into
     //    fixed columns and sum in ONE expression — float addition order
     //    is part of the contract (Num rules), so no multi-row double agg.
-    "bm25_score" -> ((s, dir) => {
-      val dl = docs(s, dir).select(
-        col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("dl"))
-      val tf = docs(s, dir)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-        .filter(col("t").isin(QUERY_TERMS: _*))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
-      val stats = docs(s, dir).agg(
-        count(lit(1)).as("n_docs"),
-        sum(size(TextOps.tokens(col("text"))).cast("long")).as("sum_dl"))
-      val scored = tf
-        .join(broadcast(dfreq), "t")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("avgdl",
-          col("sum_dl").cast("double") / col("n_docs").cast("double"))
-        .withColumn("s",
-          log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
-            (col("df").cast("double") + 0.5) + 1.0) *
-            (col("tf").cast("double") * lit(K1 + 1.0)) /
-            (col("tf").cast("double") +
-              lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / col("avgdl"))))
-      val p = scored.groupBy(col("doc_id")).agg(
-        max(when(col("t") === QUERY_TERMS(0), col("s"))).as("s0"),
-        max(when(col("t") === QUERY_TERMS(1), col("s"))).as("s1"),
-        max(when(col("t") === QUERY_TERMS(2), col("s"))).as("s2"))
-      p.select(col("doc_id"),
-        graft.ops.Num.r6(
-          coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0)) +
-            coalesce(col("s2"), lit(0.0))).as("bm25"))
+    "bm25_score" -> ((s, dir) => bm25Scores(s, dir)),
+
+    // -- hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
+    //    and vector (brute-force cosine) top-20 lists — the standard
+    //    two-tower RAG serve composition (keyword recall + semantic
+    //    recall, fused rank-wise so neither score scale dominates).
+    //    rrf = Σ_lists 1/(60 + rank); docs present in only one list
+    //    contribute that one term. Both lists arrive as distributed
+    //    top-k (TakeOrderedAndProject); the rank windows then run over
+    //    ≤ 20 rows each, so the unpartitioned window is a deliberate
+    //    single-task step over a pool-sized frame, never the corpus. ----
+    "hybrid_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lexTop = bm25Scores(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(HYBRID_POOL)
+        .withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("lex_rank"))
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val vecTop = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("dist",
+          lit(1.0) - graft.expressions.CosineSimilarity.cosineSim(
+            col("embedding"), col("q_emb")))
+        .orderBy(col("dist"), col("vec_id")).limit(HYBRID_POOL)
+        .withColumn("vec_rank", row_number().over(
+          Window.orderBy(col("dist"), col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("vec_rank"))
+      lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", graft.ops.Num.r6(
+          coalesce(lit(1.0) / (lit(RRF_K.toDouble) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RRF_K.toDouble) + col("vec_rank")), lit(0.0))))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(HYBRID_TOPN)
+        .select("doc_id", "lex_rank", "vec_rank", "rrf")
     }),
 
     // -- MMR diversification re-rank: from the top-POOL candidates by
@@ -484,29 +559,32 @@ object MiningQueries extends QueryPack {
          |        FROM documents)
          |) WHERE cum_tokens <= $BUDGET""".stripMargin,
 
-    "bm25_score" -> {
-      val terms = QUERY_TERMS.map(t => s"'$t'").mkString(", ")
-      val sExpr =
-        s"ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)" +
-          s" * (CAST(tf AS DOUBLE) * ${K1 + 1.0})" +
-          s" / (CAST(tf AS DOUBLE) + $K1 * (${1.0 - B} + $B * CAST(dl AS DOUBLE) / avgdl))"
-      val total = QUERY_TERMS.zipWithIndex.map { case (t, i) =>
-        s"coalesce(max(CASE WHEN t = '$t' THEN s END), 0.0)"
-      }.mkString(" + ")
-      s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
-         |stats AS (SELECT count(*) AS n_docs,
-         |                 sum(len(string_split(text, ' '))) AS sum_dl,
-         |                 CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-         |          FROM documents),
-         |tf AS (SELECT doc_id, t, count(*) AS tf
-         |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-         |       WHERE t IN ($terms) GROUP BY doc_id, t),
-         |df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t),
-         |s AS (SELECT tf.doc_id, tf.t, $sExpr AS s
-         |      FROM tf JOIN df USING (t) JOIN dl USING (doc_id), stats)
-         |SELECT doc_id, ${graft.ops.Num.R6_SQL(total)} AS bm25
-         |FROM s GROUP BY doc_id""".stripMargin
-    },
+    "bm25_score" ->
+      s"""WITH $BM25_CTES
+         |SELECT doc_id, bm25 FROM bm25""".stripMargin,
+
+    "hybrid_rrf_fusion" ->
+      s"""WITH $BM25_CTES,
+         |lex AS (
+         |  SELECT doc_id, lex_rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+         |    FROM bm25
+         |  ) WHERE lex_rank <= $HYBRID_POOL
+         |), q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |vd AS (
+         |  SELECT vec_id AS doc_id, 1.0 - ${cosSql("embedding", "q_emb")} AS dist
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |), vec AS (
+         |  SELECT doc_id, vec_rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY dist, doc_id) AS vec_rank
+         |    FROM vd
+         |  ) WHERE vec_rank <= $HYBRID_POOL
+         |)
+         |SELECT doc_id, lex_rank, vec_rank,
+         |       ${graft.ops.Num.R6_SQL(
+                   s"coalesce(1.0 / ($RRF_K + lex_rank), 0.0) + coalesce(1.0 / ($RRF_K + vec_rank), 0.0)")} AS rrf
+         |FROM lex FULL OUTER JOIN vec USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT $HYBRID_TOPN""".stripMargin,
 
     "mmr_rerank" ->
       s"""WITH RECURSIVE

@@ -287,7 +287,39 @@ object VectorQueries extends QueryPack {
     //    full vectors never leave the index build — candidates ship as
     //    4 small ints, the per-query LUT broadcasts, and the cell probe
     //    is an equi-join on cell id, never a corpus scan. ---------------
-    "ann_ivf_pq_search" -> ((s, dir) => {
+    "ann_ivf_pq_search" -> ((s, dir) => ivfPqTopK(s, dir)),
+
+    // -- superset: index QUALITY measurement — recall@3 of the IVF+PQ
+    //    serve path against the exact brute-force top-3, per query. The
+    //    check every real vector store runs before shipping an index
+    //    (probe/codebook sizing is a recall-vs-cost dial); here it is
+    //    just another oracle-checked query: exact side is a broadcast
+    //    top-k, approx side reuses the ivfPqTopK plan, and the overlap
+    //    count joins two ≤ k·|queries| frames. -------------------------
+    "ann_recall_at_k" -> ((s, dir) => {
+      val approx = ivfPqTopK(s, dir).select(col("q_id"), col("vec_id"))
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact = VectorOps.topKPerQuery(
+        e.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("dist",
+            lit(1.0) - cosineSim(col("embedding"), col("q_emb"))),
+        col("q_id"), Seq(col("dist"), col("vec_id")), k = 3)
+        .select(col("q_id"), col("vec_id"))
+      val hits = exact.join(approx, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      qs.select("q_id").join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          graft.ops.Num.r6(
+            coalesce(col("hits"), lit(0L)).cast("double") / 3.0).as("recall"))
+    })
+  )
+
+  /** The IVF+PQ serve plan behind ann_ivf_pq_search and ann_recall_at_k. */
+  private def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
       val SUBS = 4
       val SUBDIM = DIMS / SUBS
       val sIdx = explode(sequence(lit(0), lit(SUBS - 1)))
@@ -353,8 +385,7 @@ object VectorQueries extends QueryPack {
       VectorOps.topKPerQuery(
         adist, col("q_id"), Seq(col("adist"), col("vec_id")), k = 3)
         .select("q_id", "vec_id", "adist")
-    })
-  )
+  }
 
   def oracleSql: Map[String, String] = Map(
     "ann_pq_codes" -> {
@@ -377,13 +408,42 @@ object VectorQueries extends QueryPack {
          |FROM a WHERE rn = 1 GROUP BY vec_id""".stripMargin
     },
 
-    "ann_ivf_pq_search" -> {
-      val sq = "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
-      def d2(a: String, b: String) =
-        s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(list_zip($a, $b), x -> $sq), (a, b) -> a + b)"
-      val adc = (0 until 4).map(i => s"max(CASE WHEN c.s = $i THEN t.qd2 END)").mkString(" + ")
-      s"""WITH ss AS (SELECT unnest(range(0, 4)) AS s),
-         |cents AS (
+    "ann_ivf_pq_search" ->
+      s"""WITH $IVFPQ_CTES
+         |SELECT q_id, vec_id, adist FROM approx""".stripMargin,
+
+    "ann_recall_at_k" ->
+      s"""WITH $IVFPQ_CTES,
+         |exact AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY 1.0 - ${cosSql("e.embedding", "q.embedding")}, e.vec_id) AS rn
+         |    FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+         |    WHERE e.vec_id <> q.vec_id
+         |  ) WHERE rn <= 3
+         |), hits AS (
+         |  SELECT ex.q_id, count(*) AS hits
+         |  FROM exact ex JOIN approx a ON a.q_id = ex.q_id AND a.vec_id = ex.vec_id
+         |  GROUP BY ex.q_id
+         |)
+         |SELECT q.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |       ${graft.ops.Num.R6_SQL("CAST(coalesce(h.hits, 0) AS DOUBLE) / 3.0")} AS recall
+         |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 5) q
+         |LEFT JOIN hits h USING (q_id)""".stripMargin,
+
+  ) ++ oracleSqlRest
+
+  /** Shared oracle chain for the IVF+PQ serve path: everything through an
+    * `approx(q_id, vec_id, adist)` CTE holding the per-query top-3 by
+    * ADC distance. Used by ann_ivf_pq_search and ann_recall_at_k. */
+  private lazy val IVFPQ_CTES: String = {
+    val sq = "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    def d2(a: String, b: String) =
+      s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(list_zip($a, $b), x -> $sq), (a, b) -> a + b)"
+    val adc = (0 until 4).map(i => s"max(CASE WHEN c.s = $i THEN t.qd2 END)").mkString(" + ")
+    s"""ss AS (SELECT unnest(range(0, 4)) AS s),
+       |cents AS (
          |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0
          |), assign AS (
          |  SELECT vec_id, c_id FROM (
@@ -426,13 +486,17 @@ object VectorQueries extends QueryPack {
          |        WHERE a.vec_id <> p.q_id) c
          |  JOIN dtab t ON t.q_id = c.q_id AND t.s = c.s AND t.code = c.code
          |  GROUP BY c.q_id, c.vec_id
-         |)
-         |SELECT q_id, vec_id, adist FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
-         |  FROM ad
-         |) WHERE rn <= 3""".stripMargin
-    },
+         |), approx AS (
+         |  SELECT q_id, vec_id, adist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+         |    FROM ad
+         |  ) WHERE rn <= 3
+         |)""".stripMargin
+  }
 
+  /** Tail of [[oracleSql]], split out so the shared [[IVFPQ_CTES]] fragment
+    * sits next to its two consumers (ann_ivf_pq_search, ann_recall_at_k). */
+  private lazy val oracleSqlRest: Map[String, String] = Map(
     "cosine_similarity" ->
       s"""WITH $Q_CTE
          |SELECT vec_id, ${cosSql("embedding", "q_emb")} AS sim

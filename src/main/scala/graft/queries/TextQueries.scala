@@ -79,6 +79,26 @@ object TextQueries extends QueryPack {
       .select("a_id", "b_id", "jac")
   }
 
+  /** Near-dup CLUSTER labels `(doc_id, comp)`: connected components over
+    * the Jaccard pairs, comp = component-min doc_id. Shared by
+    * `dedup_cluster_cc` (the labels themselves) and `split_leakage_safe`
+    * (split assignment at cluster granularity).
+    *
+    * The pair set is materialized ONCE before the orientation union: the
+    * union's two branches otherwise each re-run the whole banded
+    * enumeration+verify join (its subtree appears twice in the plan, and
+    * exchange reuse does not fuse the two SMJs) — profiled as the
+    * dominant cost of this query, ~2× the CC loop itself. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val vertices = docs(s, dir).select(col("doc_id").as("id"))
+    graft.ops.GraphOps.connectedComponents(vertices, edges)
+      .select(col("id").as("doc_id"), col("comp"))
+  }
+
   // ---- oracle fragments -------------------------------------------------
 
   /** Polynomial rolling hash of a string expr — mirrors TextOps.polyHash. */
@@ -101,6 +121,29 @@ object TextQueries extends QueryPack {
 
   private def minhashSql(i: Int): String =
     s"list_min(list_transform(hs, x -> (x * ${MINHASH_A(i)} + ${MINHASH_B(i)}) % $P))"
+
+  /** Oracle twin of [[clusterLabels]], ending in a `comp(doc_id, comp)`
+    * CTE: transitive closure of the symmetric pair graph; min reachable
+    * label = connected component. UNION (not UNION ALL) dedups the
+    * frontier so the recursion terminates. Shared by the
+    * dedup_cluster_cc and split_leakage_safe oracles. */
+  private lazy val CC_CTES: String =
+    s"""$HASHES_CTE, pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM hashed a JOIN hashed b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |    AND len(a.hs) * 20 >= len(b.hs) * 19 AND len(b.hs) * 20 >= len(a.hs) * 19
+       |  WHERE ${jacSql("a.hs", "b.hs")} >= $JACCARD_T
+       |), edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT b_id AS src, a_id AS dst FROM pairs
+       |), reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+       |), comp AS (
+       |  SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id
+       |)""".stripMargin
 
   // ---- registry ---------------------------------------------------------
 
@@ -189,19 +232,23 @@ object TextQueries extends QueryPack {
     // collapse into ONE keep-group even when A!~C, so the canonical
     // representative is the component min, not the pair min. See
     // graft.ops.GraphOps.connectedComponents for the iterative shape.
-    "dedup_cluster_cc" -> ((s, dir) => {
-      // Materialize the pair set ONCE before the orientation union: the
-      // union's two branches otherwise each re-run the whole banded
-      // enumeration+verify join (its subtree appears twice in the plan,
-      // and exchange reuse does not fuse the two SMJs) — profiled as the
-      // dominant cost of this query, ~2× the CC loop itself.
-      val pairs = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
-        .localCheckpoint()
-      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      val vertices = docs(s, dir).select(col("doc_id").as("id"))
-      graft.ops.GraphOps.connectedComponents(vertices, edges)
-        .select(col("id").as("doc_id"), col("comp"))
+    "dedup_cluster_cc" -> ((s, dir) => clusterLabels(s, dir)),
+
+    // -- leakage-safe split: train/valid/test at CLUSTER granularity -------
+    // A hash split on doc_id (split_stratified_hash) leaks: two near-
+    // identical docs can land in train and test, and the eval set then
+    // scores memorization. Assigning the split from the COMPONENT label
+    // moves every near-dup cluster together — leakage across splits is
+    // impossible by construction. The bucket is the shared deterministic
+    // sampleKey of the representative (no RNG, engine-portable), so the
+    // 80/10/10 is approximate per-cluster but exact in expectation — the
+    // only option once the unit of assignment is a variable-sized group.
+    "split_leakage_safe" -> ((s, dir) => {
+      val bucket = TextOps.sampleKey(col("comp")) % 10
+      clusterLabels(s, dir).withColumn("split",
+        when(bucket < 8, lit("train"))
+          .when(bucket === 8, lit("valid"))
+          .otherwise(lit("test")))
     }),
 
     // -- MinHash + LSH banding near-dup (the 100-TB path) ------------------
@@ -435,25 +482,17 @@ object TextQueries extends QueryPack {
          |  AND len(a.hs) * 20 >= len(b.hs) * 19 AND len(b.hs) * 20 >= len(a.hs) * 19
          |WHERE ${jacSql("a.hs", "b.hs")} >= $JACCARD_T""".stripMargin,
 
-    // Transitive closure of the symmetric pair graph; min reachable label
-    // = connected component. UNION (not UNION ALL) dedups the frontier so
-    // the recursion terminates.
     "dedup_cluster_cc" ->
-      s"""WITH RECURSIVE $HASHES_CTE, pairs AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM hashed a JOIN hashed b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |    AND len(a.hs) * 20 >= len(b.hs) * 19 AND len(b.hs) * 20 >= len(a.hs) * 19
-         |  WHERE ${jacSql("a.hs", "b.hs")} >= $JACCARD_T
-         |), edges AS (
-         |  SELECT a_id AS src, b_id AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT b_id AS src, a_id AS dst FROM pairs
-         |), reach(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-         |)
-         |SELECT id AS doc_id, min(lbl) AS comp FROM reach GROUP BY id""".stripMargin,
+      s"""WITH RECURSIVE $CC_CTES
+         |SELECT doc_id, comp FROM comp""".stripMargin,
+
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE $CC_CTES
+         |SELECT doc_id, comp,
+         |       CASE WHEN (${TextOps.SAMPLE_KEY_SQL("comp")}) % 10 < 8 THEN 'train'
+         |            WHEN (${TextOps.SAMPLE_KEY_SQL("comp")}) % 10 = 8 THEN 'valid'
+         |            ELSE 'test' END AS split
+         |FROM comp""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $HASHES_CTE, banded AS (

@@ -163,6 +163,62 @@ object MiningQueries extends QueryPack {
           coalesce(col("s2"), lit(0.0))).as("bm25"))
   }
 
+  /** 3-round BPE-style merge trainer, shared by `phrase_merges_bpe` (the
+    * learned merges) and `bpe_encode` (the round-3 corpus, which IS the
+    * greedy encoding of the raw corpus under those merges).
+    *
+    * Returns (merges(step, w1, w2, cnt), corpus(doc_id, text, n_raw)).
+    *
+    * Iterative DRIVER orchestration like dedup_cluster_cc: each round is
+    * one distributed aggregate; only the single winning pair (one row)
+    * ever reaches the driver, and the re-tokenization is a pure map-side
+    * string rewrite (double-space framing makes " w1  w2 " occurrences
+    * non-overlapping, so left-to-right replace is the greedy BPE merge in
+    * both engines). At 100 TB this is k passes over the corpus — the
+    * standard trainer shape.
+    *
+    * repartition: the one-file testdata scan would otherwise run every
+    * round's bigram explode+count in a single task; a real corpus scan is
+    * already wide. localCheckpoint per round: round k's corpus is the
+    * round-(k-1) rewrite applied ONCE — without it Catalyst re-executes
+    * the whole rewrite chain from the raw scan inside every later round
+    * (1+2+3 rewrites instead of 3), the same re-executed-subtree trap as
+    * quality_lm_score's bigram frame. The final rewrite stays lazy: dead
+    * for the trainer, executed exactly once by the encoder. */
+  private def bpeTrain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    var corpus = docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_raw"))
+      .repartition(32).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (step <- 1L to 3L) {
+      val top = corpus
+        .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+        .select(
+          split(col("bg"), " ").getItem(0).as("w1"),
+          split(col("bg"), " ").getItem(1).as("w2"), col("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+        .collect()(0)
+      val (w1, w2, cnt) =
+        (top.getAs[String]("w1"), top.getAs[String]("w2"), top.getAs[Long]("cnt"))
+      merges += ((step, w1, w2, cnt))
+      // Column API with lit() operands — the winning tokens are data,
+      // not SQL text; an expr() splice would mis-parse on any corpus
+      // token containing a quote or backslash.
+      val framed =
+        concat(lit(" "), replace(col("text"), lit(" "), lit("  ")), lit(" "))
+      corpus = corpus.select(col("doc_id"),
+        trim(replace(
+          replace(framed, lit(s" $w1  $w2 "), lit(s" ${w1}_$w2 ")),
+          lit("  "), lit(" "))).as("text"),
+        col("n_raw"))
+      if (step < 3L) corpus = corpus.localCheckpoint()
+    }
+    (merges.toSeq.toDF("step", "w1", "w2", "cnt"), corpus)
+  }
+
   /** Merged duplicate-substring spans per document — the shared core of
     * dedup_substring_spans (reporting) and dedup_substring_apply (the
     * cut). Duplicate detection is a COUNT window over the hash partition:
@@ -447,44 +503,20 @@ object MiningQueries extends QueryPack {
     //    occurrences non-overlapping, so left-to-right replace is the
     //    greedy BPE merge in both engines). At 100 TB this is k passes
     //    over the corpus — the standard trainer shape. -------------------
-    "phrase_merges_bpe" -> ((s, dir) => {
-      import s.implicits._
-      // repartition: the one-file testdata scan would otherwise run every
-      // round's bigram explode+count in a single task; a real corpus scan
-      // is already wide. localCheckpoint per round: round k's corpus is
-      // the round-(k-1) rewrite applied ONCE — without it Catalyst
-      // re-executes the whole rewrite chain from the raw scan inside
-      // every later round (1+2+3 rewrites instead of 3), the same
-      // re-executed-subtree trap as quality_lm_score's bigram frame.
-      var corpus = docs(s, dir).select(col("doc_id"), col("text"))
-        .repartition(32).localCheckpoint()
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-      for (step <- 1L to 3L) {
-        val top = corpus
-          .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bg"))
-          .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-          .select(
-            split(col("bg"), " ").getItem(0).as("w1"),
-            split(col("bg"), " ").getItem(1).as("w2"), col("cnt"))
-          .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
-          .collect()(0)
-        val (w1, w2, cnt) =
-          (top.getAs[String]("w1"), top.getAs[String]("w2"), top.getAs[Long]("cnt"))
-        merges += ((step, w1, w2, cnt))
-        // Column API with lit() operands — the winning tokens are data,
-        // not SQL text; an expr() splice would mis-parse on any corpus
-        // token containing a quote or backslash.
-        val framed =
-          concat(lit(" "), replace(col("text"), lit(" "), lit("  ")), lit(" "))
-        corpus = corpus.select(col("doc_id"),
-          trim(replace(
-            replace(framed, lit(s" $w1  $w2 "), lit(s" ${w1}_$w2 ")),
-            lit("  "), lit(" "))).as("text"))
-        // Materialize only corpora a later round will re-read; the final
-        // rewrite is dead (lazy, never executed) without a checkpoint.
-        if (step < 3L) corpus = corpus.localCheckpoint()
-      }
-      merges.toSeq.toDF("step", "w1", "w2", "cnt")
+    "phrase_merges_bpe" -> ((s, dir) => bpeTrain(s, dir)._1),
+
+    // -- BPE-style ENCODER: the other half of the trainer — apply the 3
+    //    learned merges to the corpus in training order (greedy left-to-
+    //    right, the same framed-replace kernel) and report the token-count
+    //    compression. The final round-3 corpus of the trainer IS the
+    //    encoding, so the two queries share one loop; the raw token count
+    //    rides through the rewrites as a column, so no corpus-sized join
+    //    is needed to attach it. ------------------------------------------
+    "bpe_encode" -> ((s, dir) => {
+      bpeTrain(s, dir)._2.select(
+        col("doc_id"), col("text").as("text_bpe"),
+        col("n_raw").as("n_tokens_raw"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens_bpe"))
     }),
 
     // -- inverted-index postings: term -> df + the first POSTING_CAP doc
@@ -654,30 +686,17 @@ object MiningQueries extends QueryPack {
                    "list_reduce([CAST(0.0 AS DOUBLE)] || list(lnp ORDER BY bpos), (a, b) -> a + b) / CAST(count(*) AS DOUBLE)")} AS mean_lnp
          |FROM lnp GROUP BY doc_id""".stripMargin,
 
-    "phrase_merges_bpe" -> {
-      // three chained merge stages; each stage's winner feeds the next
-      // stage's corpus rewrite as scalar subqueries
-      def bigramsOf(src: String) =
-        s"""SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
-           |       j -> string_split(text, ' ')[j] || ' ' || string_split(text, ' ')[j+1])) AS bg
-           |FROM $src""".stripMargin
-      def stage(i: Int, src: String) =
-        s"""c$i AS (SELECT bg, count(*) AS cnt FROM (${bigramsOf(src)}) GROUP BY bg),
-           |m$i AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, cnt
-           |        FROM c$i ORDER BY cnt DESC, w1, w2 LIMIT 1),
-           |t$i AS (SELECT doc_id,
-           |               trim(replace(replace(' ' || replace(text, ' ', '  ') || ' ',
-           |                 (SELECT ' ' || w1 || '  ' || w2 || ' ' FROM m$i),
-           |                 (SELECT ' ' || w1 || '_' || w2 || ' ' FROM m$i)), '  ', ' ')) AS text
-           |        FROM $src)""".stripMargin
-      s"""WITH t0 AS (SELECT doc_id, text FROM documents),
-         |${stage(1, "t0")},
-         |${stage(2, "t1")},
-         |${stage(3, "t2")}
+    "phrase_merges_bpe" ->
+      s"""WITH $BPE_CTES
          |SELECT CAST(1 AS BIGINT) AS step, w1, w2, cnt FROM m1
          |UNION ALL SELECT CAST(2 AS BIGINT), w1, w2, cnt FROM m2
-         |UNION ALL SELECT CAST(3 AS BIGINT), w1, w2, cnt FROM m3""".stripMargin
-    },
+         |UNION ALL SELECT CAST(3 AS BIGINT), w1, w2, cnt FROM m3""".stripMargin,
+
+    "bpe_encode" ->
+      s"""WITH $BPE_CTES
+         |SELECT doc_id, text AS text_bpe, n_raw AS n_tokens_raw,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_bpe
+         |FROM t3""".stripMargin,
 
     "inverted_index_postings" ->
       s"""SELECT t AS term, count(*) AS df,
@@ -686,4 +705,31 @@ object MiningQueries extends QueryPack {
          |      FROM documents)
          |GROUP BY t""".stripMargin
   )
+
+  /** Oracle twin of [[bpeTrain]]: three chained merge stages (each
+    * stage's winner feeds the next stage's corpus rewrite as scalar
+    * subqueries), ending in per-stage winners `m1..m3` and the round-3
+    * corpus `t3(doc_id, text, n_raw)`. Shared by the phrase_merges_bpe
+    * and bpe_encode oracles. */
+  private lazy val BPE_CTES: String = {
+    def bigramsOf(src: String) =
+      s"""SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+         |       j -> string_split(text, ' ')[j] || ' ' || string_split(text, ' ')[j+1])) AS bg
+         |FROM $src""".stripMargin
+    def stage(i: Int, src: String) =
+      s"""c$i AS (SELECT bg, count(*) AS cnt FROM (${bigramsOf(src)}) GROUP BY bg),
+         |m$i AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, cnt
+         |        FROM c$i ORDER BY cnt DESC, w1, w2 LIMIT 1),
+         |t$i AS (SELECT doc_id, n_raw,
+         |               trim(replace(replace(' ' || replace(text, ' ', '  ') || ' ',
+         |                 (SELECT ' ' || w1 || '  ' || w2 || ' ' FROM m$i),
+         |                 (SELECT ' ' || w1 || '_' || w2 || ' ' FROM m$i)), '  ', ' ')) AS text
+         |        FROM $src)""".stripMargin
+    s"""t0 AS (SELECT doc_id, text,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_raw
+       |      FROM documents),
+       |${stage(1, "t0")},
+       |${stage(2, "t1")},
+       |${stage(3, "t2")}""".stripMargin
+  }
 }

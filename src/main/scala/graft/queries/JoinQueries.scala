@@ -200,6 +200,32 @@ object JoinQueries extends QueryPack {
         .select("event_id", "user_id", "value", "event_type")
     }),
 
+    // -- Z-ORDER layout key: 2-D data skipping as a sort key ---------------
+    // scan_partitioned_store prunes on ONE column (the partition key); a
+    // store laid out by zkey instead bounds BOTH user_id and event-hour
+    // per file, so footer stats prune box predicates on EITHER dimension
+    // (ZorderSpec measures the pruning vs both single-dim sorts). Dims
+    // are rank-scaled to 16 bits off one broadcast min/max aggregate —
+    // raw ids interleave uselessly when their bit widths differ (the
+    // narrow dim's bits all sit below the wide dim's, degenerating to a
+    // single-dim sort). Integer magnitudes stay < 2^26, so the double
+    // division is exact cross-engine. -------------------------------------
+    "zorder_layout" -> ((s, dir) => {
+      val base = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hr"))
+      val b = base.agg(
+        min("user_id").as("u0"), max("user_id").as("u1"),
+        min("hr").as("h0"), max("hr").as("h1"))
+      base.crossJoin(broadcast(b))
+        .withColumn("ux", floor((col("user_id") - col("u0")) * 65535 /
+          greatest(col("u1") - col("u0"), lit(1L))).cast("long"))
+        .withColumn("hx", floor((col("hr") - col("h0")) * 65535 /
+          greatest(col("h1") - col("h0"), lit(1L))).cast("long"))
+        .select(col("event_id"), col("ux"), col("hx"),
+          graft.ops.LayoutOps.zorder2(col("ux"), col("hx")).as("zkey"))
+    }),
+
     // -- T5 upgrade: event-time tumbling-window aggregation ----------------
     "event_time_window_agg" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -609,6 +635,25 @@ object JoinQueries extends QueryPack {
     "scan_partitioned_store" ->
       """SELECT event_id, user_id, value, event_type
         |FROM events WHERE event_type = 'click' AND value > 50.0""".stripMargin,
+
+    "zorder_layout" ->
+      s"""WITH base AS (
+         |  SELECT event_id, user_id,
+         |         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr
+         |  FROM events
+         |), b AS (
+         |  SELECT min(user_id) AS u0, max(user_id) AS u1,
+         |         min(hr) AS h0, max(hr) AS h1
+         |  FROM base
+         |), scaled AS (
+         |  SELECT event_id,
+         |         CAST(floor((user_id - u0) * 65535 / greatest(u1 - u0, 1)) AS BIGINT) AS ux,
+         |         CAST(floor((hr - h0) * 65535 / greatest(h1 - h0, 1)) AS BIGINT) AS hx
+         |  FROM base, b
+         |)
+         |SELECT event_id, ux, hx,
+         |       ${graft.ops.LayoutOps.zorder2Sql("ux", "hx")} AS zkey
+         |FROM scaled""".stripMargin,
 
     "stats_corr_exact" ->
       """WITH m AS (

@@ -136,7 +136,7 @@ object GraphOps {
 
   /** Exact decimal sum of labels — overflow-proof for any vertex count. */
   private def labelSum(comp: DataFrame): BigDecimal = {
-    val d = comp.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    val d = comp.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
     if (d == null) BigDecimal(0) else BigDecimal(d)
   }
 }

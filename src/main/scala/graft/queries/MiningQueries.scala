@@ -389,7 +389,7 @@ object MiningQueries extends QueryPack {
         .flatMapGroups { (_, it) =>
           val pool = it.toArray.sortBy(c => (-c.rel, c.vec_id))
           val selected = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
-          val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+          val remaining = scala.collection.mutable.ArrayBuffer.from(pool)
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
           while (selected.length < MMR_K && remaining.nonEmpty) {
             var bestIdx = 0

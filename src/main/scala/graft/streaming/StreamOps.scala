@@ -164,7 +164,7 @@ object StreamOps {
   def kafkaSink(df: DataFrame, bootstrap: String, topic: String): DataStreamWriter[org.apache.spark.sql.Row] =
     df.select(
         col("ticker").cast("string").as("key"),
-        to_json(struct(df.columns.map(col): _*)).as("value"))
+        to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)

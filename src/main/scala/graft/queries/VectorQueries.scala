@@ -191,6 +191,45 @@ object VectorQueries extends QueryPack {
         .select("q_id", "vec_id", "dist")
     }),
 
+    // -- superset: IVF index REFRESH — one Lloyd's iteration ---------------
+    // The maintenance op behind every IVF store: re-assign vectors to
+    // their nearest centroid, recompute each cell's centroid as the
+    // element-wise member mean, and report how far each coordinate moved
+    // (the convergence signal that decides whether to iterate again).
+    // Shapes: codebook broadcasts; the per-(cell, dim) mean is a grouped
+    // fold over values ORDERED BY vec_id — cell-population-bounded, and
+    // the fixed order keeps the float sum bit-equal to the oracle (the
+    // quality_lm_score pattern; an order-free fp sum would be the choice
+    // if cross-engine parity were not required). Empty cells simply
+    // don't appear — in both engines the output is driven by the
+    // assignment, not the codebook. ----------------------------------------
+    "ivf_recluster" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val assign = VectorOps.topKPerQuery(
+        e.crossJoin(broadcast(cents))
+          .withColumn("csim", cosineSim(col("embedding"), col("c_emb"))),
+        col("vec_id"), Seq(col("csim").desc, col("c_id")), k = 1)
+        .select(col("vec_id"), col("embedding"), col("c_id"))
+      val g = assign
+        .select(col("c_id"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("c_id"), col("pos").cast("long").as("pos"),
+          col("vec_id"), col("v").cast("double").as("v"))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          collect_list(struct(col("vec_id"), col("v"))).as("vs"))
+        .select(col("c_id"), col("pos"), col("n"),
+          aggregate(transform(array_sort(col("vs")), _.getField("v")),
+            lit(0.0), (acc, x) => acc + x).as("sv"))
+      g.join(broadcast(cents), "c_id")
+        .withColumn("mean", graft.ops.Num.r6(col("sv") / col("n").cast("double")))
+        .withColumn("delta", graft.ops.Num.r6(col("mean") -
+          element_at(col("c_emb"), (col("pos") + 1).cast("int")).cast("double")))
+        .select(col("c_id"), col("pos"), col("n"), col("mean"), col("delta"))
+    }),
+
     // -- superset: kNN JOIN — top-3 neighbors for EVERY vector (not a
     //    small query set), blocked by LSH bucket. The classic kNN-join
     //    primitive behind embedding-based near-dup mining and retrieval
@@ -545,6 +584,32 @@ object VectorQueries extends QueryPack {
     "dedup_embedding_cosine" ->
       s"""WITH $PAIR_CTE
          |SELECT a_id, b_id, sim FROM pairs WHERE sim > 0.4""".stripMargin,
+
+    "ivf_recluster" -> {
+      val meanSql = "sv / CAST(n AS DOUBLE)"
+      s"""WITH ps AS (SELECT unnest(range(0, $DIMS)) AS pos),
+         |cents AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0
+         |), assign AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+         |    FROM embeddings e, cents c
+         |  ) WHERE rn = 1
+         |), m AS (
+         |  SELECT a.c_id, p.pos, e.vec_id, CAST(e.embedding[p.pos + 1] AS DOUBLE) AS v
+         |  FROM assign a JOIN embeddings e USING (vec_id), ps p
+         |), g AS (
+         |  SELECT c_id, pos, count(*) AS n,
+         |         list_reduce([CAST(0.0 AS DOUBLE)] || list(v ORDER BY vec_id), (a, b) -> a + b) AS sv
+         |  FROM m GROUP BY c_id, pos
+         |)
+         |SELECT g.c_id, g.pos, g.n, ${graft.ops.Num.R6_SQL(meanSql)} AS mean,
+         |       ${graft.ops.Num.R6_SQL(
+                   s"${graft.ops.Num.R6_SQL(meanSql)} - CAST(c.c_emb[g.pos + 1] AS DOUBLE)")} AS delta
+         |FROM g JOIN cents c USING (c_id)""".stripMargin
+    },
 
     "ann_ivf_probe" ->
       s"""WITH cents AS (

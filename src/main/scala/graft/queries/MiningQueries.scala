@@ -36,7 +36,7 @@ object MiningQueries extends QueryPack {
 
   /** Token budget per source for the mixing sampler (testdata sources
     * hold ~25–250 docs × ~54 tokens; 600 keeps a meaningful prefix). */
-  private val BUDGET = 600L
+  private[graft] val BUDGET = 600L
 
   /** BM25 parameters (the standard Robertson defaults). */
   private val K1 = 1.2
@@ -280,7 +280,7 @@ object MiningQueries extends QueryPack {
     * by mix_token_budget and mining_pipeline (and mirrored by the
     * streaming twin `StreamOps.tokenBudgetAdmitStream`). Input needs
     * (doc_id, source, <tokCol>); adds `cum_tokens`. */
-  private def admitByBudget(d: DataFrame, tokCol: String): DataFrame = {
+  private[graft] def admitByBudget(d: DataFrame, tokCol: String): DataFrame = {
     val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     d.withColumn("h", TextOps.sampleKey(col("doc_id")))

@@ -93,6 +93,39 @@ object PipelineQueries extends QueryPack {
         enriched, id = col("store_id"),
         order = Seq(col("doc_id").desc))
         .select("store_id", "doc_id", "id_raw", "sentiment", "quality", "fp")
+    }),
+
+    // -- the full training-shard assembly as ONE plan: near-dup clusters
+    //    → leakage-safe split → keep the train REPRESENTATIVE per cluster
+    //    (doc_id == comp: split and dedup in one predicate) → per-source
+    //    token-budget admission → greedy sequence packing. Every stage is
+    //    a standalone registry operator (dedup_cluster_cc /
+    //    split_leakage_safe / mix_token_budget / pack_sequences_greedy)
+    //    and the composition reuses their private[graft] kernels, so the
+    //    pipeline cannot drift from the pieces. Shapes at 100 TB: the CC
+    //    loop dominates (neighborhood-bounded, see GraphOps); the doc
+    //    re-attach is a hash join on doc_id; admission and packing are
+    //    one source-/shard-partitioned window each. ----------------------
+    "train_shard_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val train = TextQueries.clusterLabels(s, dir)
+        .filter(TextQueries.splitOf(col("comp")) === "train" &&
+          col("doc_id") === col("comp"))
+        .select("doc_id")
+      val td = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(train, "doc_id")
+      val admitted = MiningQueries.admitByBudget(td, "n_tokens")
+        .select("doc_id", "source", "n_tokens")
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      admitted
+        .withColumn("shard", col("doc_id") % ScaleQueries.SHARDS)
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"),
+          expr(s"cum_before div ${ScaleQueries.CTX}").as("seq_idx"),
+          (col("cum_before") % ScaleQueries.CTX).as("offset"))
     })
   )
 
@@ -160,6 +193,34 @@ object PipelineQueries extends QueryPack {
          |FROM (
          |  SELECT *, row_number() OVER (PARTITION BY store_id ORDER BY doc_id DESC) AS rn
          |  FROM enriched
-         |) WHERE rn = 1""".stripMargin
+         |) WHERE rn = 1""".stripMargin,
+
+    "train_shard_pipeline" ->
+      s"""WITH RECURSIVE ${TextQueries.CC_CTES},
+         |train AS (
+         |  SELECT doc_id FROM comp
+         |  WHERE doc_id = comp AND ${TextQueries.SPLIT_SQL("comp")} = 'train'
+         |), td AS (
+         |  SELECT d.doc_id, d.source,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |         ${TextOps.SAMPLE_KEY_SQL("d.doc_id")} AS h
+         |  FROM documents d JOIN train USING (doc_id)
+         |), adm AS (
+         |  SELECT doc_id, source, n_tokens FROM (
+         |    SELECT doc_id, source, n_tokens,
+         |           CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |    FROM td
+         |  ) WHERE cum_tokens <= ${MiningQueries.BUDGET}
+         |), packed AS (
+         |  SELECT doc_id, source, n_tokens, doc_id % ${ScaleQueries.SHARDS} AS shard,
+         |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % ${ScaleQueries.SHARDS} ORDER BY doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM adm
+         |)
+         |SELECT doc_id, source, n_tokens, shard,
+         |       cum_before // ${ScaleQueries.CTX} AS seq_idx,
+         |       cum_before % ${ScaleQueries.CTX} AS offset
+         |FROM packed""".stripMargin
   )
 }

@@ -21,11 +21,11 @@ import graft.ops.TextOps
 object ScaleQueries extends QueryPack {
 
   /** Context length (tokens) for greedy sequence packing. */
-  private val CTX = 512L
+  private[graft] val CTX = 512L
 
   /** Packing/split shards: enough for parallelism at test SF; at real
     * scale this is O(cluster cores) and the plan shape is unchanged. */
-  private val SHARDS = 8L
+  private[graft] val SHARDS = 8L
 
   /** Time-bin width for the binned range join: 1 h in microseconds.
     * Chosen ~ interval length so each interval explodes into O(1) bins —

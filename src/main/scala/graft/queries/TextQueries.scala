@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -89,7 +89,7 @@ object TextQueries extends QueryPack {
     * enumeration+verify join (its subtree appears twice in the plan, and
     * exchange reuse does not fuse the two SMJs) — profiled as the
     * dominant cost of this query, ~2× the CC loop itself. */
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val pairs = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
       .localCheckpoint()
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -98,6 +98,23 @@ object TextQueries extends QueryPack {
     graft.ops.GraphOps.connectedComponents(vertices, edges)
       .select(col("id").as("doc_id"), col("comp"))
   }
+
+  /** The split_leakage_safe bucket rule — ONE definition of how a cluster
+    * representative maps to train/valid/test, shared with
+    * PipelineQueries.train_shard_pipeline so the composed pipeline cannot
+    * drift from the standalone split. DuckDB mirror: [[SPLIT_SQL]]. */
+  private[graft] def splitOf(comp: Column): Column = {
+    val bucket = TextOps.sampleKey(comp) % 10
+    when(bucket < 8, lit("train"))
+      .when(bucket === 8, lit("valid"))
+      .otherwise(lit("test"))
+  }
+
+  /** Oracle fragment of [[splitOf]]. */
+  private[graft] val SPLIT_SQL: String => String = comp =>
+    s"CASE WHEN (${TextOps.SAMPLE_KEY_SQL(comp)}) % 10 < 8 THEN 'train' " +
+      s"WHEN (${TextOps.SAMPLE_KEY_SQL(comp)}) % 10 = 8 THEN 'valid' " +
+      s"ELSE 'test' END"
 
   // ---- oracle fragments -------------------------------------------------
 
@@ -127,7 +144,7 @@ object TextQueries extends QueryPack {
     * label = connected component. UNION (not UNION ALL) dedups the
     * frontier so the recursion terminates. Shared by the
     * dedup_cluster_cc and split_leakage_safe oracles. */
-  private lazy val CC_CTES: String =
+  private[graft] lazy val CC_CTES: String =
     s"""$HASHES_CTE, pairs AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM hashed a JOIN hashed b ON a.lang = b.lang AND a.doc_id < b.doc_id
@@ -243,13 +260,8 @@ object TextQueries extends QueryPack {
     // sampleKey of the representative (no RNG, engine-portable), so the
     // 80/10/10 is approximate per-cluster but exact in expectation — the
     // only option once the unit of assignment is a variable-sized group.
-    "split_leakage_safe" -> ((s, dir) => {
-      val bucket = TextOps.sampleKey(col("comp")) % 10
-      clusterLabels(s, dir).withColumn("split",
-        when(bucket < 8, lit("train"))
-          .when(bucket === 8, lit("valid"))
-          .otherwise(lit("test")))
-    }),
+    "split_leakage_safe" -> ((s, dir) =>
+      clusterLabels(s, dir).withColumn("split", splitOf(col("comp")))),
 
     // -- MinHash + LSH banding near-dup (the 100-TB path) ------------------
     // 2 bands of 4 minhash rows: bucket key = "j_mh{4j}.._mh{4j+3}". 4-row
@@ -488,10 +500,7 @@ object TextQueries extends QueryPack {
 
     "split_leakage_safe" ->
       s"""WITH RECURSIVE $CC_CTES
-         |SELECT doc_id, comp,
-         |       CASE WHEN (${TextOps.SAMPLE_KEY_SQL("comp")}) % 10 < 8 THEN 'train'
-         |            WHEN (${TextOps.SAMPLE_KEY_SQL("comp")}) % 10 = 8 THEN 'valid'
-         |            ELSE 'test' END AS split
+         |SELECT doc_id, comp, ${SPLIT_SQL("comp")} AS split
          |FROM comp""".stripMargin,
 
     "dedup_minhash_lsh" ->

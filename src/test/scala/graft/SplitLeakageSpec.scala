@@ -45,4 +45,29 @@ class SplitLeakageSpec extends AnyFunSuite {
       graft.model.Tables.documents(spark, SF).count())
     assert(out.select("doc_id").distinct().count() == out.count())
   }
+
+  test("train_shard_pipeline composes its stages without drift") {
+    val pipe = SparkEntry.queries("train_shard_pipeline")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(pipe.nonEmpty)
+
+    // Every emitted doc is a TRAIN cluster representative...
+    val reps = out.filter(col("split") === "train" && col("doc_id") === col("comp"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pipe.forall(p => reps.contains(p._1)))
+
+    // ...the per-source admitted token mass respects the budget...
+    for ((_, tot) <- pipe.groupBy(_._2).map { case (s, rs) => (s, rs.map(_._3).sum) })
+      assert(tot <= 600L)
+
+    // ...and packing is the exact running-sum layout per shard.
+    for ((_, rows) <- pipe.groupBy(_._4)) {
+      var cum = 0L
+      for ((_, _, n, _, seqIdx, offset) <- rows.sortBy(_._1)) {
+        assert(seqIdx == cum / 512 && offset == cum % 512)
+        cum += n
+      }
+    }
+  }
 }

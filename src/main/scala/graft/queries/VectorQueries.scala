@@ -354,76 +354,135 @@ object VectorQueries extends QueryPack {
           coalesce(col("hits"), lit(0L)).as("hits"),
           graft.ops.Num.r6(
             coalesce(col("hits"), lit(0L)).cast("double") / 3.0).as("recall"))
+    }),
+
+    // -- superset: the AMORTIZED serve architecture — the IVF+PQ index
+    //    persisted once as parquet PARTITIONED BY cell id, then served
+    //    from the store. This is how a 100 TB vector store actually runs:
+    //    the build cost is paid at index time; a query probes 2 cells and
+    //    the partitioned layout turns that probe into directory-level
+    //    pruning (only the probed cells' files are ever read — the same
+    //    win scan_partitioned_store demonstrates for event_type). Result
+    //    is identical to ann_ivf_pq_search (same oracle chain) — only
+    //    WHERE the index lives differs. -------------------------------------
+    "ann_serve_from_store" -> ((s, dir) => {
+      val store = indexDir(dir)
+      if (staleIndex(new java.io.File(store, "_SUCCESS"), dir)) {
+        ivfPqIndex(s, dir)
+          .write.mode("overwrite").partitionBy("c_id").parquet(store)
+      }
+      // partition-column type inference reads c_id back as int
+      val idx = s.read.parquet(store)
+        .withColumn("c_id", col("c_id").cast("long"))
+      val (qprobe, dtab) = ivfPqQuerySide(s, dir)
+      ivfPqServe(idx, qprobe, dtab)
     })
   )
 
-  /** The IVF+PQ serve plan behind ann_ivf_pq_search and ann_recall_at_k. */
+  /** Persisted-index staging dir, SF-suffixed (same rationale as
+    * JoinQueries' partitioned-store staging). */
+  private val INDEX_DIR = "/tmp/graft_ann_index"
+  private def indexDir(dir: String): String = s"$INDEX_DIR/${dir.split('/').last}"
+
+  /** True when the staged index is missing or older than the embeddings
+    * source (testdata regenerated in place). */
+  private def staleIndex(marker: java.io.File, dir: String): Boolean = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val srcMtime = Option(src.listFiles())
+      .map(_.map(_.lastModified()).foldLeft(src.lastModified())(math.max))
+      .getOrElse(src.lastModified())
+    !marker.exists() || marker.lastModified() < srcMtime
+  }
+
+  // ---- IVF+PQ machinery, shared by the inline serve (ann_ivf_pq_search,
+  //      ann_recall_at_k) and the persisted-store serve
+  //      (ann_serve_from_store) ------------------------------------------
+
+  private val SUBS = 4
+  private def subvec(e: org.apache.spark.sql.Column) =
+    slice(e, col("s") * (DIMS / SUBS) + 1, lit(DIMS / SUBS))
+  private def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+  private def sIdx = explode(sequence(lit(0), lit(SUBS - 1)))
+  private def centsOf(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+  private def csubOf(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("code"), sIdx.as("s"), col("embedding").as("cb"))
+      .withColumn("csub", subvec(col("cb"))).select("code", "s", "csub")
+
+  /** INDEX TIME: the persistable IVF+PQ index — one row per (vector,
+    * subspace) carrying the PQ code and the vector's IVF cell:
+    * `(vec_id, s, code, c_id)`. This is everything the serve path needs
+    * about the corpus; full vectors never leave the build. */
+  private def ivfPqIndex(s: SparkSession, dir: String): DataFrame = {
+    // Spread the store across cores before the index-build stages: the
+    // testdata is one parquet file (one scan partition), which would run
+    // the whole codes/assign compute on a single task. A real store is
+    // already thousands of files; the small shuffle here is the same
+    // compensation `pairs` makes for the all-pairs path.
+    val e = emb(s, dir).repartition(32)
+    val assign = VectorOps.topKPerQuery(
+      e.crossJoin(broadcast(centsOf(e)))
+        .withColumn("csim", cosineSim(col("embedding"), col("c_emb"))),
+      col("vec_id"), Seq(col("csim").desc, col("c_id")), k = 1)
+      .select(col("vec_id"), col("c_id"))
+    val codes = e.select(col("vec_id"), sIdx.as("s"), col("embedding"))
+      .withColumn("sub", subvec(col("embedding")))
+      .join(broadcast(csubOf(e)), "s")
+      .withColumn("dd", sqd(col("sub"), col("csub")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("code"), struct(col("dd"), col("code"))).as("code"))
+    codes.join(assign, "vec_id").select("vec_id", "s", "code", "c_id")
+  }
+
+  /** QUERY TIME: per-query probe cells (2 nearest) and the ADC lookup
+    * table (q subvector × codeword) — SUBS·|codebook| rows per query. */
+  private def ivfPqQuerySide(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = emb(s, dir)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qprobe = VectorOps.topKPerQuery(
+      qs.crossJoin(broadcast(centsOf(e)))
+        .withColumn("csim", cosineSim(col("q_emb"), col("c_emb"))),
+      col("q_id"), Seq(col("csim").desc, col("c_id")), k = 2)
+      .select(col("q_id"), col("c_id"))
+    val dtab = qs.select(col("q_id"), sIdx.as("s"), col("q_emb"))
+      .withColumn("qsub", subvec(col("q_emb")))
+      .join(csubOf(e), "s")
+      .withColumn("qd2", sqd(col("qsub"), col("csub")))
+      .select("q_id", "s", "code", "qd2")
+    (qprobe, dtab)
+  }
+
+  /** SERVE: probed cells -> candidate index rows -> 4 LUT probes each;
+    * the per-s pivot fixes the float add order (d0+d1+d2+d3) so the ADC
+    * sum is bit-stable under shuffle, like ann_pq_codes. */
+  private def ivfPqServe(idx: DataFrame, qprobe: DataFrame, dtab: DataFrame): DataFrame = {
+    def dAt(i: Int) = max(when(col("s") === i, col("qd2")))
+    val adist = qprobe.join(idx, "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(dtab), Seq("q_id", "s", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(dAt(0).as("d0"), dAt(1).as("d1"), dAt(2).as("d2"), dAt(3).as("d3"))
+      .select(col("q_id"), col("vec_id"),
+        graft.ops.Num.r6(col("d0") + col("d1") + col("d2") + col("d3"))
+          .as("adist"))
+    VectorOps.topKPerQuery(
+      adist, col("q_id"), Seq(col("adist"), col("vec_id")), k = 3)
+      .select("q_id", "vec_id", "adist")
+  }
+
+  /** The inline IVF+PQ serve plan behind ann_ivf_pq_search and
+    * ann_recall_at_k: index built in the same DAG as the serve. */
   private def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
-      val SUBS = 4
-      val SUBDIM = DIMS / SUBS
-      val sIdx = explode(sequence(lit(0), lit(SUBS - 1)))
-      def subvec(e: org.apache.spark.sql.Column) =
-        slice(e, col("s") * SUBDIM + 1, lit(SUBDIM))
-      def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(
-          zip_with(a, b, (x, y) => {
-            val d = x.cast("double") - y.cast("double"); d * d
-          }),
-          lit(0.0), (acc, v) => acc + v)
-      // Spread the store across cores before the index-build stages: the
-      // testdata is one parquet file (one scan partition), which would run
-      // the whole codes/assign compute on a single task. A real store is
-      // already thousands of files; the small shuffle here is the same
-      // compensation `pairs` makes for the all-pairs path.
-      val e = emb(s, dir).repartition(32)
-      // IVF build: centroids + nearest-cell assignment (index time).
-      val cents = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      val assign = VectorOps.topKPerQuery(
-        e.crossJoin(broadcast(cents))
-          .withColumn("csim", cosineSim(col("embedding"), col("c_emb"))),
-        col("vec_id"), Seq(col("csim").desc, col("c_id")), k = 1)
-        .select(col("vec_id"), col("c_id"))
-      // PQ build: per-vector codes — argmin codeword per subspace.
-      val csub = e.filter(col("vec_id") % 31 === 0)
-        .select(col("vec_id").as("code"), sIdx.as("s"), col("embedding").as("cb"))
-        .withColumn("csub", subvec(col("cb"))).select("code", "s", "csub")
-      val codes = e.select(col("vec_id"), sIdx.as("s"), col("embedding"))
-        .withColumn("sub", subvec(col("embedding")))
-        .join(broadcast(csub), "s")
-        .withColumn("dd", sqd(col("sub"), col("csub")))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min_by(col("code"), struct(col("dd"), col("code"))).as("code"))
-      // Query time: probe 2 cells; build the ADC lookup table
-      // (q subvector × codeword) — SUBS·|codebook| rows per query.
-      val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val qprobe = VectorOps.topKPerQuery(
-        qs.crossJoin(broadcast(cents))
-          .withColumn("csim", cosineSim(col("q_emb"), col("c_emb"))),
-        col("q_id"), Seq(col("csim").desc, col("c_id")), k = 2)
-        .select(col("q_id"), col("c_id"))
-      val dtab = qs.select(col("q_id"), sIdx.as("s"), col("q_emb"))
-        .withColumn("qsub", subvec(col("q_emb")))
-        .join(csub, "s")
-        .withColumn("qd2", sqd(col("qsub"), col("csub")))
-        .select("q_id", "s", "code", "qd2")
-      // Serve: cells -> candidate ids -> their codes -> 4 LUT probes each;
-      // the per-s pivot fixes the float add order (d0+d1+d2+d3) so the
-      // ADC sum is bit-stable under shuffle, like ann_pq_codes.
-      def dAt(i: Int) = max(when(col("s") === i, col("qd2")))
-      val adist = qprobe.join(assign, "c_id")
-        .filter(col("vec_id") =!= col("q_id"))
-        .join(codes, "vec_id")
-        .join(broadcast(dtab), Seq("q_id", "s", "code"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(dAt(0).as("d0"), dAt(1).as("d1"), dAt(2).as("d2"), dAt(3).as("d3"))
-        .select(col("q_id"), col("vec_id"),
-          graft.ops.Num.r6(col("d0") + col("d1") + col("d2") + col("d3"))
-            .as("adist"))
-      VectorOps.topKPerQuery(
-        adist, col("q_id"), Seq(col("adist"), col("vec_id")), k = 3)
-        .select("q_id", "vec_id", "adist")
+    val (qprobe, dtab) = ivfPqQuerySide(s, dir)
+    ivfPqServe(ivfPqIndex(s, dir), qprobe, dtab)
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -448,6 +507,12 @@ object VectorQueries extends QueryPack {
     },
 
     "ann_ivf_pq_search" ->
+      s"""WITH $IVFPQ_CTES
+         |SELECT q_id, vec_id, adist FROM approx""".stripMargin,
+
+    // identical result to ann_ivf_pq_search — the store only changes
+    // where the index rows come from, not what they are
+    "ann_serve_from_store" ->
       s"""WITH $IVFPQ_CTES
          |SELECT q_id, vec_id, adist FROM approx""".stripMargin,
 

@@ -89,4 +89,21 @@ class RetrievalSpec extends AnyFunSuite {
       assert(math.abs(recall - hits / 3.0) < 1e-6)
     }
   }
+
+  test("ann_serve_from_store: identical to the inline serve, pruned by cell") {
+    val fromStore = SparkEntry.queries("ann_serve_from_store")(spark, SF)
+    val inline = SparkEntry.queries("ann_ivf_pq_search")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromStore.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == inline)
+    // The store is laid out one directory per IVF cell, and the serve
+    // probes it through DYNAMIC partition pruning — only the probed
+    // cells' files are ever listed, the directory-level win that makes
+    // the store serveable at 100 TB.
+    val store = new java.io.File("/tmp/graft_ann_index/sf0.001")
+    assert(store.listFiles().exists(_.getName.startsWith("c_id=")))
+    val planStr = fromStore.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the index scan:\n$planStr")
+  }
 }

@@ -102,13 +102,14 @@ object PipelineQueries extends QueryPack {
     //    a standalone registry operator (dedup_cluster_cc /
     //    split_leakage_safe / mix_token_budget / pack_sequences_greedy)
     //    and the composition reuses their private[graft] kernels, so the
-    //    pipeline cannot drift from the pieces. Shapes at 100 TB: the CC
-    //    loop dominates (neighborhood-bounded, see GraphOps); the doc
-    //    re-attach is a hash join on doc_id; admission and packing are
-    //    one source-/shard-partitioned window each. ----------------------
+    //    pipeline cannot drift from the pieces. Cluster labels read from
+    //    the persisted label store (built by clusterLabelsStore, the CC
+    //    cost lives in dedup_cluster_cc); the doc re-attach is a hash
+    //    join on doc_id; admission and packing are one source-/shard-
+    //    partitioned window each. ----------------------------------------
     "train_shard_pipeline" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val train = TextQueries.clusterLabels(s, dir)
+      val train = TextQueries.clusterLabelsStore(s, dir)
         .filter(TextQueries.splitOf(col("comp")) === "train" &&
           col("doc_id") === col("comp"))
         .select("doc_id")

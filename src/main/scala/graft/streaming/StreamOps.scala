@@ -36,6 +36,10 @@ case class FunnelProgress(user_id: Long, stages_matched: Long, converted: Boolea
 /** An event for the streaming funnel (ts as epoch micros). */
 case class FunnelEvent(user_id: Long, ts: Long, event_id: Long, event_type: String)
 
+/** Streaming vector-ingest input / assignment output (annAssignStream). */
+case class VecIn(vec_id: Long, embedding: Seq[Double])
+case class VecAssign(vec_id: Long, c_id: Long, csim: Double)
+
 /** Real-time funnel tracking on `transformWithState`: one
   * `ValueState[Long]` per user holds the highest stage reached; each
   * batch's events apply in (ts, event_id) order and advance the
@@ -436,4 +440,30 @@ object StreamOps {
         count(lit(1)).as("volume"))
       .select(col("window.start").as("ws"), col("user_id"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
+
+  /** Streaming twin of the IVF assignment — the vector-store WRITE path:
+    * each arriving vector is assigned to its nearest centroid MAP-SIDE.
+    * The codebook ships in the task closure (at 100 TB the codebook is
+    * KBs–MBs while the corpus streams), so ingestion is stateless: no
+    * shuffle, no state store; downstream the (vec_id, c_id) rows upsert
+    * into the cell-partitioned index store the same way `upsertBatch`
+    * merges the history sink. The per-pair similarity is
+    * [[graft.queries.MiningQueries.cosScalar]] — bit-equal to the batch
+    * path's codegen CosineSimilarity by the shared fold order — and ties
+    * break on the smaller c_id, the batch topKPerQuery rule (spec'd for
+    * exact batch parity over the whole testdata). */
+  def annAssignStream(vectors: org.apache.spark.sql.Dataset[VecIn],
+                      centroids: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Dataset[VecAssign] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[VecAssign]
+    val cents = centroids.sortBy(_._1)
+    vectors.map { v =>
+      var bestC = -1L
+      var best = Double.NegativeInfinity
+      for ((cid, ce) <- cents) {
+        val sim = graft.queries.MiningQueries.cosScalar(v.embedding, ce)
+        if (sim > best) { best = sim; bestC = cid } // ascending cents: first wins ties
+      }
+      VecAssign(v.vec_id, bestC, best)
+    }
+  }
 }

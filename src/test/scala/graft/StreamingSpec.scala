@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.StreamOps
+import graft.streaming.{StreamOps, VecIn}
 
 case class Msg(id: String, ticker: String, `type`: String, publish_time: Long, current_price: Double)
 case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
@@ -414,5 +414,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(kept.toSeq == Seq(1L, 10L, 11L),
         s"expected first claimants only, got ${kept.mkString(",")}")
     } finally q.stop()
+  }
+
+  test("streaming IVF assignment: map-side codebook matches the batch expression exactly") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    implicit val sqlCtx = spark.sqlContext
+    // whole-testdata parity: stream every sf0.001 vector through the
+    // closure-shipped codebook and compare against the batch plan built
+    // from the codegen CosineSimilarity + fused top-1.
+    val e = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => VecIn(r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    val centroids = e.filter(_.vec_id % 50 == 0).map(v => v.vec_id -> v.embedding).toSeq
+
+    val in = MemoryStream[VecIn]
+    val q = StreamOps.annAssignStream(in.toDS(), centroids)
+      .writeStream.format("memory")
+      .queryName("ann_assign_out").outputMode(OutputMode.Append).start()
+    val got = try {
+      in.addData(e.toIndexedSeq)
+      q.processAllAvailable()
+      spark.table("ann_assign_out").select("vec_id", "c_id")
+        .as[(Long, Long)].collect().toMap
+    } finally q.stop()
+
+    val eBatch = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = eBatch.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val want = graft.ops.VectorOps.topKPerQuery(
+      eBatch.crossJoin(broadcast(cents)).withColumn("csim",
+        graft.expressions.CosineSimilarity.cosineSim(col("embedding"), col("c_emb"))),
+      col("vec_id"), Seq(col("csim").desc, col("c_id")), k = 1)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    assert(got.size == want.size && got == want)
   }
 }

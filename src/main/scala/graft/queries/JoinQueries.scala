@@ -30,6 +30,20 @@ object JoinQueries extends QueryPack {
   private val REV_SQL =
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE)"
 
+  /** Shared oracle for the skewed-join pair (salting and AQE splitting
+    * are execution strategies; the relational answer is one). */
+  private lazy val SKEW_JOIN_SQL: String =
+    s"""WITH dim AS (
+       |  SELECT o_orderkey % 100 AS k, min(o_orderpriority) AS label
+       |  FROM orders GROUP BY 1
+       |)
+       |SELECT k, label, count(*) AS n, $REV_SQL AS revenue
+       |FROM (SELECT *, CASE WHEN l_orderkey % 100 < 90 THEN 0
+       |                     ELSE l_orderkey % 100 END AS k
+       |      FROM lineitem) f
+       |JOIN dim USING (k)
+       |GROUP BY k, label""".stripMargin
+
   /** CSV round-trip staging dir, suffixed with the scale-factor directory
     * name so a later Bench run at another SF can't clobber the files the
     * sf0.01 correctness oracle reads (the oracle SQL is a static string and
@@ -40,6 +54,35 @@ object JoinQueries extends QueryPack {
   /** Partitioned-store staging dir (same SF-suffix rationale as CSV_DIR). */
   private val PARTS_DIR = "/tmp/graft_store_parts"
   private def partsDir(dir: String): String = s"$PARTS_DIR/${dir.split('/').last}"
+
+  /** The unsalted skewed join behind join_skew_aqe: 90%-hot key, merge
+    * hint so the shuffle join (and its skew) actually happens. Shared
+    * with SkewJoinSpec, which executes it under lowered AQE thresholds
+    * and asserts the runtime skew split appears in the final plan. */
+  private[graft] def skewJoinPlan(s: SparkSession, dir: String): DataFrame = {
+    // repartition: AQE splits a skewed REDUCE partition along its MAP
+    // outputs — the one-file testdata scan is a single map task, whose
+    // one chunk is unsplittable no matter the thresholds. A real fact
+    // table is thousands of files; the round-robin spread restores the
+    // multi-mapper shuffle AQE needs (the same one-file compensation as
+    // jaccardPairs / ivfPqIndex).
+    val fact = Tables.lineitem(s, dir).repartition(8)
+      .withColumn("k",
+        when(col("l_orderkey") % 100 < 90, lit(0L))
+          .otherwise(col("l_orderkey") % 100))
+    // dim materialized: OptimizeSkewedJoin only matches a join whose
+    // children are bare sorted shuffle stages — an aggregate between the
+    // dim's shuffle and the join defeats the pattern. A production dim
+    // is a materialized table anyway; the checkpoint models that.
+    val dim = Tables.orders(s, dir)
+      .groupBy((col("o_orderkey") % 100).as("k"))
+      .agg(min(col("o_orderpriority")).as("label"))
+      .localCheckpoint()
+    fact.hint("merge")
+      .join(dim.hint("merge"), Seq("k"))
+      .groupBy(col("k"), col("label"))
+      .agg(count(lit(1)).as("n"), revenue.as("revenue"))
+  }
 
   /** True when the staged copy under `marker` is missing or older than the
     * events source (testdata regenerated in place). */
@@ -479,6 +522,32 @@ object JoinQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), revenue.as("revenue"))
     }),
 
+    // -- the RUNTIME answer to the same skew: AQE's OptimizeSkewedJoin -----
+    // Identical query and result as join_skew_salted, but the hot
+    // partition is split by AQE at runtime from observed map-output sizes
+    // instead of being pre-sharded in the plan. Thresholds are lowered
+    // for the bench SFs (the 256 MB default is cluster-scale; conf
+    // save/restore scoped to this plan only, the join_bloom_runtime
+    // pattern) and the skew split is plan-asserted in SkewJoinSpec.
+    // Salting vs AQE is a real trade: AQE needs no key surgery but only
+    // covers shuffle JOINS — a skewed aggregation or stateful streaming
+    // join still needs the salted shape. ----------------------------------
+    "join_skew_aqe" -> ((s, dir) => {
+      val keys = Seq(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+        // the SMJ feeds a same-keyed aggregate, so the skew split costs a
+        // re-shuffle of the (k-sized) aggregate input; force accepts that
+        // trade — splitting the one hot partition dominates at scale
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prevs = keys.map { case (k, _) => k -> s.conf.get(k) }
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      try skewJoinPlan(s, dir).localCheckpoint()
+      finally prevs.foreach { case (k, v) => s.conf.set(k, v) }
+    }),
+
     // -- native: TPC-H q5-style 6-way star join ----------------------------
     // The region→nation chain and supplier are broadcast (dim-sized at any
     // SF); lineitem⨝orders is the one genuine shuffle; customer is left to
@@ -711,17 +780,11 @@ object JoinQueries extends QueryPack {
          |ORDER BY revenue DESC, o_orderdate, l_orderkey
          |LIMIT 10""".stripMargin,
 
-    "join_skew_salted" ->
-      s"""WITH dim AS (
-         |  SELECT o_orderkey % 100 AS k, min(o_orderpriority) AS label
-         |  FROM orders GROUP BY 1
-         |)
-         |SELECT k, label, count(*) AS n, $REV_SQL AS revenue
-         |FROM (SELECT *, CASE WHEN l_orderkey % 100 < 90 THEN 0
-         |                     ELSE l_orderkey % 100 END AS k
-         |      FROM lineitem) f
-         |JOIN dim USING (k)
-         |GROUP BY k, label""".stripMargin,
+    "join_skew_salted" -> SKEW_JOIN_SQL,
+
+    // same result as join_skew_salted: salting/AQE change the execution,
+    // not the answer
+    "join_skew_aqe" -> SKEW_JOIN_SQL,
 
     "tpch_q5_local_supplier" ->
       s"""SELECT n_name, $REV_SQL AS revenue

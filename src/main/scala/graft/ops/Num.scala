@@ -36,12 +36,19 @@ object Num {
     * double. DuckDB: `CAST(sum(CAST(x AS DECIMAL(27,2))) AS DOUBLE)`. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(27, 2))).cast("double")
 
+  /** Order-insensitive exact sum of a ≤6-decimal double column (r6-
+    * quantized terms: each double is the nearest-binary of a 6-decimal
+    * value, and the decimal cast recovers it exactly in both engines).
+    * DuckDB: [[DSUM6_SQL]]. */
+  def dsum6(c: Column): Column = sum(c.cast(DecimalType(27, 6))).cast("double")
+
   /** Exact average of a ≤2-decimal double column, emitted as double.
     * DuckDB: `CAST(sum(CAST(x AS DECIMAL(27,2))) AS DOUBLE) / count(x)`. */
   def davg(c: Column): Column = dsum(c) / count(c)
 
   /** SQL fragment helpers for oracle strings (keep Spark + DuckDB in sync). */
   val DSUM_SQL: String => String = x => s"CAST(sum(CAST($x AS DECIMAL(27,2))) AS DOUBLE)"
+  val DSUM6_SQL: String => String = x => s"CAST(sum(CAST($x AS DECIMAL(27,6))) AS DOUBLE)"
   val R4_SQL: String => String = x => s"floor(($x) * 10000 + 0.5) / 10000"
   val R6_SQL: String => String = x => s"floor(($x) * 1000000 + 0.5) / 1000000"
 }

@@ -289,6 +289,46 @@ object TextQueries extends QueryPack {
     "split_leakage_safe" -> ((s, dir) =>
       clusterLabelsStore(s, dir).withColumn("split", splitOf(col("comp")))),
 
+    // -- corpus power-law check: OLS fit of ln(freq) ~ ln(rank) ------------
+    // The Zipf slope is the standard sanity probe on a crawled corpus
+    // (natural text ≈ -1; synthetic/templated text drifts toward 0 or
+    // cliffs). Term counts are one shuffle; the rank is a row_number over
+    // the VOCAB (the distinct-term table — quality_lm_score's `uni`
+    // concession: ~10M rows at 100 TB, a sort of the small derived table,
+    // never the corpus). Float parity: ln terms are r6-quantized and the
+    // OLS moments accumulate as DECIMAL(27,6) (order-free), so the fit is
+    // bit-identical cross-engine; the quantized slope feeds the intercept
+    // in BOTH engines. ----------------------------------------------------
+    "stats_zipf_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("f"))
+      val pts = tf
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("f").desc, col("t"))).cast("long"))
+        .select(
+          graft.ops.Num.r6(log(col("r").cast("double"))).as("x"),
+          graft.ops.Num.r6(log(col("f").cast("double"))).as("y"))
+        .select(col("x"), col("y"),
+          graft.ops.Num.r6(col("x") * col("y")).as("xy"),
+          graft.ops.Num.r6(col("x") * col("x")).as("xx"))
+      pts.agg(
+        count(lit(1)).cast("double").as("n"),
+        graft.ops.Num.dsum6(col("x")).as("sx"),
+        graft.ops.Num.dsum6(col("y")).as("sy"),
+        graft.ops.Num.dsum6(col("xy")).as("sxy"),
+        graft.ops.Num.dsum6(col("xx")).as("sxx"))
+        .withColumn("slope", graft.ops.Num.r6(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))))
+        .select(
+          col("n").cast("long").as("n_terms"),
+          col("slope"),
+          graft.ops.Num.r6(
+            (col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"))
+    }),
+
     // -- MinHash + LSH banding near-dup (the 100-TB path) ------------------
     // 2 bands of 4 minhash rows: bucket key = "j_mh{4j}.._mh{4j+3}". 4-row
     // bands keep false candidates ~P(collide)^4 — on a 31-word vocabulary
@@ -528,6 +568,33 @@ object TextQueries extends QueryPack {
       s"""WITH RECURSIVE $CC_CTES
          |SELECT doc_id, comp, ${SPLIT_SQL("comp")} AS split
          |FROM comp""".stripMargin,
+
+    "stats_zipf_fit" -> {
+      import graft.ops.Num.{DSUM6_SQL, R6_SQL}
+      s"""WITH tf AS (
+         |  SELECT t, count(*) AS f
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         |  GROUP BY t
+         |), pts AS (
+         |  SELECT ${R6_SQL("ln(CAST(row_number() OVER (ORDER BY f DESC, t) AS DOUBLE))")} AS x,
+         |         ${R6_SQL("ln(CAST(f AS DOUBLE))")} AS y
+         |  FROM tf
+         |), p2 AS (
+         |  SELECT x, y, ${R6_SQL("x * y")} AS xy, ${R6_SQL("x * x")} AS xx FROM pts
+         |), m AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         ${DSUM6_SQL("x")} AS sx, ${DSUM6_SQL("y")} AS sy,
+         |         ${DSUM6_SQL("xy")} AS sxy, ${DSUM6_SQL("xx")} AS sxx
+         |  FROM p2
+         |), sfit AS (
+         |  SELECT n, sx, sy,
+         |         ${R6_SQL("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope
+         |  FROM m
+         |)
+         |SELECT CAST(n AS BIGINT) AS n_terms, slope,
+         |       ${R6_SQL("(sy - slope * sx) / n")} AS intercept
+         |FROM sfit""".stripMargin
+    },
 
     "dedup_minhash_lsh" ->
       s"""WITH $HASHES_CTE, banded AS (

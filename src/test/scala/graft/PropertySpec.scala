@@ -137,6 +137,29 @@ object PropertySpec extends Properties("graft") {
       ab == ba && math.abs(ab) <= 1.0 + 1e-12
     }
 
+  property("zorder2: exact interleave and invertible over random 16-bit pairs") =
+    forAll(Gen.nonEmptyListOf(for {
+      x <- Gen.choose(0L, 65535L)
+      y <- Gen.choose(0L, 65535L)
+    } yield (x, y))) { pairs =>
+      val rows = pairs.toDF("x", "y")
+        .select(col("x"), col("y"),
+          graft.ops.LayoutOps.zorder2(col("x"), col("y")).as("z"))
+        .collect()
+      rows.forall { r =>
+        val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val ref = (0 until 16).foldLeft(0L) { (acc, i) =>
+          acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+        }
+        var dx = 0L; var dy = 0L
+        for (i <- 0 until 16) {
+          dx |= ((z >> (2 * i)) & 1L) << i
+          dy |= ((z >> (2 * i + 1)) & 1L) << i
+        }
+        z == ref && dx == x && dy == y
+      }
+    }
+
   property("negative variation round-trips with sign") = Prop.passed && {
     val df = Seq((10.0, 5.0, 4.0, 11.0, -42.37, 7L))
       .toDF("open", "close", "low", "high", "vari", "vol")

@@ -163,6 +163,33 @@ object VectorQueries extends QueryPack {
     "dedup_embedding_cosine" -> ((s, dir) =>
       pairs(s, dir).filter(col("sim") > 0.4).select("a_id", "b_id", "sim")),
 
+    // -- superset: contrastive-pair MINING — the training-data op behind
+    //    embedding-model fine-tuning: per anchor, the nearest neighbor is
+    //    the positive and the FARTHEST member of the top-10 pool is the
+    //    semi-hard negative (close enough to be informative, far enough
+    //    to be wrong — rank-10 here; production tunes the rank). The pool
+    //    comes from the same fused top-k heaps as ann_bruteforce_topk
+    //    (bounded per query, never a corpus sort), and pos/neg fall out
+    //    of one min_by/max_by partial aggregate over the 10-row pool.
+    //    margin = neg_dist − pos_dist is the triplet-loss slack the
+    //    curriculum sorts on. ------------------------------------------------
+    "contrastive_triplets" -> ((s, dir) => {
+      val queries10 = emb(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cands = emb(s, dir).crossJoin(broadcast(queries10))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("dist", lit(1.0) - cosineSim(col("embedding"), col("q_emb")))
+      val pool = VectorOps.topKPerQuery(
+        cands, col("q_id"), Seq(col("dist"), col("vec_id")), k = 10)
+      pool.groupBy(col("q_id")).agg(
+        min_by(col("vec_id"), struct(col("dist"), col("vec_id"))).as("pos_id"),
+        min(col("dist")).as("pos_dist"),
+        max_by(col("vec_id"), struct(col("dist"), col("vec_id"))).as("neg_id"),
+        max(col("dist")).as("neg_dist"))
+        .select(col("q_id"), col("pos_id"), col("neg_id"),
+          graft.ops.Num.r6(col("neg_dist") - col("pos_dist")).as("margin"))
+    }),
+
     // -- superset: IVF-style ANN — deterministic codebook (vec_id % 50),
     //    assign each vector to its nearest centroid cell, probe the 2
     //    nearest cells per query, exact-search only inside them. At scale
@@ -649,6 +676,26 @@ object VectorQueries extends QueryPack {
     "dedup_embedding_cosine" ->
       s"""WITH $PAIR_CTE
          |SELECT a_id, b_id, sim FROM pairs WHERE sim > 0.4""".stripMargin,
+
+    "contrastive_triplets" ->
+      s"""WITH qs AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10
+         |), pool AS (
+         |  SELECT q_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+         |  FROM (
+         |    SELECT q_id, vec_id, 1.0 - ${cosSql("embedding", "q_emb")} AS dist
+         |    FROM embeddings, qs WHERE vec_id <> q_id
+         |  ) QUALIFY rn <= 10
+         |), ranked AS (
+         |  SELECT *, count(*) OVER (PARTITION BY q_id) AS rmax FROM pool
+         |)
+         |SELECT q_id,
+         |       max(CASE WHEN rn = 1 THEN vec_id END) AS pos_id,
+         |       max(CASE WHEN rn = rmax THEN vec_id END) AS neg_id,
+         |       ${graft.ops.Num.R6_SQL(
+                   "max(CASE WHEN rn = rmax THEN dist END) - max(CASE WHEN rn = 1 THEN dist END)")} AS margin
+         |FROM ranked GROUP BY q_id""".stripMargin,
 
     "ivf_recluster" -> {
       val meanSql = "sv / CAST(n AS DOUBLE)"

@@ -33,7 +33,8 @@ object SparkEntry {
     ScaleQueries,
     CurationQueries,
     MiningQueries,
-    FeatureQueries)
+    FeatureQueries,
+    SeriesQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Composes the slice-0 pipeline of SURVEY §7: daily OHLCV summary +

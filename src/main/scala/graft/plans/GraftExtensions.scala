@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expressions.JaccardSimilarity].getName, "jaccard_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.expressions.JaccardSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("bigram_l1"),
+      new ExpressionInfo(classOf[graft.expressions.BigramL1].getName, "bigram_l1"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expressions.BigramL1(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
   }

@@ -15,5 +15,8 @@ object GraftFunctions {
     org.apache.spark.sql.graft.ColumnBridge.registerFunction(
       spark, "jaccard_sim",
       exprs => graft.expressions.JaccardSimilarity(exprs(0), exprs(1)))
+    org.apache.spark.sql.graft.ColumnBridge.registerFunction(
+      spark, "bigram_l1",
+      exprs => graft.expressions.BigramL1(exprs(0), exprs(1)))
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.CosineSimilarity.cosineSim
@@ -184,6 +185,23 @@ object CurationQueries extends QueryPack {
       VectorOps.topKPerQuery(
         ranked, col("source"), Seq(col("h"), col("doc_id")), k = SOURCE_CAP)
         .select("source", "doc_id")
+    }),
+
+    // -- curriculum interleave: the training-ORDER construction step.
+    //    Rank each source's docs by quality (proxy: n_chars desc — swap in
+    //    any scored column) and let shard k hold every source's k-th best:
+    //    reading shards in order yields best-first curriculum WITH
+    //    round-robin source mixing (no source ever streaks). One
+    //    row_number window per source — shuffle keyed by source, never a
+    //    global total-order sort; the global read order (shard_id, source)
+    //    is imposed by the downstream writer's partitioning, not a
+    //    single-partition window. -----------------------------------------
+    "curriculum_interleave" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars").as("score"),
+          (row_number().over(w) - 1).cast("long").as("shard_id"))
     }),
 
     // -- sliding-window chunking: 16-token windows every 8 tokens, the
@@ -486,6 +504,13 @@ object CurationQueries extends QueryPack {
         |       list_reduce([CAST(0 AS BIGINT)] || qs, (a, b) -> a + b) AS q_sum,
         |       list_reduce([CAST(0 AS BIGINT)] || list_transform(qs, x -> abs(x)),
         |                   (a, b) -> a + b) AS q_l1
-        |FROM q""".stripMargin
+        |FROM q""".stripMargin,
+
+    "curriculum_interleave" ->
+      """SELECT doc_id, source, n_chars AS score,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY source ORDER BY n_chars DESC, doc_id) - 1
+        |         AS BIGINT) AS shard_id
+        |FROM documents""".stripMargin
   )
 }

@@ -476,6 +476,26 @@ object JoinQueries extends QueryPack {
           count(lit(1)).as("count_order"),
           (graft.ops.Num.dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))),
 
+    // -- native: TPC-H q6-style forecast-revenue scan ----------------------
+    // The pure scan-filter-aggregate archetype: every predicate pushes to
+    // the parquet reader (date range prunes row groups via min/max stats;
+    // discount/quantity filter on the two read columns), and the single
+    // global aggregate is a two-stage partial+final over a DECIMAL(18,2)²
+    // product — exact at any accumulation order, so the one output double
+    // is cross-engine bit-identical. At 100 TB this query is I/O-bound by
+    // construction: 4 columns read, zero shuffle beyond the 1-row final. --
+    "tpch_q6_forecast" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            col("l_discount").cast(DecimalType(18, 2))).cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))),
+
     // -- native: TPC-H q3-style 3-way join + top-k -------------------------
     // Filters applied BEFORE the joins so they push to the parquet scans;
     // the filtered customer dim is broadcast; orderBy+limit plans as
@@ -767,6 +787,16 @@ object JoinQueries extends QueryPack {
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch_q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "tpch_q3_shipping" ->
       s"""SELECT l_orderkey, o_orderdate, $REV_SQL AS revenue

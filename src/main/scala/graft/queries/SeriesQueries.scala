@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.Num
+
+/** Time-series robustness operators over `events` (round-6 continuation):
+  * the order-statistics / gap-repair / sequence-model steps between raw
+  * event streams and features that the market and feature packs don't
+  * cover —
+  *
+  *   - trailing-window rolling MEDIAN (the robust twin of rolling_ma —
+  *     order statistics where the mean is skew-fragile),
+  *   - MAD-based robust z-score (median absolute deviation outlier
+  *     flagging, Iglewicz–Hoaglin modified z; survives the heavy tails
+  *     that break normalize_zscore's mean/std),
+  *   - calendar gap-fill with forward carry (daily scaffold + last-
+  *     observation-carried-forward — the repair step before any
+  *     fixed-frequency model consumes an irregular stream),
+  *   - first-order Markov transition matrix of event types (the
+  *     sequence-model summary behind session analysis and next-event
+  *     prediction).
+  *
+  * Scale notes: every operator shuffles ONCE keyed by `user_id` (or
+  * `event_type` for the 5-row stats side of MAD, which broadcasts back).
+  * The rolling median's frame is bounded (10 rows), so the per-row sort
+  * is O(w log w) with w=10 — constant — and never a group-wide collect.
+  * The gap-fill scaffold is generated per key from that key's own span
+  * (sequence + explode, map-side after the daily aggregate), so scaffold
+  * size is O(keys × days), never a global calendar cross join. The
+  * transition matrix output is |types|² rows — tiny at any corpus scale.
+  *
+  * Float parity (see [[graft.ops.Num]]): medians are picked/averaged from
+  * sorted lists with IDENTICAL index arithmetic in both engines (no
+  * engine-native quantile interpolation in the window path); MAD reuses
+  * the percentile↔quantile_cont parity proven by percentile_value; the
+  * one transcendental-free division chain in `rz` is single-shot IEEE,
+  * quantized r6 BEFORE the outlier comparison so the boolean can't split
+  * engines on a 1-ulp wiggle.
+  */
+object SeriesQueries extends QueryPack {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  /** Median of a sorted array column, 1-based element_at, explicit
+    * midpoint average for even sizes — the same arithmetic the oracle
+    * spells out, so parity is by construction. */
+  private def medianOfSorted(a: Column): Column = {
+    val n = size(a)
+    // Column `/` is double division; the quotients here are exact whole
+    // doubles (n±parity adjusted), so the int casts are value-preserving.
+    when(n % 2 === 1, element_at(a, ((n + 1) / 2).cast("int")))
+      .otherwise((element_at(a, (n / 2).cast("int")) +
+        element_at(a, (n / 2 + 1).cast("int"))) / 2.0)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- trailing 10-event rolling median per user: collect the bounded
+    //    frame, sort it, pick/interpolate the middle. The frame is ROWS
+    //    BETWEEN 9 PRECEDING AND CURRENT ROW over the (ts, event_id)
+    //    total order — deterministic, bounded memory, one shuffle. ---------
+    "rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          sort_array(collect_list(col("value")).over(w)).as("a"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          medianOfSorted(col("a")).as("med"))
+    }),
+
+    // -- MAD robust z-score per event_type: med = exact median, mad =
+    //    median of |x - med|, rz = 0.6745·(x - med)/mad (Iglewicz-
+    //    Hoaglin), outlier at |rz| > 3.5. Two 5-row stats reductions,
+    //    each joined back broadcast; the mad=0 degenerate group maps to
+    //    rz=0 on both sides. ----------------------------------------------
+    "robust_zscore_mad" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("med")).as("med"),
+          expr("percentile(abs(value - med), 0.5)").as("mad"))
+      val rz = Num.r6(
+        lit(0.6745) * (col("value") - col("med")) / col("mad"))
+      ev.join(broadcast(mad), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(col("mad") === 0.0, lit(0.0)).otherwise(rz).as("rz"))
+        .withColumn("is_outlier", abs(col("rz")) > 3.5)
+    }),
+
+    // -- calendar gap-fill + forward carry: per user, the last value of
+    //    each active day (max_by over the (ts, event_id) total order),
+    //    scaffolded to EVERY day in that user's [first, last] span, gaps
+    //    carried forward with last(ignoreNulls) over the day order. The
+    //    scaffold explodes from each key's own 1-row span — O(keys×days)
+    //    rows, no global calendar join. -----------------------------------
+    "gap_fill_forward" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+      val scaffold = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      scaffold.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("close"), ignoreNulls = true).over(w).as("value_filled"),
+          col("close").isNull.as("is_gap"))
+    }),
+
+    // -- first-order Markov transitions: lag(event_type) over each user's
+    //    event-time order, then (prev → cur) counts and row-normalized
+    //    probabilities. One shuffle by user for the lag; the matrix is
+    //    |types|² rows so the normalizing window is trivial. p is a
+    //    single long/long IEEE division — deterministic unrounded. --------
+    "markov_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wp = Window.partitionBy("prev_type")
+      events(s, dir)
+        .select(col("user_id"), col("event_type").as("cur_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("cur_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("p",
+          col("cnt").cast("double") / sum(col("cnt")).over(wp).cast("double"))
+    })
+  )
+
+  /** DuckDB twin of [[medianOfSorted]] over a list alias `a`. */
+  private def medianSql(a: String): String =
+    s"""CASE WHEN len($a) % 2 = 1 THEN $a[(len($a) + 1) // 2]
+       |     ELSE ($a[len($a) // 2] + $a[len($a) // 2 + 1]) / 2.0 END""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "rolling_median" ->
+      s"""WITH w AS (
+         |  SELECT event_id, user_id, value,
+         |         list_sort(list(value) OVER (
+         |           PARTITION BY user_id ORDER BY ts, event_id
+         |           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS a
+         |  FROM events)
+         |SELECT event_id, user_id, value, ${medianSql("a")} AS med
+         |FROM w""".stripMargin,
+
+    "robust_zscore_mad" ->
+      s"""WITH med AS (
+         |  SELECT event_type, quantile_cont(value, 0.5) AS med
+         |  FROM events GROUP BY event_type
+         |), mad AS (
+         |  SELECT e.event_type, max(med) AS med,
+         |         quantile_cont(abs(value - med), 0.5) AS mad
+         |  FROM events e JOIN med USING (event_type)
+         |  GROUP BY e.event_type
+         |)
+         |SELECT event_id, e.event_type, value,
+         |       CASE WHEN mad = 0.0 THEN 0.0
+         |            ELSE ${Num.R6_SQL("0.6745 * (value - med) / mad")} END AS rz,
+         |       abs(CASE WHEN mad = 0.0 THEN 0.0
+         |            ELSE ${Num.R6_SQL("0.6745 * (value - med) / mad")} END) > 3.5 AS is_outlier
+         |FROM events e JOIN mad USING (event_type)""".stripMargin,
+
+    "gap_fill_forward" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         list(value ORDER BY ts, event_id)[-1] AS close
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)
+        |), scaffold AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |        FROM daily GROUP BY user_id)
+        |)
+        |SELECT s.user_id, s.day,
+        |       last_value(d.close IGNORE NULLS) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |       d.close IS NULL AS is_gap
+        |FROM scaffold s LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
+
+    "markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS cur_type,
+        |         lag(event_type, 1) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), pairs AS (
+        |  SELECT prev_type, cur_type, count(*) AS cnt
+        |  FROM seq WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, cur_type
+        |)
+        |SELECT prev_type, cur_type, cnt,
+        |       CAST(cnt AS DOUBLE) /
+        |       CAST(sum(cnt) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM pairs""".stripMargin
+  )
+}

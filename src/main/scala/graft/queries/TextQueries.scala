@@ -493,6 +493,57 @@ object TextQueries extends QueryPack {
       graft.ops.VectorOps.topKPerQuery(
         scored, col("doc_id"), Seq(col("tfidf").desc, col("term")), k = 3)
         .select("doc_id", "term", "tfidf")
+    }),
+
+    // -- fuzzy edit-distance dedup: the character-level near-dup family
+    //    member (catches in-place edits/typos that token-set Jaccard
+    //    dilutes and MinHash under-bands). Candidates block on
+    //    (lang, n_chars div 8) — edit distance ≥ |lenA − lenB|, so a pair
+    //    beyond one 8-char band can't pass a tight threshold unless it
+    //    straddles the boundary; the MinHash path is the recall-complete
+    //    complement for those. Per-block self-join (never all-pairs), then
+    //    one codegen'd levenshtein per candidate; kept when dist ≤ 20% of
+    //    the longer doc. Both engines share levenshtein's unit-cost DP
+    //    semantics, so the integer output is parity-exact. ----------------
+    "dedup_fuzzy_editdist" -> ((s, dir) => {
+      // Candidate generation is the cheap part (an equi-join on
+      // (lang, band)); the COST is the per-pair DP. Three measures keep
+      // it bounded, all semantics-preserving (the oracle keeps the plain
+      // levenshtein predicate):
+      //  1. ROUND-ROBIN repartition of the candidate PAIRS before the DP:
+      //     pair count per band grows with band_size², so any band-keyed
+      //     placement is quadratically skewed (measured: one straggler
+      //     task owned ~10× the mean). Redistributing the materialized
+      //     pairs makes the CPU-dense stage embarrassingly parallel.
+      //  2. Counting filter (Ed-Join family): one edit changes each
+      //     string's bigram multiset by ≤2 entries, so lev ≥ bigram_l1/4
+      //     ([[graft.expressions.BigramL1]]) — an O(|a|+|b|) prune before
+      //     the O(|a|·|b|) DP.
+      //  3. Per-pair THRESHOLD levenshtein: the 3-arg form returns -1 as
+      //     soon as the banded DP proves dist > t, abandoning the
+      //     far-apart majority early instead of filling the full matrix.
+      val d = docs(s, dir).select(
+        col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        (col("n_chars") / 8).cast("long").as("band"))
+      val a = d.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        col("lang"), col("band"), col("n_chars").as("la"))
+      val b = d.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+        col("lang"), col("band"), col("n_chars").as("lb"))
+      // localCheckpoint is the push-down barrier: Catalyst pushes filters
+      // straight through a bare repartition, which would move the DP back
+      // into the (skewed) join stage. Materializing the candidate table
+      // before the verify is the standard candidates-then-verify shape;
+      // its size is band-bounded, never corpus-quadratic.
+      a.join(b, Seq("lang", "band"))
+        .filter(col("doc_a") < col("doc_b"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .localCheckpoint()
+        .filter(graft.expressions.BigramL1.bigramL1(col("ta"), col("tb")) <=
+          greatest(col("la"), col("lb")) * 4 / 5)
+        .withColumn("dist",
+          expr("levenshtein(ta, tb, CAST(greatest(la, lb) / 5 AS INT))").cast("long"))
+        .filter(col("dist") >= 0 && col("dist") <= greatest(col("la"), col("lb")) / 5)
+        .select(col("doc_a"), col("doc_b"), col("dist"))
     })
   )
 
@@ -675,6 +726,16 @@ object TextQueries extends QueryPack {
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
          |  FROM scored
          |) WHERE rn <= 3""".stripMargin
-    }
+    },
+
+    // dist is an integer, so `dist <= x/5` (double) ≡ `dist <= floor(x/5)`
+    // — the two engines' division styles can't split the filter.
+    "dedup_fuzzy_editdist" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.n_chars // 8 = b.n_chars // 8
+        | AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= greatest(a.n_chars, b.n_chars) / 5""".stripMargin
   )
 }

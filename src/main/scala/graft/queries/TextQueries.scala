@@ -26,6 +26,9 @@ object TextQueries extends QueryPack {
   private val MINHASH_B = TextOps.MINHASH_B
   private val JACCARD_T = 0.95
   private val MINHASH_VERIFY_T = 0.8
+  /** Fixed PageRank round count — the cross-engine contract for
+    * pagerank_canonical (the oracle unrolls exactly this many). */
+  private val PR_ITERS = 3
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -275,6 +278,44 @@ object TextQueries extends QueryPack {
     // graft.ops.GraphOps.connectedComponents for the iterative shape.
     "dedup_cluster_cc" -> ((s, dir) => clusterLabels(s, dir)),
 
+    // -- canonical-doc pick by PageRank centrality -------------------------
+    // Which copy of a near-dup cluster should the corpus KEEP? min-id
+    // (dedup_cluster_cc's comp) is arbitrary; the centrality answer keeps
+    // the document most similar to the rest of its cluster — the PageRank
+    // argmax over the near-dup graph. Three damped rounds (fixed count,
+    // not convergence: the round count IS the cross-engine contract; the
+    // convergence-probe pattern lives in GraphOps.connectedComponents).
+    // Per round: ONE shuffle join of the rank vector against the
+    // edge+degree table (hash-partitioned and materialized once) and one
+    // aggregate keyed by dst — O(E) state, no driver iteration data.
+    // Float parity: contributions are r6-quantized then DECIMAL-summed
+    // (order-free, Num.dsum6), and each round's rank re-quantizes, so
+    // both engines iterate identical doubles. Nodes with no near-dup edge
+    // are their own canonical trivially and are scoped out. ---------------
+    "pagerank_canonical" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.Num
+      val pairs = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
+        .localCheckpoint()
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+      val ew = edges.join(deg, "src").localCheckpoint()
+      var r = ew.select(col("src").as("doc_id")).distinct()
+        .withColumn("pr", lit(1.0))
+      for (_ <- 1 to PR_ITERS) {
+        r = ew.join(r, ew("src") === r("doc_id"))
+          .groupBy(col("dst"))
+          .agg(Num.dsum6(Num.r6(col("pr") / col("deg"))).as("s"))
+          .select(col("dst").as("doc_id"),
+            Num.r6(lit(0.15) + lit(0.85) * col("s")).as("pr"))
+      }
+      val w = Window.partitionBy("comp").orderBy(col("pr").desc, col("doc_id"))
+      r.join(clusterLabelsStore(s, dir), "doc_id")
+        .select(col("doc_id"), col("comp"), col("pr"),
+          (row_number().over(w) === 1).as("is_canonical"))
+    }),
+
     // -- leakage-safe split: train/valid/test at CLUSTER granularity -------
     // A hash split on doc_id (split_stratified_hash) leaks: two near-
     // identical docs can land in train and test, and the eval set then
@@ -432,6 +473,49 @@ object TextQueries extends QueryPack {
           graft.expressions.JaccardSimilarity.jaccardSimSorted(col("a_sh"), col("b_sh")))
         .filter(col("jac") >= 0.5)
         .select("a_id", "b_id", "jac")
+    }),
+
+    // -- incremental-ingest dedup: a NEW batch against the standing corpus -
+    // The production shape of MinHash dedup: the corpus's banded
+    // signatures are a persisted index (minhash_signatures is exactly
+    // that export); each arriving batch bands its own docs and probes the
+    // index — the corpus TEXT is never rescanned and batch work is
+    // O(batch), not O(corpus). Batch here = doc_id % 10 == 0, the rest is
+    // the standing corpus; candidates collide on any of the 2 bands, the
+    // (new, corpus) pair set dedups, and the exact Jaccard verify keeps
+    // matches ≥ the MinHash threshold. Every batch doc is reported:
+    // dup_of = min matching corpus id, NULL ⇒ admit. The size prune on
+    // the candidate join is implied by the verify threshold (jac ≥ 0.8 ⇒
+    // size ratio ≥ 0.8), so it's a Spark-side speedup with no oracle
+    // mirror needed. ------------------------------------------------------
+    "dedup_incremental_lsh" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        col("doc_id"),
+        array_sort(array_distinct(TextOps.tokenHashes(col("text")))).as("th"))
+        .withColumn("n", size(col("th")))
+        .cache()
+      val withMh = MINHASH_A.indices.foldLeft(base: DataFrame) { (df, i) =>
+        df.withColumn(s"mh$i", TextOps.minHash(col("th"), MINHASH_A(i), MINHASH_B(i)))
+      }
+      def bandKey(j: Int) = concat_ws("_", lit(j) +: (0 until 4).map(k => col(s"mh${4 * j + k}")): _*)
+      val banded = withMh.select(col("doc_id"), col("n"),
+        explode(array(bandKey(0), bandKey(1))).as("bucket"))
+      val corpusB = banded.filter(col("doc_id") % 10 =!= 0)
+        .select(col("bucket"), col("doc_id").as("corpus_id"), col("n").as("cn"))
+      val batchB = banded.filter(col("doc_id") % 10 === 0)
+        .select(col("bucket"), col("doc_id").as("new_id"), col("n").as("bn"))
+      val cand = batchB.join(corpusB, "bucket")
+        .filter(col("bn") * 5 >= col("cn") * 4 && col("cn") * 5 >= col("bn") * 4)
+        .select(col("new_id"), col("corpus_id")).distinct()
+      val verified = cand
+        .join(base.select(col("doc_id").as("new_id"), col("th").as("a_th")), "new_id")
+        .join(base.select(col("doc_id").as("corpus_id"), col("th").as("b_th")), "corpus_id")
+        .filter(graft.expressions.JaccardSimilarity.jaccardSimSorted(
+          col("a_th"), col("b_th")) >= MINHASH_VERIFY_T)
+      val dup = verified.groupBy(col("new_id")).agg(min(col("corpus_id")).as("dup_of"))
+      docs(s, dir).filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+        .join(dup, col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"), col("dup_of"), col("dup_of").isNotNull.as("is_dup"))
     }),
 
     // -- SimHash signatures (occurrence-weighted bit votes) ----------------
@@ -615,6 +699,28 @@ object TextQueries extends QueryPack {
       s"""WITH RECURSIVE $CC_CTES
          |SELECT doc_id, comp FROM comp""".stripMargin,
 
+    "pagerank_canonical" -> {
+      import graft.ops.Num.{DSUM6_SQL, R6_SQL}
+      def round(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT e.dst AS doc_id,
+           |         ${R6_SQL("0.15 + 0.85 * " + DSUM6_SQL(R6_SQL("r.pr / d.deg")))} AS pr
+           |  FROM edges e
+           |  JOIN $prev r ON r.doc_id = e.src
+           |  JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst
+           |)""".stripMargin
+      s"""WITH RECURSIVE $CC_CTES, deg AS (
+         |  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+         |), r0 AS (
+         |  SELECT DISTINCT src AS doc_id, 1.0 AS pr FROM edges
+         |), ${round("r0", "r1")}, ${round("r1", "r2")}, ${round("r2", "r3")}
+         |SELECT r3.doc_id, c.comp, r3.pr,
+         |       (row_number() OVER (
+         |          PARTITION BY c.comp ORDER BY r3.pr DESC, r3.doc_id) = 1) AS is_canonical
+         |FROM r3 JOIN comp c ON c.doc_id = r3.doc_id""".stripMargin
+    },
+
     "split_leakage_safe" ->
       s"""WITH RECURSIVE $CC_CTES
          |SELECT doc_id, comp, ${SPLIT_SQL("comp")} AS split
@@ -661,6 +767,27 @@ object TextQueries extends QueryPack {
          |JOIN hashed ta ON ta.doc_id = c.a_id
          |JOIN hashed tb ON tb.doc_id = c.b_id
          |WHERE ${jacSql("ta.hs", "tb.hs")} >= $MINHASH_VERIFY_T""".stripMargin,
+
+    "dedup_incremental_lsh" ->
+      s"""WITH $HASHES_CTE, banded AS (
+         |  ${(0 until 2).map { j =>
+        s"SELECT doc_id, CAST($j AS VARCHAR) || '_' || ${minhashSql(4 * j)} || '_' || ${minhashSql(4 * j + 1)} || '_' || ${minhashSql(4 * j + 2)} || '_' || ${minhashSql(4 * j + 3)} AS bucket FROM hashed"
+      }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+         |  FROM banded b JOIN banded c ON b.bucket = c.bucket
+         |  WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |), dup AS (
+         |  SELECT new_id, min(corpus_id) AS dup_of
+         |  FROM cand
+         |  JOIN hashed ta ON ta.doc_id = cand.new_id
+         |  JOIN hashed tb ON tb.doc_id = cand.corpus_id
+         |  WHERE ${jacSql("ta.hs", "tb.hs")} >= $MINHASH_VERIFY_T
+         |  GROUP BY new_id
+         |)
+         |SELECT d.doc_id, dup.dup_of, dup.dup_of IS NOT NULL AS is_dup
+         |FROM documents d LEFT JOIN dup ON dup.new_id = d.doc_id
+         |WHERE d.doc_id % 10 = 0""".stripMargin,
 
     "dedup_shingle_jaccard" -> {
       def smh(i: Int): String =

@@ -40,6 +40,12 @@ case class FunnelEvent(user_id: Long, ts: Long, event_id: Long, event_type: Stri
 case class VecIn(vec_id: Long, embedding: Seq[Double])
 case class VecAssign(vec_id: Long, c_id: Long, csim: Double)
 
+/** Stream-stream interval-join inputs: a price/metric bar and the
+  * news/alert mark that should enrich it when it lands within the
+  * lookback interval. */
+case class BarMsg(user_id: Long, ts: java.sql.Timestamp, value: Double)
+case class MarkMsg(m_user: Long, mts: java.sql.Timestamp, label: String)
+
 /** Real-time funnel tracking on `transformWithState`: one
   * `ValueState[Long]` per user holds the highest stage reached; each
   * batch's events apply in (ts, event_id) order and advance the
@@ -440,6 +446,29 @@ object StreamOps {
         count(lit(1)).as("volume"))
       .select(col("window.start").as("ws"), col("user_id"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
+
+  /** Stream-stream INTERVAL join — the enrichment join the reference's
+    * consumer approximates by buffering one side in process memory
+    * (consumer-side "latest news per ticker" lookups): each bar picks up
+    * every mark for the same key that landed within the trailing
+    * lookback. Both sides carry event-time watermarks, so Spark bounds
+    * BOTH join buffers: a mark can be dropped once `max(event time seen)
+    * − watermark` passes the upper end of the interval it could still
+    * match — state is O(keys × lookback window), never unbounded. The
+    * join itself shuffles both streams by key once; at 100 TB/day the
+    * interval bound is what keeps this from being a stream-stream
+    * cartesian. Same join predicate as a batch interval join, so the
+    * StreamingSpec checks exact parity on replay. */
+  def intervalJoinStream(bars: DataFrame, marks: DataFrame,
+      lookback: String = "10 minutes"): DataFrame = {
+    val b = bars.withWatermark("ts", lookback)
+    val m = marks.withWatermark("mts", lookback)
+    b.join(m,
+      b("user_id") === m("m_user") &&
+        m("mts") >= b("ts") - expr(s"INTERVAL $lookback") &&
+        m("mts") <= b("ts"))
+      .select(b("user_id"), b("ts"), col("value"), col("mts"), col("label"))
+  }
 
   /** Streaming twin of the IVF assignment — the vector-store WRITE path:
     * each arriving vector is assigned to its nearest centroid MAP-SIDE.

@@ -108,6 +108,19 @@ class SeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank_canonical: one canonical per cluster, ranks bounded below") {
+    val rows = SparkEntry.queries("pagerank_canonical")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.count(_._4) == 1)                 // exactly one canonical
+      val canon = members.find(_._4).get
+      assert(members.forall(m => m._3 <= canon._3 ||
+        (m._3 == canon._3 && m._1 >= canon._1)))       // argmax with id tiebreak
+    }
+    rows.foreach(r => assert(r._3 >= 0.15))            // damping floor
+  }
+
   test("tpch_q6_forecast: revenue equals the per-row decimal sum") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("tpch_q6_forecast")(spark, "/root/testdata/sf0.001")

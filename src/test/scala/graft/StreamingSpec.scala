@@ -159,6 +159,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoinStream: exact batch parity on replayed two-sided input") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{BarMsg, MarkMsg}
+    val bars = MemoryStream[BarMsg]
+    val marks = MemoryStream[MarkMsg]
+    val q = StreamOps.intervalJoinStream(bars.toDF(), marks.toDF())
+      .writeStream.format("memory")
+      .queryName("ivj_out").outputMode(OutputMode.Append).start()
+    val barRows = Seq(
+      BarMsg(1L, ts("2024-01-01 10:00:00"), 10.0),
+      BarMsg(1L, ts("2024-01-01 10:15:00"), 11.0),
+      BarMsg(2L, ts("2024-01-01 10:05:00"), 20.0))
+    val markRows = Seq(
+      MarkMsg(1L, ts("2024-01-01 09:55:00"), "warm"),   // in window of bar 10:00 only
+      MarkMsg(1L, ts("2024-01-01 10:10:00"), "hot"),    // in window of bar 10:15
+      MarkMsg(2L, ts("2024-01-01 09:50:00"), "stale"),  // 15 min before bar -> out
+      MarkMsg(3L, ts("2024-01-01 10:00:00"), "orphan")) // no bar for key
+    try {
+      bars.addData(barRows: _*)
+      marks.addData(markRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ivj_out")
+        .as[(Long, java.sql.Timestamp, Double, java.sql.Timestamp, String)]
+        .collect().toSet
+      val expected = StreamOps.intervalJoinStream(
+        barRows.toDF(), markRows.toDF())
+        .as[(Long, java.sql.Timestamp, Double, java.sql.Timestamp, String)]
+        .collect().toSet
+      assert(got == expected, s"stream $got vs batch $expected")
+      assert(got.map(t => (t._1, t._5)) == Set((1L, "warm"), (1L, "hot")))
+    } finally q.stop()
+  }
+
   test("S2 end-to-end: file JSON stream -> decode -> dedup -> upsert -> retention") {
     // The closest offline stand-in for the Kafka round-trip: FIXTURES.md §1
     // JSON lines on disk, streamed one file per micro-batch through the

@@ -116,6 +116,36 @@ object SeriesQueries extends QueryPack {
           col("close").isNull.as("is_gap"))
     }),
 
+    // -- lag-1 autocorrelation per event_type: the persistence/seasonality
+    //    probe on a metric stream (white noise ≈ 0, trending/seasonal
+    //    series drift positive). The lag pairs come from one window over
+    //    the (ts, event_id) total order; the Pearson moments then
+    //    accumulate as DECIMAL(18,2) products (exact at any order — the
+    //    stats_corr_exact recipe), so the final doubles are bit-identical
+    //    cross-engine. One shuffle for the lag, one 5-row aggregate. ------
+    "stats_autocorr" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val d2 = DecimalType(18, 2)
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val lagged = events(s, dir)
+        .select(col("event_type"), col("value"),
+          lag(col("value"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+      lagged.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(d2)).cast("double").as("sx"),
+          sum(col("prev").cast(d2)).cast("double").as("sy"),
+          sum(col("value").cast(d2) * col("prev").cast(d2)).cast("double").as("sxy"),
+          sum(col("value").cast(d2) * col("value").cast(d2)).cast("double").as("sxx"),
+          sum(col("prev").cast(d2) * col("prev").cast(d2)).cast("double").as("syy"))
+        .select(col("event_type"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("autocorr_lag1"))
+    }),
+
     // -- first-order Markov transitions: lag(event_type) over each user's
     //    event-time order, then (prev → cur) counts and row-normalized
     //    probabilities. One shuffle by user for the lag; the matrix is
@@ -186,6 +216,28 @@ object SeriesQueries extends QueryPack {
         |       d.close IS NULL AS is_gap
         |FROM scaffold s LEFT JOIN daily d
         |  ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
+
+    "stats_autocorr" ->
+      """WITH lagged AS (
+        |  SELECT event_type, value,
+        |         lag(value, 1) OVER (
+        |           PARTITION BY event_type ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(prev AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(prev AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(prev AS DECIMAL(18,2)) * CAST(prev AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lagged WHERE prev IS NOT NULL
+        |  GROUP BY event_type
+        |)
+        |SELECT event_type, n,
+        |       (n * sxy - sx * sy) /
+        |         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS autocorr_lag1
+        |FROM m""".stripMargin,
 
     "markov_transitions" ->
       """WITH seq AS (

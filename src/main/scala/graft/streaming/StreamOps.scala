@@ -46,6 +46,12 @@ case class VecAssign(vec_id: Long, c_id: Long, csim: Double)
 case class BarMsg(user_id: Long, ts: java.sql.Timestamp, value: Double)
 case class MarkMsg(m_user: Long, mts: java.sql.Timestamp, label: String)
 
+/** Rolling-median stream state/output: the last ≤w−1 observed rows per
+  * key (event-time ordered) and the per-row emitted median point. */
+case class RollRow(ts: Long, event_id: Long, value: Double)
+case class RollState(rows: Seq[RollRow])
+case class MedPoint(user_id: Long, event_id: Long, value: Double, med: Double)
+
 /** Real-time funnel tracking on `transformWithState`: one
   * `ValueState[Long]` per user holds the highest stage reached; each
   * batch's events apply in (ts, event_id) order and advance the
@@ -468,6 +474,52 @@ object StreamOps {
         m("mts") >= b("ts") - expr(s"INTERVAL $lookback") &&
         m("mts") <= b("ts"))
       .select(b("user_id"), b("ts"), col("value"), col("mts"), col("label"))
+  }
+
+  /** Streaming twin of `rolling_median` (SeriesQueries): the trailing
+    * w-row median as bounded per-key state — exactly the last w−1 rows in
+    * (ts, event_id) order, nothing else, against the batch window's
+    * re-scan of the whole partition. Same contract as [[emaStream]]:
+    * within a batch rows sort by event order, across batches arrival must
+    * respect event order per key (the spec replays both). The median
+    * arithmetic — sorted values, explicit midpoint average on even sizes —
+    * is the SAME IEEE expression as the batch query's medianOfSorted, so
+    * stream and batch are bit-equal. */
+  def rollingMedianStream(rows: DataFrame, w: Int = 10)
+      : org.apache.spark.sql.Dataset[MedPoint] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[MedPoint]
+    implicit val stateEnc = org.apache.spark.sql.Encoders.product[RollState]
+    rows
+      // unix_micros, not a seconds cast: the batch window orders by the
+      // full-precision timestamp, and a seconds truncation could flip the
+      // (ts, event_id) order for sub-second neighbors.
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("tsl"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble))
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[RollState]) => {
+          var buf = state.getOption.map(_.rows.toVector).getOrElse(Vector.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[MedPoint]
+          it.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+            buf = (buf :+ RollRow(r._2, r._3, r._4)).takeRight(w)
+            val a = buf.map(_.value).sorted
+            val n = a.length
+            val med =
+              if (n % 2 == 1) a((n + 1) / 2 - 1)
+              else (a(n / 2 - 1) + a(n / 2)) / 2.0
+            out += MedPoint(user, r._3, r._4, med)
+          }
+          state.update(RollState(buf.takeRight(w - 1)))
+          out.iterator
+        })
   }
 
   /** Streaming twin of the IVF assignment — the vector-store WRITE path:

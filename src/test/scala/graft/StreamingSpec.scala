@@ -192,6 +192,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rollingMedianStream: bit-equal to the batch rolling_median across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.rollingMedianStream(
+      in.toDF().withColumn("event_type", lit("view")))
+      .writeStream.format("memory")
+      .queryName("rollmed_out").outputMode(OutputMode.Append).start()
+    // 14 rows per user across 2 users, split mid-stream: the second batch's
+    // windows straddle state carried from the first.
+    val rows = (1 to 14).flatMap(i => Seq(
+      Ev(1L, ts(f"2024-01-01 10:${i}%02d:00"), i.toLong * 2, (i * 7 % 13).toDouble),
+      Ev(2L, ts(f"2024-01-01 10:${i}%02d:30"), i.toLong * 2 + 1, (i * 5 % 11).toDouble)))
+    val (b1, b2) = rows.splitAt(16)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("rollmed_out")
+        .as[(Long, Long, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      // batch twin over the same rows through the registered query
+      val dir = java.nio.file.Files.createTempDirectory("rollmed").toString
+      rows.toDF("user_id", "ts", "event_id", "value")
+        .withColumn("event_type", lit("view"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val expected = SparkEntry.queries("rolling_median")(spark, dir)
+        .collect().map(r => (r.getLong(1), r.getLong(0)) -> (r.getDouble(2), r.getDouble(3))).toMap
+      assert(got.size == rows.size)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("S2 end-to-end: file JSON stream -> decode -> dedup -> upsert -> retention") {
     // The closest offline stand-in for the Kafka round-trip: FIXTURES.md §1
     // JSON lines on disk, streamed one file per micro-batch through the

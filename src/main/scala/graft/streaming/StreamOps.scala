@@ -52,6 +52,15 @@ case class RollRow(ts: Long, event_id: Long, value: Double)
 case class RollState(rows: Seq[RollRow])
 case class MedPoint(user_id: Long, event_id: Long, value: Double, med: Double)
 
+/** Space-Saving heavy-hitter state/output: m tracked (user, count,
+  * overestimate-error) counters per stream key, plus the total row count
+  * the sketch has absorbed (n_seen stamps each snapshot so a reader can
+  * select the latest). */
+case class SSCounter(user_id: Long, cnt: Long, err: Long)
+case class SSState(counters: Seq[SSCounter], n: Long)
+case class HeavyHitter(event_type: String, user_id: Long, cnt: Long,
+    err: Long, n_seen: Long)
+
 /** Real-time funnel tracking on `transformWithState`: one
   * `ValueState[Long]` per user holds the highest stage reached; each
   * batch's events apply in (ts, event_id) order and advance the
@@ -519,6 +528,66 @@ object StreamOps {
           }
           state.update(RollState(buf.takeRight(w - 1)))
           out.iterator
+        })
+  }
+
+  /** Streaming twin of `heavy_hitters_topk`: Space-Saving (Metwally et
+    * al.) top-k per event_type under BOUNDED state — m counters per
+    * group, however many distinct users the stream ever sees. The batch
+    * query's exact per-group count table is the luxury of a finite input;
+    * on an unbounded stream the sketch is the only shape whose state
+    * doesn't grow with cardinality. Guarantees (per group, n rows seen):
+    * every tracked count overestimates truth by ≤ its err field, and any
+    * user with true count > n/m is guaranteed tracked — so the top-k
+    * read off the sketch is exact whenever the k-th hitter clears that
+    * bar (the spec drives a skewed stream and checks both bounds against
+    * the exact batch counts). Each batch emits the group's full counter
+    * snapshot stamped with n_seen; readers keep the max-n_seen rows.
+    * At scale: the sketch merges associatively, so a production topology
+    * pre-sketches per partition and merges — this keyed single-sketch
+    * form is the semantic reference. */
+  def heavyHittersStream(events: DataFrame, m: Int = 16)
+      : org.apache.spark.sql.Dataset[HeavyHitter] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[HeavyHitter]
+    implicit val stateEnc = org.apache.spark.sql.Encoders.product[SSState]
+    events
+      .select(col("event_type"), col("user_id").cast("long"),
+        unix_micros(col("ts")).as("tsl"), col("event_id").cast("long"))
+      .as[(String, Long, Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (et: String, it: Iterator[(String, Long, Long, Long)],
+         state: GroupState[SSState]) => {
+          val prior = state.getOption.getOrElse(SSState(Nil, 0L))
+          val counters = scala.collection.mutable.LinkedHashMap.from(
+            prior.counters.map(c => c.user_id -> (c.cnt, c.err)))
+          var n = prior.n
+          // event-order fold (same contract as the other twins)
+          it.toArray.sortBy(r => (r._3, r._4)).foreach { r =>
+            val uid = r._2
+            n += 1
+            counters.get(uid) match {
+              case Some((c, e)) => counters(uid) = (c + 1, e)
+              case None if counters.size < m => counters(uid) = (1L, 0L)
+              case None =>
+                // evict the min-count tenant (deterministic (cnt, uid) order)
+                val (evicted, (minCnt, _)) =
+                  counters.minBy { case (u, (c, _)) => (c, u) }
+                counters.remove(evicted)
+                counters(uid) = (minCnt + 1, minCnt)
+            }
+          }
+          state.update(SSState(
+            counters.map { case (u, (c, e)) => SSCounter(u, c, e) }.toSeq, n))
+          counters.iterator.map { case (u, (c, e)) =>
+            HeavyHitter(et, u, c, e, n)
+          }
         })
   }
 

@@ -223,6 +223,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("heavyHittersStream: Space-Saving bounds hold vs exact counts") {
+    implicit val sqlCtx = spark.sqlContext
+    case class HEv(event_type: String, user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+    val in = MemoryStream[(String, Long, java.sql.Timestamp, Long)]
+    val q = StreamOps.heavyHittersStream(
+      in.toDF().toDF("event_type", "user_id", "ts", "event_id"), m = 8)
+      .writeStream.format("memory")
+      .queryName("hh_out").outputMode(OutputMode.Update).start()
+    // skewed stream: users 1..3 hot (30/20/10 hits), users 100+ cold singletons
+    var eid = 0L
+    def mk(u: Long, k: Int) = (1 to k).map { _ =>
+      eid += 1; ("click", u, ts(f"2024-01-01 10:00:${eid % 60}%02d"), eid)
+    }
+    val hot = mk(1L, 30) ++ mk(2L, 20) ++ mk(3L, 10)
+    val cold = (100L to 139L).flatMap(mk(_, 1))
+    val all = new scala.util.Random(7).shuffle(hot ++ cold)
+    val (b1, b2) = all.splitAt(all.size / 2)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val snaps = spark.table("hh_out")
+        .as[(String, Long, Long, Long, Long)].collect()
+      val nMax = snaps.map(_._5).max
+      assert(nMax == all.size)
+      val finalSnap = snaps.filter(_._5 == nMax)
+        .map(t => t._2 -> (t._3, t._4)).toMap
+      assert(finalSnap.size == 8)                     // capacity m
+      val exact = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      // guarantee 1: every user above n/m is tracked (n/m = 100/8 = 12.5)
+      Seq(1L, 2L).foreach(u => assert(finalSnap.contains(u), s"hot user $u lost"))
+      // guarantee 2: tracked cnt overestimates truth by at most err
+      finalSnap.foreach { case (u, (cnt, err)) =>
+        val truth = exact.getOrElse(u, 0L)
+        assert(cnt >= truth && cnt - err <= truth,
+          s"user $u: cnt=$cnt err=$err truth=$truth")
+      }
+      // the top-2 read off the sketch are the true top-2 (both clear n/m,
+      // so Space-Saving ranks them correctly even if once evicted)
+      val top2 = finalSnap.toSeq.sortBy { case (u, (c, _)) => (-c, u) }
+        .take(2).map(_._1).toSet
+      assert(top2 == Set(1L, 2L), s"top2 was $top2")
+    } finally q.stop()
+  }
+
   test("S2 end-to-end: file JSON stream -> decode -> dedup -> upsert -> retention") {
     // The closest offline stand-in for the Kafka round-trip: FIXTURES.md §1
     // JSON lines on disk, streamed one file per micro-batch through the

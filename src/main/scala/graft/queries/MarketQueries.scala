@@ -36,6 +36,51 @@ object MarketQueries extends QueryPack {
     "daily_ohlcv_summary" -> ((s, dir) =>
       MarketOps.dailySummary(Tables.events(s, dir))),
 
+    // -- drawdown curve: running peak + drawdown-from-peak per ticker ------
+    //    The risk metric every market dashboard carries. One bounded
+    //    prefix-max window over the daily bars; dd is a single IEEE
+    //    division of exact window outputs, so no rounding is needed —
+    //    max/min are order-insensitive. ------------------------------------
+    "indicator_drawdown" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("ticker").orderBy(col("date"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      MarketOps.dailyBars(Tables.events(s, dir))
+        .select(col("ticker"), col("date"), col("close"),
+          max(col("close")).over(w).as("peak"))
+        .withColumn("dd",
+          when(col("peak") =!= 0.0,
+            (col("close") - col("peak")) / col("peak")).otherwise(lit(0.0)))
+    }),
+
+    // -- annualized Sharpe per ticker from daily close returns -------------
+    //    Returns are r6-quantized, their squares re-quantized, and both
+    //    moments accumulate as DECIMAL(27,6) (order-free) — the zipf-OLS
+    //    recipe — so mean/std and the √252-annualized ratio are
+    //    bit-identical cross-engine. Degenerate series (n ≤ 1 or zero
+    //    variance) report 0.0 on both sides. -------------------------------
+    "stats_sharpe" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.Num
+      val w = Window.partitionBy("ticker").orderBy(col("date"))
+      val rets = MarketOps.dailyBars(Tables.events(s, dir))
+        .select(col("ticker"), col("close"),
+          lag(col("close"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull && col("prev") =!= 0.0)
+        .select(col("ticker"),
+          Num.r6((col("close") - col("prev")) / col("prev")).as("r"))
+        .select(col("ticker"), col("r"), Num.r6(col("r") * col("r")).as("rr"))
+      rets.groupBy(col("ticker"))
+        .agg(count(lit(1)).as("n"),
+          Num.dsum6(col("r")).as("sr"), Num.dsum6(col("rr")).as("srr"))
+        .select(col("ticker"), col("n"),
+          when(col("n") > 1 && col("n") * col("srr") - col("sr") * col("sr") > 0,
+            Num.r6((col("sr") / col("n")) /
+              sqrt((col("n") * col("srr") - col("sr") * col("sr")) /
+                (col("n") * (col("n") - 1))) * sqrt(lit(252.0))))
+            .otherwise(lit(0.0)).as("sharpe_ann"))
+    }),
+
     // -- J1: previous-bar lag self-join ------------------------------------
     "lag_join_prev_day" -> ((s, dir) =>
       MarketOps
@@ -207,6 +252,38 @@ object MarketQueries extends QueryPack {
       s"""WITH $BARS_CTE
          |SELECT ticker, date, close, lag(close) OVER w AS prev_close
          |FROM bars WINDOW w AS (PARTITION BY ticker ORDER BY date)""".stripMargin,
+
+    "indicator_drawdown" ->
+      s"""WITH $BARS_CTE
+         |SELECT ticker, date, close,
+         |       max(close) OVER w AS peak,
+         |       CASE WHEN max(close) OVER w <> 0.0
+         |            THEN (close - max(close) OVER w) / (max(close) OVER w)
+         |            ELSE 0.0 END AS dd
+         |FROM bars WINDOW w AS (PARTITION BY ticker ORDER BY date
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "stats_sharpe" -> {
+      import graft.ops.Num.{DSUM6_SQL, R6_SQL}
+      s"""WITH $BARS_CTE, rets AS (
+         |  SELECT ticker, ${R6_SQL("(close - prev) / prev")} AS r
+         |  FROM (SELECT ticker, close,
+         |               lag(close) OVER (PARTITION BY ticker ORDER BY date) AS prev
+         |        FROM bars)
+         |  WHERE prev IS NOT NULL AND prev <> 0.0
+         |), r2 AS (
+         |  SELECT ticker, r, ${R6_SQL("r * r")} AS rr FROM rets
+         |), m AS (
+         |  SELECT ticker, count(*) AS n,
+         |         ${DSUM6_SQL("r")} AS sr, ${DSUM6_SQL("rr")} AS srr
+         |  FROM r2 GROUP BY ticker
+         |)
+         |SELECT ticker, n,
+         |       CASE WHEN n > 1 AND n * srr - sr * sr > 0
+         |            THEN ${R6_SQL("(sr / n) / sqrt((n * srr - sr * sr) / (n * (n - 1))) * sqrt(252.0)")}
+         |            ELSE 0.0 END AS sharpe_ann
+         |FROM m""".stripMargin
+    },
 
     "pct_change" ->
       s"""WITH $BARS_CTE

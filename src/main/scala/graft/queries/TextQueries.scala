@@ -82,6 +82,43 @@ object TextQueries extends QueryPack {
       .select("a_id", "b_id", "jac")
   }
 
+  /** MinHash+LSH near-dup pairs `(a_id, b_id, jac)` — the banded
+    * enumeration + exact verify. One cached base: sorted distinct token
+    * hashes feed the minhashes (min is order/dup-insensitive), the size
+    * prune, AND the verify. array_distinct AFTER hashing (not just
+    * distinct tokens): if two distinct tokens collide under the poly
+    * hash, the set invariant the Jaccard kernels and the oracle's
+    * list_distinct both assume would silently break. Enumeration join via
+    * LshJoin: broadcast build at this scale, the salted (bucket, salt)
+    * shuffle when the banded table outgrows the broadcast threshold — the
+    * first-band filter keeps the pair stream shuffle-free either way.
+    * Shared by `dedup_minhash_lsh` (pair emission) and `lsh_recall_eval`
+    * (index-quality measurement). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(
+      col("doc_id"),
+      array_sort(array_distinct(TextOps.tokenHashes(col("text")))).as("th"))
+      .withColumn("n", size(col("th")))
+      .cache()
+    val withMh = MINHASH_A.indices.foldLeft(base: DataFrame) { (df, i) =>
+      df.withColumn(s"mh$i", TextOps.minHash(col("th"), MINHASH_A(i), MINHASH_B(i)))
+    }
+    def bandKey(j: Int) = concat_ws("_", lit(j) +: (0 until 4).map(k => col(s"mh${4 * j + k}")): _*)
+    val bands = withMh.select(
+      col("doc_id"), col("n"), bandKey(0).as("b0"),
+      explode(array(bandKey(0), bandKey(1))).as("bucket"))
+    val plan = graft.ops.LshJoin.candidateJoin(s, bands,
+      col("x.n") * 5 >= col("y.n") * 4 && col("y.n") * 5 >= col("x.n") * 4 &&
+        (col("x.bucket") === col("x.b0") || col("x.b0") =!= col("y.b0")))
+    val ta = base.select(col("doc_id").as("a_id"), col("th").as("a_th"))
+    val tb = base.select(col("doc_id").as("b_id"), col("th").as("b_th"))
+    graft.ops.LshJoin.verifyJoin(plan, ta, tb)
+      .withColumn("jac",
+        graft.expressions.JaccardSimilarity.jaccardSimSorted(col("a_th"), col("b_th")))
+      .filter(col("jac") >= MINHASH_VERIFY_T)
+      .select("a_id", "b_id", "jac")
+  }
+
   /** Near-dup CLUSTER labels `(doc_id, comp)`: connected components over
     * the Jaccard pairs, comp = component-min doc_id. Shared by
     * `dedup_cluster_cc` (the labels themselves) and `split_leakage_safe`
@@ -385,40 +422,44 @@ object TextQueries extends QueryPack {
     // pair only from the FIRST band where it collides (band 0, or band 1
     // with differing band-0 keys) — distinct by construction, turning the
     // pair-dedup shuffle+hash-aggregate into a pipelined filter.
-    "dedup_minhash_lsh" -> ((s, dir) => {
-      // one cached base: sorted distinct token hashes feed the minhashes
-      // (min is order/dup-insensitive), the size prune, AND the verify
-      // array_distinct AFTER hashing (not just distinct tokens): if two
-      // distinct tokens collide under the poly hash, the set invariant the
-      // Jaccard kernels and the oracle's list_distinct both assume would
-      // silently break. Matches tokenSets.
-      val base = docs(s, dir).select(
-        col("doc_id"),
-        array_sort(array_distinct(TextOps.tokenHashes(col("text")))).as("th"))
-        .withColumn("n", size(col("th")))
-        .cache()
-      val withMh = MINHASH_A.indices.foldLeft(base: DataFrame) { (df, i) =>
-        df.withColumn(s"mh$i", TextOps.minHash(col("th"), MINHASH_A(i), MINHASH_B(i)))
-      }
-      def bandKey(j: Int) = concat_ws("_", lit(j) +: (0 until 4).map(k => col(s"mh${4 * j + k}")): _*)
-      val bands = withMh.select(
-        col("doc_id"), col("n"), bandKey(0).as("b0"),
-        explode(array(bandKey(0), bandKey(1))).as("bucket"))
-      // Enumeration join via LshJoin: broadcast build at this scale, the
-      // salted (bucket, salt) shuffle when the banded table outgrows the
-      // broadcast threshold — the first-band filter keeps the pair stream
-      // shuffle-free either way. See graft.ops.LshJoin for the two shapes.
-      val plan = graft.ops.LshJoin.candidateJoin(s, bands,
-        col("x.n") * 5 >= col("y.n") * 4 && col("y.n") * 5 >= col("x.n") * 4 &&
-          (col("x.bucket") === col("x.b0") || col("x.b0") =!= col("y.b0")))
-      val ta = base.select(col("doc_id").as("a_id"), col("th").as("a_th"))
-      val tb = base.select(col("doc_id").as("b_id"), col("th").as("b_th"))
-      graft.ops.LshJoin.verifyJoin(plan, ta, tb)
-        .withColumn("jac",
-          graft.expressions.JaccardSimilarity.jaccardSimSorted(col("a_th"), col("b_th")))
-        .filter(col("jac") >= MINHASH_VERIFY_T)
-        .select("a_id", "b_id", "jac")
+    "dedup_minhash_lsh" -> ((s, dir) => minhashPairs(s, dir)),
+
+    // -- LSH index quality: recall of the banded path vs exact truth -------
+    // The dedup analog of ann_recall_at_k: how many TRUE near-dup pairs
+    // (exact Jaccard ≥ the verify threshold, exhaustively enumerated
+    // per-language) does the 2×4 banding actually surface? Pairs the
+    // banding misses are dups the corpus KEEPS — recall is the dial that
+    // trades band count against shuffle volume, and a production pipeline
+    // measures it on a sample before committing band parameters. The
+    // exhaustive side is EVAL-ONLY (per-lang pair join with the
+    // jac-implied size-ratio prune, the ann_bruteforce pattern); the
+    // measured path is the shipped minhashPairs. Precision needs no
+    // measurement: candidates are exact-verified, so it is 1 by
+    // construction. -------------------------------------------------------
+    "lsh_recall_eval" -> ((s, dir) => {
+      val t = tokenSets(s, dir).cache()
+      val a = t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
+        col("th").as("a_th"), col("n").as("a_n"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("th").as("b_th"), col("n").as("b_n"))
+      val truth = a.join(b,
+        col("a_lang") === col("b_lang") && col("a_id") < col("b_id") &&
+          col("a_n") * 5 >= col("b_n") * 4 && col("b_n") * 5 >= col("a_n") * 4)
+        .filter(graft.expressions.JaccardSimilarity.jaccardSimSorted(
+          col("a_th"), col("b_th")) >= MINHASH_VERIFY_T)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint()
+      val hit = truth.join(minhashPairs(s, dir).select(col("a_id"), col("b_id")),
+        Seq("a_id", "b_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_hit"),
+          when(col("n_truth") > 0,
+            col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .otherwise(lit(1.0)).as("recall"))
     }),
+
 
     // -- word-3-gram shingle Jaccard near-dup: the classic n-gram variant
     //    (the unigram query above is tuned to this corpus's 31-word vocab;
@@ -767,6 +808,36 @@ object TextQueries extends QueryPack {
          |JOIN hashed ta ON ta.doc_id = c.a_id
          |JOIN hashed tb ON tb.doc_id = c.b_id
          |WHERE ${jacSql("ta.hs", "tb.hs")} >= $MINHASH_VERIFY_T""".stripMargin,
+
+    "lsh_recall_eval" ->
+      s"""WITH $HASHES_CTE, banded AS (
+         |  ${(0 until 2).map { j =>
+        s"SELECT doc_id, CAST($j AS VARCHAR) || '_' || ${minhashSql(4 * j)} || '_' || ${minhashSql(4 * j + 1)} || '_' || ${minhashSql(4 * j + 2)} || '_' || ${minhashSql(4 * j + 3)} AS bucket FROM hashed"
+      }.mkString("\n  UNION ALL\n  ")}
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |), lsh AS (
+         |  SELECT c.a_id, c.b_id
+         |  FROM cand c
+         |  JOIN hashed ta ON ta.doc_id = c.a_id
+         |  JOIN hashed tb ON tb.doc_id = c.b_id
+         |  WHERE ${jacSql("ta.hs", "tb.hs")} >= $MINHASH_VERIFY_T
+         |), truth AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM hashed a JOIN hashed b
+         |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE ${jacSql("a.hs", "b.hs")} >= $MINHASH_VERIFY_T
+         |), n AS (SELECT count(*) AS n_truth FROM truth),
+         |h AS (
+         |  SELECT count(*) AS n_hit
+         |  FROM truth t JOIN lsh l ON t.a_id = l.a_id AND t.b_id = l.b_id
+         |)
+         |SELECT n_truth, n_hit,
+         |       CASE WHEN n_truth > 0
+         |            THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+         |            ELSE 1.0 END AS recall
+         |FROM n, h""".stripMargin,
 
     "dedup_incremental_lsh" ->
       s"""WITH $HASHES_CTE, banded AS (

@@ -87,4 +87,30 @@ class MarketOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("chg_10min") == 0.0)
     assert(r.getAs[String]("dir_10min") == "FLAT")
   }
+
+  test("indicator_drawdown: peak is a running max, dd nonpositive and hits the trough") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, 100.0),
+      (1L, "2024-01-02 10:00:00", 2L, 120.0),
+      (1L, "2024-01-03 10:00:00", 3L, 90.0),   // dd = -0.25 from 120
+      (1L, "2024-01-04 10:00:00", 4L, 150.0))  // new peak -> dd = 0
+    val dir = java.nio.file.Files.createTempDirectory("dd_test").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("indicator_drawdown")(spark, dir)
+      .orderBy("date").collect()
+    assert(got.map(_.getAs[Double]("peak")).toSeq == Seq(100.0, 120.0, 120.0, 150.0))
+    assert(got.map(_.getAs[Double]("dd")).toSeq == Seq(0.0, 0.0, -0.25, 0.0))
+  }
+
+  test("stats_sharpe: constant returns -> zero variance guard reports 0.0") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, 100.0),
+      (1L, "2024-01-02 10:00:00", 2L, 110.0),
+      (1L, "2024-01-03 10:00:00", 3L, 121.0)) // +10% twice -> std 0
+    val dir = java.nio.file.Files.createTempDirectory("sharpe_test").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("stats_sharpe")(spark, dir).collect().head
+    assert(got.getAs[Long]("n") == 2L)
+    assert(got.getAs[Double]("sharpe_ann") == 0.0)
+  }
 }

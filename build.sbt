@@ -32,4 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 166 registry queries × whole-stage codegen fills the default 240 MB
+  // JIT code cache; once it overflows, the JVM flushes compiled methods
+  // and the Bench/Verify tail re-JITs inside timed regions — measured as
+  // broad 2-3× elevation of late-suite queries with unchanged plans.
+  "-XX:ReservedCodeCacheSize=512m",
 )

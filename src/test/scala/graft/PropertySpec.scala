@@ -168,4 +168,65 @@ object PropertySpec extends Properties("graft") {
       .select(ScalarOps.extractField($"summary", "Variation").as("v"))
     df.collect().head.getDouble(0) == -42.37
   }
+
+  // ---- round-6 second-half kernels ---------------------------------------
+
+  private val wordGen = Gen.listOfN(8, Gen.oneOf("key", "agg", "row", "scan",
+    "slow", "fast", "a", "the")).map(_.mkString(" "))
+  /** An edited variant: substitutions, insertions, and deletions applied
+    * to a base string — the near-dup shape the fuzzy join hunts. */
+  private val editedPairGen = for {
+    base <- wordGen
+    nEdits <- Gen.choose(0, 6)
+    seed <- Gen.choose(0, Int.MaxValue)
+  } yield {
+    val rnd = new scala.util.Random(seed)
+    var s = base
+    (1 to nEdits).foreach { _ =>
+      if (s.isEmpty) s = "x"
+      val i = rnd.nextInt(s.length)
+      rnd.nextInt(3) match {
+        case 0 => s = s.updated(i, ('a' + rnd.nextInt(26)).toChar) // sub
+        case 1 => s = s.take(i) + ('a' + rnd.nextInt(26)).toChar + s.drop(i) // ins
+        case 2 => s = s.take(i) + s.drop(i + 1) // del
+      }
+    }
+    (base, s)
+  }
+
+  /** The pruning bound dedup_fuzzy_editdist relies on: bigram multiset L1
+    * never exceeds 4× the edit distance, for BOTH adversarial same-vocab
+    * pairs and true edit chains. A violation would make the counting
+    * filter drop a real near-dup pair. */
+  property("bigram_l1 <= 4 * levenshtein (the counting-filter bound)") =
+    forAll(editedPairGen) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+        .select(
+          graft.expressions.BigramL1.bigramL1(col("a"), col("b")).as("l1"),
+          levenshtein(col("a"), col("b")).as("lev"))
+        .collect().head
+      df.getInt(0) <= 4 * df.getInt(1)
+    }
+
+  /** rolling_median's sorted-midpoint arithmetic vs a brute-force median
+    * over random series — including the even/odd interpolation split. */
+  property("rolling_median matches brute force over random series") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 10000)).map(_.take(25))) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        (1L, new java.sql.Timestamp(86400000L + i * 60000L), i.toLong, v / 100.0)
+      }
+      val dir = java.nio.file.Files.createTempDirectory("pm").toString
+      rows.toDF("user_id", "ts", "event_id", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("rolling_median")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      rows.indices.forall { i =>
+        val win = rows.slice(math.max(0, i - 9), i + 1).map(_._4).sorted
+        val n = win.length
+        val want =
+          if (n % 2 == 1) win((n + 1) / 2 - 1)
+          else (win(n / 2 - 1) + win(n / 2)) / 2.0
+        got(i.toLong) == want
+      }
+    }
 }

@@ -94,6 +94,42 @@ object FeatureQueries extends QueryPack {
         .withColumn("converted", col("stages_matched") === stages.length)
     }),
 
+    // -- rolling 7-day active users: the WAU curve. The SCALABLE form is
+    //    fan-out, not a per-day range self-join: each (user, active day)
+    //    row projects into the 7 window-end days it supports, then one
+    //    distinct-count per window end. |user×day| × 7 rows shuffle once —
+    //    at 100 TB the fan-out constant beats a day-keyed range join's
+    //    skew (every day joins the whole week's users). Window ends are
+    //    clipped to days that actually occur, so the tail carries no
+    //    phantom partial windows. -----------------------------------------
+    "active_users_rolling7" -> ((s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = ud.select(col("day").as("w_day")).distinct()
+      ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("w_day"))
+        .join(days, "w_day")
+        .groupBy(col("w_day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+    }),
+
+    // -- funnel latency: microseconds from each user's FIRST view to the
+    //    first purchase at-or-after it. Two tiny per-user min-reductions
+    //    and one broadcast-joined filter; the exact integer microsecond
+    //    difference needs no float discipline at all. --------------------
+    "funnel_time_to_convert" -> ((s, dir) => {
+      val v = events(s, dir).filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+      events(s, dir).filter(col("event_type") === "purchase")
+        .join(broadcast(v), "user_id")
+        .filter(col("ts") >= col("first_view"))
+        .groupBy(col("user_id"), col("first_view"))
+        .agg(min(col("ts")).as("first_purchase"))
+        .select(col("user_id"),
+          (unix_micros(col("first_purchase")) - unix_micros(col("first_view")))
+            .as("ttc_us"))
+    }),
+
     // -- cohort retention: users grouped by first-active week, counted in
     //    each later week they return — the classic retention triangle.
     //    Two hash aggregations and one equi-join on user_id; every output
@@ -274,6 +310,34 @@ object FeatureQueries extends QueryPack {
         |)
         |SELECT user_id, stages_matched, stages_matched = 3 AS converted
         |FROM matched""".stripMargin,
+
+    "active_users_rolling7" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), days AS (SELECT DISTINCT day FROM ud),
+        |fan AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |           CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS w_day
+        |  FROM ud
+        |)
+        |SELECT w_day, count(DISTINCT user_id) AS wau
+        |FROM fan
+        |WHERE w_day IN (SELECT day FROM days)
+        |GROUP BY w_day""".stripMargin,
+
+    "funnel_time_to_convert" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS first_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id
+        |), p AS (
+        |  SELECT e.user_id, v.first_view, min(e.ts) AS first_purchase
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+        |  GROUP BY e.user_id, v.first_view
+        |)
+        |SELECT user_id, epoch_us(first_purchase) - epoch_us(first_view) AS ttc_us
+        |FROM p""".stripMargin,
 
     "cohort_retention" ->
       """WITH weeks AS (

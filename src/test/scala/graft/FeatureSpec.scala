@@ -39,4 +39,35 @@ class FeatureSpec extends AnyFunSuite {
     assert(got(2L) == (1L, false))
     assert(got(3L) == (3L, true))
   }
+
+  test("active_users_rolling7: each window counts the trailing week, no phantom tail days") {
+    val dir = java.nio.file.Files.createTempDirectory("wau_test").toString
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (2L, ts("2024-01-03 10:00:00"), 2L, "view", 1.0),
+      (1L, ts("2024-01-09 10:00:00"), 3L, "view", 1.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("active_users_rolling7")(spark, dir)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // only days that occur are emitted: 01-01, 01-03, 01-09
+    assert(got.keySet == Set("2024-01-01", "2024-01-03", "2024-01-09"))
+    assert(got("2024-01-01") == 1L)            // just user 1
+    assert(got("2024-01-03") == 2L)            // users 1 (01-01) + 2
+    assert(got("2024-01-09") == 2L)            // user 2 (01-03, in window) + user 1
+  }
+
+  test("funnel_time_to_convert: purchase before first view doesn't count") {
+    val dir = java.nio.file.Files.createTempDirectory("ttc_test").toString
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (1L, ts("2024-01-01 10:30:00"), 2L, "purchase", 1.0),   // 30 min
+      (2L, ts("2024-01-01 09:00:00"), 3L, "purchase", 1.0),   // BEFORE first view
+      (2L, ts("2024-01-01 10:00:00"), 4L, "view", 1.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("funnel_time_to_convert")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 30L * 60 * 1000000))
+  }
 }

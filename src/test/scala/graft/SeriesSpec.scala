@@ -121,6 +121,22 @@ class SeriesSpec extends AnyFunSuite {
     rows.foreach(r => assert(r._3 >= 0.15))            // damping floor
   }
 
+  test("tpch_q6_forecast plan: every predicate pushes to parquet, 4-column read") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("tpch_q6_forecast")(spark, "/root/testdata/sf0.001")
+    // sparkPlan, not executedPlan: AQE wraps the tree in
+    // AdaptiveSparkPlanExec whose children aren't visible to collect
+    val scan = df.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }.head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(pushed.contains(c), s"$c must push into parquet, got: $pushed"))
+    val read = scan.metadata.getOrElse("ReadSchema", "")
+    assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .forall(read.contains) && !read.contains("l_orderkey"),
+      s"scan must read exactly the 4 needed columns, got: $read")
+  }
+
   test("tpch_q6_forecast: revenue equals the per-row decimal sum") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("tpch_q6_forecast")(spark, "/root/testdata/sf0.001")

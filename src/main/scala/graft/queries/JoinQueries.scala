@@ -496,6 +496,26 @@ object JoinQueries extends QueryPack {
             col("l_discount").cast(DecimalType(18, 2))).cast("double").as("revenue"),
           count(lit(1)).as("n_rows"))),
 
+    // -- native: TPC-H q14-style promo-revenue ratio -----------------------
+    // The conditional-aggregate-over-join archetype: one month of lineitem
+    // (predicate at the scan) joins the part dim BROADCAST, then a single
+    // aggregate produces both the promo-filtered and total decimal-exact
+    // revenues — the ratio is one IEEE division of two exact doubles, so
+    // no quantization is needed. At 100 TB: part is the classic
+    // broadcast-able dimension; the fact side never shuffles. ------------
+    "tpch_q14_promo" -> ((s, dir) => {
+      val promoRev = sum(when(col("p_type") === "PROMO",
+        col("l_extendedprice").cast(DecimalType(9, 2)) *
+          (lit(1.0) - col("l_discount")).cast(DecimalType(3, 2)))).cast("double")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(promoRev.as("promo_rev"), revenue.as("total_rev"))
+        .select(col("promo_rev"), col("total_rev"),
+          (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_pct"))
+    }),
+
     // -- native: TPC-H q3-style 3-way join + top-k -------------------------
     // Filters applied BEFORE the joins so they push to the parquet scans;
     // the filtered customer dim is broadcast; orderBy+limit plans as
@@ -797,6 +817,19 @@ object JoinQueries extends QueryPack {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "tpch_q14_promo" ->
+      s"""SELECT
+         |  CAST(sum(CASE WHEN p_type = 'PROMO'
+         |       THEN CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(1 - l_discount AS DECIMAL(3,2))
+         |       END) AS DOUBLE) AS promo_rev,
+         |  $REV_SQL AS total_rev,
+         |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+         |       THEN CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(1 - l_discount AS DECIMAL(3,2))
+         |       END) AS DOUBLE) / $REV_SQL AS promo_pct
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
 
     "tpch_q3_shipping" ->
       s"""SELECT l_orderkey, o_orderdate, $REV_SQL AS revenue

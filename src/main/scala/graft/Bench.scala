@@ -35,6 +35,13 @@ object Bench {
       // token-level windows shuffle few bytes per unit of CPU. Bytes are
       // the wrong proxy for work here; rejected (BENCH_NOTES.md r6).
       .config("spark.ui.enabled", "false")
+      // The generated-code cache defaults to 100 entries; 169 queries ×
+      // several codegen units each means the warmup pass's Janino
+      // compilations are evicted before the timed pass reuses them, and
+      // every timed query pays 0.5-3 s of recompilation — the measured
+      // cold-rep1/warm-rep2 gap on unchanged plans. Sized to hold the
+      // whole registry's units so warmup actually warms.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, file-index, JIT) so the first timed query

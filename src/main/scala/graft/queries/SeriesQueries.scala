@@ -146,6 +146,32 @@ object SeriesQueries extends QueryPack {
             .as("autocorr_lag1"))
     }),
 
+    // -- day-of-week seasonality index per event_type: mean(value) on each
+    //    weekday relative to the group's overall mean — the calendar-
+    //    effect probe (flat ≈ 1.0 everywhere; weekend lifts/dips show as
+    //    departures). dow derives from MODULAR DATE ARITHMETIC anchored
+    //    at 2024-01-01 (a Monday): Spark's dayofweek() is 1=Sunday..7 but
+    //    DuckDB's is 0=Sunday..6, so the portable form is the datediff
+    //    residue, exact integers in both engines. Means are decimal-exact
+    //    (Num.davg shape); the index is one IEEE division. --------------
+    "stats_seasonality_dow" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val d2 = DecimalType(27, 2)
+      val dow = pmod(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")), lit(7))
+        .cast("long")
+      val byDow = events(s, dir)
+        .groupBy(col("event_type"), dow.as("dow"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(d2)).cast("double").as("sv"))
+      val overall = events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_all"),
+          sum(col("value").cast(d2)).cast("double").as("sv_all"))
+      byDow.join(broadcast(overall), "event_type")
+        .select(col("event_type"), col("dow"), col("n"),
+          ((col("sv") / col("n")) / (col("sv_all") / col("n_all"))).as("dow_index"))
+    }),
+
     // -- first-order Markov transitions: lag(event_type) over each user's
     //    event-time order, then (prev → cur) counts and row-normalized
     //    probabilities. One shuffle by user for the lag; the matrix is
@@ -238,6 +264,22 @@ object SeriesQueries extends QueryPack {
         |       (n * sxy - sx * sy) /
         |         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS autocorr_lag1
         |FROM m""".stripMargin,
+
+    "stats_seasonality_dow" ->
+      """WITH byd AS (
+        |  SELECT event_type,
+        |         CAST(((datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7) + 7) % 7 AS BIGINT) AS dow,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sv
+        |  FROM events GROUP BY 1, 2
+        |), o AS (
+        |  SELECT event_type, count(*) AS n_all,
+        |         CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sv_all
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT b.event_type, b.dow, b.n,
+        |       (sv / n) / (sv_all / n_all) AS dow_index
+        |FROM byd b JOIN o USING (event_type)""".stripMargin,
 
     "markov_transitions" ->
       """WITH seq AS (

@@ -1,0 +1,100 @@
+package graft.ops
+
+import java.io.File
+
+/** Build-once/serve-many staging for DERIVED parquet tables (near-dup
+  * pair graph, cluster labels, IVF+PQ index, BM25 score table): the
+  * industrial shape where an expensive index/materialization is built
+  * once per corpus snapshot and every downstream consumer reads the
+  * store instead of re-running the build.
+  *
+  * Two production concerns the naive `mode("overwrite")`-into-a-fixed-
+  * path pattern gets wrong, both fixed here:
+  *
+  *  1. '''Logic staleness.''' A store keyed only on the SOURCE mtime
+  *     silently serves stale data when the build LOGIC changes (new
+  *     tokenizer, different banding constants) without the data
+  *     changing — the store and an inline oracle then split. Every
+  *     store path embeds a caller-supplied `fingerprint` of the build
+  *     constants, so a logic change lands in a fresh directory and the
+  *     old materialization can never be served for the new logic.
+  *
+  *  2. '''Publish atomicity.''' Overwriting the serve path in place
+  *     races concurrent readers (a reader can hold a footer of the old
+  *     file set while the writer deletes it). Builds here write to a
+  *     session-private temp dir and PUBLISH with a single directory
+  *     rename — atomic on a POSIX filesystem, and the pattern object
+  *     stores/HDFS emulate with a versioned-directory pointer. A
+  *     racing builder that loses the rename simply discards its temp
+  *     and serves the winner's identical output (the build is a pure
+  *     function of source + fingerprint).
+  *
+  * The version directory is `v_<fp>_m<srcMtime>`: source regeneration
+  * changes the mtime component, logic changes the fingerprint
+  * component, and either lands in a new directory — staleness becomes
+  * a pure existence check and a published version is immutable.
+  * Superseded versions are garbage-collected best-effort (open handles
+  * keep a concurrent reader safe on POSIX).
+  */
+object DerivedStore {
+
+  /** Max mtime over the source table directory (file writes inside the
+    * dir may not bump the dir's own mtime on all filesystems). */
+  private def sourceMtime(sourceTable: File): Long =
+    Option(sourceTable.listFiles())
+      .map(_.map(_.lastModified()).foldLeft(sourceTable.lastModified())(math.max))
+      .getOrElse(sourceTable.lastModified())
+
+  /** Short stable digest of the build-constants string. */
+  private[graft] def digest(fingerprint: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(fingerprint.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** Serve the derived table rooted at `storeRoot/<sf>/`, building it
+    * first if no published version matches (fingerprint, source mtime).
+    * `build` writes the table to the temp path it is given (caller
+    * controls the writer — partitioning columns, formats). Returns the
+    * published version path to read.
+    *
+    * @param storeRoot   per-table staging root (e.g. /tmp/graft_neardup_pairs)
+    * @param dir         the testdata SF dir (store is SF-suffixed)
+    * @param sourceTable file name of the source table the build reads
+    *                    (e.g. "documents.parquet") — its mtime keys the
+    *                    data-staleness component
+    * @param fingerprint string of every constant the build depends on
+    *                    (thresholds, band counts, tokenizer version) —
+    *                    keys the logic-staleness component
+    */
+  def serve(storeRoot: String, dir: String, sourceTable: String,
+            fingerprint: String)(build: String => Unit): String = {
+    val sfRoot = new File(s"$storeRoot/${dir.split('/').last}")
+    val src = new File(s"$dir/$sourceTable")
+    val version = s"v_${digest(fingerprint)}_m${sourceMtime(src)}"
+    val published = new File(sfRoot, version)
+    if (!new File(published, "_SUCCESS").exists()) {
+      sfRoot.mkdirs()
+      val tmp = new File(sfRoot, s".tmp_${version}_${java.util.UUID.randomUUID().toString.take(8)}")
+      build(tmp.getAbsolutePath)
+      // Atomic publish; a lost race means a concurrent builder already
+      // published the identical version — discard ours and serve theirs.
+      if (!tmp.renameTo(published)) {
+        deleteRecursively(tmp)
+        require(new File(published, "_SUCCESS").exists(),
+          s"store publish failed and no concurrent winner at $published")
+      }
+      // GC superseded versions (best-effort: an open reader's handles
+      // survive the unlink on POSIX; failures are ignored).
+      Option(sfRoot.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName != version && !f.getName.startsWith(".tmp_"))
+        .foreach(f => try deleteRecursively(f) catch { case _: Throwable => })
+    }
+    published.getAbsolutePath
+  }
+}

@@ -147,20 +147,19 @@ object TextQueries extends QueryPack {
     * are downstream CONSUMERS of the label table, and in a production
     * 100 TB pipeline they read the materialization, not re-run the CC. */
   private val LABELS_DIR = "/tmp/graft_cluster_labels"
-  private def labelsDir(dir: String): String = s"$LABELS_DIR/${dir.split('/').last}"
-  private def staleLabels(marker: java.io.File, dir: String): Boolean = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val srcMtime = Option(src.listFiles())
-      .map(_.map(_.lastModified()).foldLeft(src.lastModified())(math.max))
-      .getOrElse(src.lastModified())
-    !marker.exists() || marker.lastModified() < srcMtime
-  }
+  /** Logic fingerprint of the pair build: every constant the banded
+    * enumeration depends on. A change to any of these (tokenizer, hash
+    * modulus, threshold, size-band width) must invalidate the persisted
+    * pair/label stores even when the source data is unchanged —
+    * [[graft.ops.DerivedStore]] folds this into the version path. */
+  private val PAIRS_FINGERPRINT =
+    s"jaccardPairs:tok=ws-poly31:P=$P:T=$JACCARD_T:band=lang,n±1:prune=19/20"
   private[graft] def clusterLabelsStore(s: SparkSession, dir: String): DataFrame = {
-    val store = labelsDir(dir)
-    if (staleLabels(new java.io.File(store, "_SUCCESS"), dir)) {
-      clusterLabels(s, dir).write.mode("overwrite").parquet(store)
+    val path = graft.ops.DerivedStore.serve(
+      LABELS_DIR, dir, "documents.parquet", s"$PAIRS_FINGERPRINT|cc=minlabel-v1") {
+      tmp => clusterLabels(s, dir).write.parquet(tmp)
     }
-    s.read.parquet(store)
+    s.read.parquet(path)
   }
 
   /** The near-dup PAIR table `(a_id, b_id)` as a persisted derived table —
@@ -173,12 +172,11 @@ object TextQueries extends QueryPack {
     * `pagerank_canonical` is a consumer. */
   private val PAIRS_DIR = "/tmp/graft_neardup_pairs"
   private[graft] def jaccardPairsStore(s: SparkSession, dir: String): DataFrame = {
-    val store = s"$PAIRS_DIR/${dir.split('/').last}"
-    if (staleLabels(new java.io.File(store, "_SUCCESS"), dir)) {
-      jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
-        .write.mode("overwrite").parquet(store)
+    val path = graft.ops.DerivedStore.serve(
+      PAIRS_DIR, dir, "documents.parquet", PAIRS_FINGERPRINT) { tmp =>
+      jaccardPairs(s, dir).select(col("a_id"), col("b_id")).write.parquet(tmp)
     }
-    s.read.parquet(store)
+    s.read.parquet(path)
   }
 
   /** The split_leakage_safe bucket rule — ONE definition of how a cluster
@@ -447,30 +445,49 @@ object TextQueries extends QueryPack {
 
     // -- LSH index quality: recall of the banded path vs exact truth -------
     // The dedup analog of ann_recall_at_k: how many TRUE near-dup pairs
-    // (exact Jaccard ≥ the verify threshold, exhaustively enumerated
-    // per-language) does the 2×4 banding actually surface? Pairs the
-    // banding misses are dups the corpus KEEPS — recall is the dial that
-    // trades band count against shuffle volume, and a production pipeline
-    // measures it on a sample before committing band parameters. The
-    // exhaustive side is EVAL-ONLY (per-lang pair join with the
-    // jac-implied size-ratio prune, the ann_bruteforce pattern); the
-    // measured path is the shipped minhashPairs. Precision needs no
-    // measurement: candidates are exact-verified, so it is 1 by
-    // construction. -------------------------------------------------------
+    // (exact Jaccard ≥ the verify threshold) does the 2×4 banding
+    // actually surface? Pairs the banding misses are dups the corpus
+    // KEEPS — recall is the dial that trades band count against shuffle
+    // volume, and a production pipeline measures it on a sample before
+    // committing band parameters.
+    //
+    // The STANDARD recall protocol, and the one that scales: exact truth
+    // is computed only for a deterministic ~5% ANCHOR sample of documents
+    // (sampleKey % 20 — the same hash every sampler in the engine uses),
+    // not for all pairs. Truth per anchor is one broadcast probe of the
+    // corpus — O(k·n) with a FIXED anchor budget, so the eval costs one
+    // corpus scan at any corpus size, where the old per-language
+    // exhaustive join was O(n²) within each band and could never run at
+    // 100 TB. An anchor pair (both endpoints sampled) is emitted once,
+    // from its smaller endpoint; anchor/non-anchor pairs always emit from
+    // the anchor, normalized to (min,max) id order to meet minhashPairs'
+    // a_id < b_id convention. The measured path is the SHIPPED
+    // minhashPairs — banded, never rebuilt differently for the eval.
+    // Precision needs no measurement: candidates are exact-verified, so
+    // it is 1 by construction. Recall over a hash sample is an unbiased
+    // estimate of corpus recall (anchors are chosen independently of
+    // content). The size-ratio prune on the truth join is jac-implied
+    // (jac ≥ 0.8 forces |A|,|B| within 4/5), so the simpler oracle
+    // without it agrees exactly. -------------------------------------------
     "lsh_recall_eval" -> ((s, dir) => {
+      def anchor(id: Column) = TextOps.sampleKey(id) % 20 === 0
       val t = tokenSets(s, dir).cache()
-      val a = t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
-        col("th").as("a_th"), col("n").as("a_n"))
-        .repartition(s.sessionState.conf.numShufflePartitions)
-      val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+      val anchors = t.filter(anchor(col("doc_id")))
+        .select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
+          col("th").as("a_th"), col("n").as("a_n"))
+      val corpus = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
         col("th").as("b_th"), col("n").as("b_n"))
-      val truth = a.join(b,
-        col("a_lang") === col("b_lang") && col("a_id") < col("b_id") &&
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val truth = corpus.join(broadcast(anchors),
+        col("a_lang") === col("b_lang") && col("a_id") =!= col("b_id") &&
+          (col("a_id") < col("b_id") || !anchor(col("b_id"))) &&
           col("a_n") * 5 >= col("b_n") * 4 && col("b_n") * 5 >= col("a_n") * 4)
         .filter(graft.expressions.JaccardSimilarity.jaccardSimSorted(
           col("a_th"), col("b_th")) >= MINHASH_VERIFY_T)
-        .select(col("a_id"), col("b_id"))
-        .localCheckpoint()
+        .select(least(col("a_id"), col("b_id")).as("a_id"),
+          greatest(col("a_id"), col("b_id")).as("b_id"))
+        .localCheckpoint()  // eager: truth is materialized here ...
+      t.unpersist()         // ... so the token-set cache can be released
       val hit = truth.join(minhashPairs(s, dir).select(col("a_id"), col("b_id")),
         Seq("a_id", "b_id"), "left_semi")
       truth.agg(count(lit(1)).as("n_truth"))
@@ -845,9 +862,13 @@ object TextQueries extends QueryPack {
          |  JOIN hashed tb ON tb.doc_id = c.b_id
          |  WHERE ${jacSql("ta.hs", "tb.hs")} >= $MINHASH_VERIFY_T
          |), truth AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  SELECT least(a.doc_id, b.doc_id) AS a_id,
+         |         greatest(a.doc_id, b.doc_id) AS b_id
          |  FROM hashed a JOIN hashed b
-         |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |    ON a.lang = b.lang AND a.doc_id <> b.doc_id
+         |    AND (${TextOps.SAMPLE_KEY_SQL("a.doc_id")}) % 20 = 0
+         |    AND (a.doc_id < b.doc_id
+         |         OR (${TextOps.SAMPLE_KEY_SQL("b.doc_id")}) % 20 <> 0)
          |  WHERE ${jacSql("a.hs", "b.hs")} >= $MINHASH_VERIFY_T
          |), n AS (SELECT count(*) AS n_truth FROM truth),
          |h AS (

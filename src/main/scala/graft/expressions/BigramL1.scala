@@ -22,12 +22,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * O(|a|·|b|) DP it avoids, and (unlike a plain character histogram)
   * order-sensitive enough to separate same-vocabulary documents.
   *
-  * Exact by construction: bigram codes are the two 16-bit chars packed
-  * into a long (no hashing, no collisions), counted +1 for the left
-  * string and −1 for the right; the result is Σ|count|. The expression
-  * is integer-valued and engine-independent, but it exists for PRUNING —
-  * oracle SQL should keep the plain levenshtein predicate (the prune
-  * never changes the result set).
+  * Exact by construction: bigram codes are two Unicode CODE POINTS
+  * (≤21 bits each) packed into a long (no hashing, no collisions),
+  * counted +1 for the left string and −1 for the right; the result is
+  * Σ|count|. Iterating by code point, not UTF-16 code unit, matters for
+  * the bound: both engines' `levenshtein` counts code-point edits, so a
+  * substitution involving a supplementary-plane character (a surrogate
+  * PAIR in UTF-16) is ONE edit — a code-unit bigram walk would see up
+  * to 3 perturbed bigrams per side and could overshoot the 4-per-edit
+  * budget, breaking the prune's soundness for non-BMP text. The
+  * expression is integer-valued and engine-independent, but it exists
+  * for PRUNING — oracle SQL should keep the plain levenshtein predicate
+  * (the prune never changes the result set).
   */
 case class BigramL1(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -70,18 +76,25 @@ object BigramL1 {
     val sb = b.toString
     val counts = new java.util.HashMap[Long, Integer](
       (sa.length + sb.length) * 2)
-    var i = 0
-    while (i + 1 < sa.length) {
-      val key = (sa.charAt(i).toLong << 16) | sa.charAt(i + 1).toLong
-      counts.merge(key, Integer.valueOf(1), (x, y) => Integer.valueOf(x + y))
-      i += 1
+    // Walk by CODE POINT (surrogate pairs advance by 2 code units) so
+    // one code-point edit perturbs ≤2 bigrams per side — the invariant
+    // the lev ≥ l1/4 bound rests on.
+    def addAll(s: String, sign: Int): Unit = {
+      var i = 0
+      var prev = -1
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        if (prev >= 0) {
+          val key = (prev.toLong << 21) | cp.toLong
+          counts.merge(key, Integer.valueOf(sign),
+            (x, y) => Integer.valueOf(x + y))
+        }
+        prev = cp
+        i += Character.charCount(cp)
+      }
     }
-    i = 0
-    while (i + 1 < sb.length) {
-      val key = (sb.charAt(i).toLong << 16) | sb.charAt(i + 1).toLong
-      counts.merge(key, Integer.valueOf(-1), (x, y) => Integer.valueOf(x + y))
-      i += 1
-    }
+    addAll(sa, 1)
+    addAll(sb, -1)
     var l1 = 0
     val it = counts.values().iterator()
     while (it.hasNext) l1 += math.abs(it.next().intValue())

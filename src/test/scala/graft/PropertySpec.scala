@@ -172,26 +172,33 @@ object PropertySpec extends Properties("graft") {
   // ---- round-6 second-half kernels ---------------------------------------
 
   private val wordGen = Gen.listOfN(8, Gen.oneOf("key", "agg", "row", "scan",
-    "slow", "fast", "a", "the")).map(_.mkString(" "))
+    "slow", "fast", "a", "the", "kéy", "😀x", "𐐀go"))
+    .map(_.mkString(" "))
   /** An edited variant: substitutions, insertions, and deletions applied
-    * to a base string — the near-dup shape the fuzzy join hunts. */
+    * to a base string — the near-dup shape the fuzzy join hunts. Edits
+    * are CODE-POINT edits (the unit both engines' levenshtein counts),
+    * and the alphabet includes supplementary-plane code points
+    * (surrogate pairs in UTF-16) — the case where a code-UNIT bigram
+    * walk would overshoot the 4-per-edit budget and break the bound. */
+  private val editAlphabet: IndexedSeq[Int] =
+    ('a' to 'z').map(_.toInt) ++ Seq(0xe9, 0x4e2d, 0x1f600, 0x10400, 0x1d11e)
   private val editedPairGen = for {
     base <- wordGen
     nEdits <- Gen.choose(0, 6)
     seed <- Gen.choose(0, Int.MaxValue)
   } yield {
     val rnd = new scala.util.Random(seed)
-    var s = base
+    var cps = base.codePoints().toArray.toVector
     (1 to nEdits).foreach { _ =>
-      if (s.isEmpty) s = "x"
-      val i = rnd.nextInt(s.length)
+      if (cps.isEmpty) cps = Vector('x'.toInt)
+      val i = rnd.nextInt(cps.length)
       rnd.nextInt(3) match {
-        case 0 => s = s.updated(i, ('a' + rnd.nextInt(26)).toChar) // sub
-        case 1 => s = s.take(i) + ('a' + rnd.nextInt(26)).toChar + s.drop(i) // ins
-        case 2 => s = s.take(i) + s.drop(i + 1) // del
+        case 0 => cps = cps.updated(i, editAlphabet(rnd.nextInt(editAlphabet.length))) // sub
+        case 1 => cps = (cps.take(i) :+ editAlphabet(rnd.nextInt(editAlphabet.length))) ++ cps.drop(i) // ins
+        case 2 => cps = cps.take(i) ++ cps.drop(i + 1) // del
       }
     }
-    (base, s)
+    (base, cps.flatMap(Character.toChars(_).toSeq).mkString)
   }
 
   /** The pruning bound dedup_fuzzy_editdist relies on: bigram multiset L1

@@ -84,11 +84,16 @@ object RelationalQueries extends QueryPack {
 
     // -- P8: drop rows whose coerced numeric is null (main.py:110) ---------
     "dropna_ohlc" -> ((s, dir) =>
+      // Filter FIRST, in source-translatable form: the natural spelling
+      // (CASE WHEN type='error' THEN null ELSE value, then na.drop) hides
+      // the predicate inside an untranslatable CASE, so nothing reaches
+      // the parquet reader. Its kept-row set is exactly
+      // type <> 'error' AND value IS NOT NULL — both push down as
+      // Not(EqualTo) / IsNotNull and prune row groups at scale
+      // (PlanAudit asserts this scan pushes).
       Tables.events(s, dir)
-        .withColumn("value_clean",
-          when(col("event_type") === "error", lit(null)).otherwise(col("value")))
-        .na.drop(Seq("value_clean"))
-        .select("event_id", "user_id", "value_clean")),
+        .filter(col("event_type") =!= "error" && col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("value").as("value_clean"))),
 
     // -- O1: sort by date (driver compare is set-based; this exercises the
     //        plan: a range-partitioned global sort) ------------------------

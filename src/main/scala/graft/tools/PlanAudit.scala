@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 
 /** Whole-registry plan audit (dev tool): walks every registered query's
   * physical plan and counts the structures the 100-TB checklist cares
@@ -19,11 +19,95 @@ import org.apache.spark.sql.execution.SparkPlan
   * sane depends on the broadcast side's cardinality, which the plan
   * alone doesn't carry.
   *
+  * Beyond join shapes, the audit asserts the two scan-level properties
+  * the checklist cares about on every parquet read in the registry:
+  *
+  *  - '''Pushdown''': a scan carrying data filters must push at least
+  *    one of them into the parquet reader (`PushedFilters` non-empty).
+  *    Filters whose shape is genuinely untranslatable to source filters
+  *    (HOF/regex/length arithmetic over `text`, …) are allowlisted PER
+  *    QUERY+TABLE in [[UNPUSHED_OK]] — a new query that filters a scan
+  *    without pushing fails the audit until explicitly waived.
+  *  - '''Pruning''': per-query expected column counts in
+  *    [[EXPECT_READ_COLS]] — the asserted paths (TPC-H headline queries,
+  *    the serve paths) must read exactly the columns they need; any scan
+  *    that reads MORE columns than its expectation fails. Queries
+  *    without an entry get the generic rule: reading ALL columns of a
+  *    wide (≥5-col) table is flagged unless the query is a declared
+  *    full-width consumer ([[FULL_WIDTH_OK]] — profilers, format
+  *    round-trips, store rebuilds).
+  *
   * Usage: runMain graft.tools.PlanAudit [q1,q2,...]
   */
 object PlanAudit {
   private def count(p: SparkPlan, pred: SparkPlan => Boolean): Int =
     p.collect { case n if pred(n) => n }.size
+
+  /** (query, table) pairs whose scan filters are untranslatable to
+    * parquet source filters by construction — each reviewed by hand:
+    *  - active_users_rolling7/events: the only data filter is the
+    *    null-rejection Catalyst infers for the self-join key
+    *    `to_date(ts)` — an expression over the nanos→timestamp
+    *    conversion, inherently untranslatable; ts is non-null in the
+    *    data, so nothing is lost.
+    *  - join_range_binned/events: the interval side is carved out of
+    *    the event stream by `event_id % 997 = 0` (modulo arithmetic —
+    *    no source-filter form). At production scale intervals are their
+    *    own table and the filter disappears.
+    *  - join_skew_salted/{lineitem,orders}: the inferred null guards on
+    *    the DERIVED join keys k (CASE over l_orderkey%100) and salt
+    *    (pmod) — arithmetic, untranslatable, and never-null anyway.
+    * A new (query, table) hitting the unpushed rule fails until it is
+    * reviewed and added here. */
+  private val UNPUSHED_OK: Set[(String, String)] = Set(
+    ("active_users_rolling7", "events"),
+    ("join_range_binned", "events"),
+    ("join_skew_salted", "lineitem"),
+    ("join_skew_salted", "orders"))
+
+  /** Queries that legitimately read every column of a wide table:
+    * row-level operators whose CONTRACT is whole rows (filter/TTL/limit
+    * return full records; metadata coercion and profiling touch every
+    * column by definition). */
+  private val FULL_WIDTH_OK: Set[String] = Set(
+    "filter_latest_metric", "filter_time_window", "limit_head_n",
+    "retention_delete", "retention_ttl")
+
+  /** Asserted read widths: query -> table -> max columns the scan may
+    * read. Populated for the headline/asserted paths; the audit fails
+    * if the scan's ReadSchema exceeds the expectation. */
+  private val EXPECT_READ_COLS: Map[String, Map[String, Int]] = Map(
+    "tpch_q6_forecast" -> Map("lineitem" -> 4),
+    "tpch_q1_pricing" -> Map("lineitem" -> 7),
+    "tpch_q14_promo" -> Map("lineitem" -> 5, "part" -> 2),
+    "tpch_q3_shipping" -> Map("lineitem" -> 4, "orders" -> 4, "customer" -> 2),
+    "tpch_q5_local_supplier" -> Map("lineitem" -> 4),
+    "knn_filtered_search" -> Map("embeddings" -> 3),
+    "ann_serve_from_store" -> Map("embeddings" -> 2),
+    "filter_ticker_eq" -> Map("events" -> 6),
+    "rag_query_spec" -> Map("documents" -> 3)
+  )
+
+  private[graft] case class ScanStat(table: String, readCols: Int, totalCols: Int,
+                              nPushed: Int, nDataFilters: Int)
+
+  /** Parquet scans only (CSV never pushes); store scans under /tmp are
+    * audited for width like any other table — their "table" is the
+    * store root's basename (version dirs stripped). */
+  private[graft] def scanStats(p: SparkPlan): Seq[ScanStat] =
+    p.collect {
+      case s: FileSourceScanExec
+          if s.relation.fileFormat.toString.contains("Parquet") =>
+        val root = s.relation.location.rootPaths.headOption
+          .map(_.toString).getOrElse("?")
+        val table = root.split('/').reverse
+          .find(seg => !seg.startsWith("v_") && !seg.startsWith("c_id="))
+          .getOrElse("?").stripSuffix(".parquet")
+        val pushed = s.metadata.getOrElse("PushedFilters", "[]")
+        val nPushed = if (pushed == "[]") 0 else pushed.count(_ == ',') + 1
+        ScanStat(table, s.requiredSchema.size, s.relation.dataSchema.size,
+          nPushed, s.dataFilters.size)
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -36,6 +120,7 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val only = if (args.nonEmpty) args.flatMap(_.split(',')).toSet else Set.empty[String]
     var cartesians = 0
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
     val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
       .flatMap { case (name, fn) =>
@@ -50,6 +135,23 @@ object PlanAudit {
           val bnlj = count(plan, _.getClass.getSimpleName == "BroadcastNestedLoopJoinExec")
           val exch = count(plan, _.getClass.getSimpleName.startsWith("ShuffleExchange"))
           cartesians += cart
+          scanStats(plan).foreach { st =>
+            if (st.nDataFilters > 0 && st.nPushed == 0 &&
+                !UNPUSHED_OK((name, st.table)))
+              violations += f"$name%-28s ${st.table}%-12s UNPUSHED: " +
+                s"${st.nDataFilters} data filter(s), 0 pushed"
+            EXPECT_READ_COLS.get(name).flatMap(_.get(st.table)) match {
+              case Some(maxCols) =>
+                if (st.readCols > maxCols)
+                  violations += f"$name%-28s ${st.table}%-12s WIDTH: reads " +
+                    s"${st.readCols} cols, expected <= $maxCols"
+              case None =>
+                if (st.readCols == st.totalCols && st.totalCols >= 5 &&
+                    !FULL_WIDTH_OK(name))
+                  violations += f"$name%-28s ${st.table}%-12s FULLWIDTH: " +
+                    s"reads all ${st.totalCols} cols with no expectation"
+            }
+          }
           spark.catalog.clearCache()
           Some((name, cart, bnlj, exch))
         } catch {
@@ -63,11 +165,24 @@ object PlanAudit {
       if (c > 0 || b > 0 || e >= 6)
         println(f"$n%-28s $c%5d $b%5d $e%5d${if (c > 0) "  <-- CARTESIAN" else ""}")
     }
-    val totalShuf = rows.map(_._4).sum
-    println(s"== audited ${rows.size} queries: $cartesians cartesian, " +
-      s"${rows.count(_._3 > 0)} with BNLJ, total shuffles $totalShuf, " +
-      s"max shuffles ${rows.maxBy(_._4)._4} (${rows.maxBy(_._4)._1}) ==")
+    if (violations.nonEmpty) {
+      println(s"-- ${violations.size} scan violation(s) --")
+      violations.foreach(v => println(s"  $v"))
+    }
+    if (rows.nonEmpty) {
+      val totalShuf = rows.map(_._4).sum
+      println(s"== audited ${rows.size} queries: $cartesians cartesian, " +
+        s"${rows.count(_._3 > 0)} with BNLJ, total shuffles $totalShuf, " +
+        s"max shuffles ${rows.maxBy(_._4)._4} (${rows.maxBy(_._4)._1}), " +
+        s"${violations.size} scan violations ==")
+    } else {
+      // A filter arg that matches nothing is itself a mistake worth a
+      // hard failure (a typo'd name would otherwise "pass" vacuously).
+      println("== audited 0 queries: name filter matched nothing ==")
+      spark.stop()
+      sys.exit(2)
+    }
     spark.stop()
-    if (cartesians > 0) sys.exit(1)
+    if (cartesians > 0 || violations.nonEmpty) sys.exit(1)
   }
 }

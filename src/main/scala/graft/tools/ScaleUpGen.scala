@@ -1,0 +1,139 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-tool generator for a LARGER scaling-probe dataset (default 10× =
+  * "sf1") derived from the read-only driver testdata at sf0.1. The
+  * scaling probe needs a datapoint where real work dominates the
+  * fixed per-stage overhead that masks superlinear behavior at
+  * sf0.01→sf0.1 (VERDICT r6 item 4); the driver only ships up to sf0.1,
+  * so this upscales it — structure-preservingly, so "data ratio" stays
+  * an honest denominator:
+  *
+  *  - '''documents''': each copy applies a per-copy Caesar cipher to
+  *    a–z. Token LENGTHS and whitespace are untouched (char-level costs
+  *    scale exactly linearly) and within-copy token-set structure is
+  *    EXACTLY sf0.1's (near-dup pair count, cluster sizes, and per-lang
+  *    group sizes all scale by the copy count); across copies the
+  *    vocabularies are disjoint (no vocab word is a Caesar shift of
+  *    another), so no spurious cross-copy dup pairs appear and the pair
+  *    table grows linearly, not quadratically.
+  *  - '''events''': ids and users shift per copy; timestamps offset by
+  *    copy·4.571 s so the stream DENSIFIES within the same date range
+  *    ("more traffic", the production scale-up) instead of stretching
+  *    the time axis, which would change window/retention semantics.
+  *  - '''embeddings''': vec_id shifts; each copy's vectors are
+  *    circularly rotated by the copy index — a coordinate permutation
+  *    applied uniformly within a copy preserves every within-copy dot
+  *    product, so ANN neighborhood structure replicates exactly.
+  *  - '''lineitem/orders/customer/part/supplier''': all keys shift per
+  *    copy past the source max (consistently across tables, so joins
+  *    land within a copy); measures and dates are kept. nation/region
+  *    stay fixed — dimension tables don't scale in TPC-H either.
+  *
+  * Output schema matches what `Tables.load` expects: the TIMESTAMP(NANOS)
+  * columns arrive as longs (legacy nanosAsLong) and are written back as
+  * longs, which the loader converts identically.
+  *
+  * Usage: runMain graft.tools.ScaleUpGen [srcDir dstDir copies]
+  */
+object ScaleUpGen {
+  private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Per-row Caesar cipher: a when-chain over the (small, literal) copy
+    * domain so each branch is a foldable `translate`. */
+  private def caesar(text: Column, copy: Column, copies: Int): Column =
+    (1 until copies).foldLeft(when(copy === 0, text)) { (acc, c) =>
+      acc.when(copy === c,
+        translate(text, Alphabet, Alphabet.drop(c % 26) + Alphabet.take(c % 26)))
+    }
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def explodeCopies(df: DataFrame): DataFrame =
+      df.withColumn("copy", explode(array((0 until copies).map(lit): _*)))
+    def write(df: DataFrame, t: String): Unit = {
+      df.drop("copy").repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] $t -> $dst/$t.parquet")
+    }
+
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1
+
+    // documents: cipher per copy, ids shifted past the source max.
+    val docs = read("documents")
+    val docStride = maxOf(docs, "doc_id")
+    write(explodeCopies(docs)
+      .withColumn("doc_id", col("doc_id") + col("copy") * docStride)
+      .withColumn("text", caesar(col("text"), col("copy"), copies)),
+      "documents")
+
+    // events: densify within the same date range.
+    val ev = read("events")
+    val evStride = maxOf(ev, "event_id")
+    val userStride = maxOf(ev, "user_id")
+    write(explodeCopies(ev)
+      .withColumn("event_id", col("event_id") + col("copy") * evStride)
+      .withColumn("user_id", col("user_id") + col("copy") * userStride)
+      .withColumn("ts", col("ts") + col("copy").cast("long") * 4571000000L),
+      "events")
+
+    // embeddings: rotate coordinates by copy (within-copy dot products
+    // are invariant under a shared permutation).
+    val emb = read("embeddings")
+    val vecStride = maxOf(emb, "vec_id")
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    write(explodeCopies(emb)
+      .withColumn("vec_id", col("vec_id") + col("copy") * vecStride)
+      .withColumn("embedding",
+        concat(slice(col("embedding"), col("copy") % dims + 1, lit(dims)),
+          slice(col("embedding"), lit(1), col("copy") % dims))),
+      "embeddings")
+
+    // relational family: consistent key shifts.
+    val orders = read("orders")
+    val li = read("lineitem")
+    val cust = read("customer")
+    val part = read("part")
+    val supp = read("supplier")
+    val oStride = maxOf(orders, "o_orderkey")
+    val cStride = maxOf(cust, "c_custkey")
+    val pStride = maxOf(part, "p_partkey")
+    val sStride = maxOf(supp, "s_suppkey")
+    write(explodeCopies(orders)
+      .withColumn("o_orderkey", col("o_orderkey") + col("copy") * oStride)
+      .withColumn("o_custkey", col("o_custkey") + col("copy") * cStride),
+      "orders")
+    write(explodeCopies(li)
+      .withColumn("l_orderkey", col("l_orderkey") + col("copy") * oStride)
+      .withColumn("l_partkey", col("l_partkey") + col("copy") * pStride)
+      .withColumn("l_suppkey", col("l_suppkey") + col("copy") * sStride),
+      "lineitem")
+    write(explodeCopies(cust)
+      .withColumn("c_custkey", col("c_custkey") + col("copy") * cStride),
+      "customer")
+    write(explodeCopies(part)
+      .withColumn("p_partkey", col("p_partkey") + col("copy") * pStride),
+      "part")
+    write(explodeCopies(supp)
+      .withColumn("s_suppkey", col("s_suppkey") + col("copy") * sStride),
+      "supplier")
+    // dimensions: copied verbatim.
+    Seq("nation", "region").foreach(t => write(read(t), t))
+    spark.stop()
+  }
+}

@@ -21,21 +21,32 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingProbe {
 
-  /** The r5 bench's top-10 slowest queries, each with the table whose
-    * cardinality drives its cost (documents/events scale 10× between
-    * sf0.01 and sf0.1; embeddings only 4× — using one global ratio would
-    * mis-flag every vector query). */
+  /** The r7 warm bench's top-20 slowest queries, each with the table
+    * whose cardinality drives its cost — the probe computes the actual
+    * row ratio per driving table (embeddings historically scaled 4×
+    * where documents/events scaled 10×; one global ratio would mis-flag
+    * every vector query). */
   private val DefaultQueries: Seq[(String, String)] = Seq(
-    "quality_lm_score" -> "documents",
+    "lsh_recall_eval" -> "documents",
+    "bpe_encode" -> "documents",
     "dedup_cluster_cc" -> "documents",
-    "profile_columns" -> "events",
+    "join_skew_aqe" -> "lineitem",
+    "pagerank_canonical" -> "documents",
+    "phrase_merges_bpe" -> "documents",
+    "ann_ivf_pq_search" -> "embeddings",
+    "chunk_sliding_window" -> "documents",
+    "dedup_fuzzy_editdist" -> "documents",
+    "corpus_curation_pipeline" -> "documents",
+    "dedup_minhash_lsh" -> "documents",
     "mining_pipeline" -> "documents",
-    "join_shuffle" -> "lineitem",
-    "ann_ivf_probe" -> "embeddings",
-    "join_shuffled_hash" -> "lineitem",
-    "dedup_substring_apply" -> "documents",
-    "text_ngram_topk" -> "documents",
-    "ann_lsh_bucketed" -> "embeddings")
+    "ann_serve_from_store" -> "embeddings",
+    "knn_join_lsh" -> "embeddings",
+    "join_bloom_runtime" -> "lineitem",
+    "text_tfidf_top_terms" -> "documents",
+    "profile_columns" -> "events",
+    "dedup_shingle_jaccard" -> "documents",
+    "dedup_ngram_jaccard" -> "documents",
+    "quality_lm_score" -> "documents")
 
   /** Headroom over perfectly-linear before a query is called superlinear:
     * covers constant per-stage overhead amortizing differently across SFs

@@ -42,6 +42,28 @@ object PipelineQueries extends QueryPack {
     Tables.embeddings(s, dir)
       .filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
 
+  /** [[vectorStore]] persisted as a TICKER-PARTITIONED parquet store
+    * ([[graft.ops.DerivedStore]] staging, like the IVF index): the serve
+    * layout for the RAG point-lookup shape. The inline frame derives
+    * ticker/ts as expressions, so a spec's ticker/window predicates can
+    * never reach the parquet reader; the materialized layout turns the
+    * ticker equality into DIRECTORY-level partition pruning and pushes
+    * the ts window into the row-group filter — the difference between
+    * scanning one ticker's files and the whole store at 100 TB.
+    * `rag_search_pipeline` stays on the inline frame (the honest
+    * build-side price); `rag_query_spec` — the ticker-routed lookup —
+    * serves from the store. */
+  private val RAG_STORE_DIR = "/tmp/graft_rag_store"
+  private val RAG_STORE_FINGERPRINT =
+    s"ragstore:now=$NOW0:batch=5x60s:ticker=T+label:layout=partition-ticker"
+  private[graft] def vectorStoreServed(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.ops.DerivedStore.serve(
+      RAG_STORE_DIR, dir, "embeddings.parquet", RAG_STORE_FINGERPRINT) { tmp =>
+      vectorStore(s, dir).write.partitionBy("ticker").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
   /** Oracle fragment of [[vectorStore]]. */
   private val STORE_SQL: String =
     s"""store AS (
@@ -73,7 +95,7 @@ object PipelineQueries extends QueryPack {
         ticker = Some("T3"),
         start = NOW0 - 1200L * 60L, end = NOW0,
         intent = QueryIntent.Historical, now = NOW0)
-      RagPlans.search(spec, queryVec(s, dir))(vectorStore(s, dir))
+      RagPlans.search(spec, queryVec(s, dir))(vectorStoreServed(s, dir))
     }),
 
     // -- §3.2: the full enrich/upsert pipeline as ONE plan -----------------

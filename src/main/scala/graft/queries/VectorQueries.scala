@@ -394,7 +394,20 @@ object VectorQueries extends QueryPack {
     //    WHERE the index lives differs. -------------------------------------
     "ann_serve_from_store" -> ((s, dir) => {
       val (qprobe, dtab) = ivfPqQuerySide(s, dir)
-      ivfPqServe(ivfIndexStore(s, dir), qprobe, dtab)
+      // ROUTER-SIDE cell resolution: the probe list is ≤ |queries|·2
+      // cells out of a CENTROID-sized frame (the pool-sized driver op
+      // this engine sanctions — same class as the BPE winner pick), so
+      // collect it and push a STATIC `c_id IN (...)` partition predicate
+      // into the store read. Static pruning shows up in the scan's
+      // numFiles/numPartitions metrics and cannot silently degrade: the
+      // planner's dynamic-pruning filter proved fragile here (with
+      // broadcast reuse unavailable it is replaced by a literal `true`
+      // and the probe scans every cell — measured 40/40 files at sf0.1).
+      // A production router does exactly this: resolve cells against the
+      // in-memory centroid table, then issue the pruned store read.
+      val cells = qprobe.select(col("c_id")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      ivfPqServe(ivfIndexStore(s, dir, cells), qprobe, dtab)
     })
   )
 
@@ -408,13 +421,20 @@ object VectorQueries extends QueryPack {
   private val INDEX_FINGERPRINT =
     s"ivfpq:dims=$DIMS:subs=$SUBS:cents=mod50:codebook=mod31:assign=top1-cos"
   /** The cell-partitioned persisted index, built on miss. Reading back:
-    * partition-column type inference yields c_id as int — recast. */
-  private[graft] def ivfIndexStore(s: SparkSession, dir: String): DataFrame = {
+    * partition-column type inference yields c_id as int — recast (AFTER
+    * the optional cell filter, so the predicate sits directly on the
+    * partition column and prunes directories statically). */
+  private[graft] def ivfIndexStore(s: SparkSession, dir: String,
+                                   cells: Seq[Long] = Nil): DataFrame = {
     val path = graft.ops.DerivedStore.serve(
       INDEX_DIR, dir, "embeddings.parquet", INDEX_FINGERPRINT) { tmp =>
       ivfPqIndex(s, dir).write.partitionBy("c_id").parquet(tmp)
     }
-    s.read.parquet(path).withColumn("c_id", col("c_id").cast("long"))
+    val raw = s.read.parquet(path)
+    val pruned =
+      if (cells.isEmpty) raw
+      else raw.filter(col("c_id").isInCollection(cells.map(_.toInt)))
+    pruned.withColumn("c_id", col("c_id").cast("long"))
   }
 
   // ---- IVF+PQ machinery, shared by the inline serve (ann_ivf_pq_search,

@@ -43,6 +43,22 @@ object PlanAudit {
   private def count(p: SparkPlan, pred: SparkPlan => Boolean): Int =
     p.collect { case n if pred(n) => n }.size
 
+  /** Every node in a plan, descending through the wrappers plain
+    * `collect` treats as leaves: the adaptive root, AQE query stages,
+    * reused exchanges, and subqueries. Needed whenever a plan is
+    * inspected AFTER execution (the executed form is AQE-wrapped). */
+  private[graft] def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val through: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }
+    p +: (through ++ p.subqueries).flatMap(allNodes)
+  }
+
   /** (query, table) pairs whose scan filters are untranslatable to
     * parquet source filters by construction — each reviewed by hand:
     *  - active_users_rolling7/events: the only data filter is the
@@ -85,7 +101,7 @@ object PlanAudit {
     "knn_filtered_search" -> Map("embeddings" -> 3),
     "ann_serve_from_store" -> Map("embeddings" -> 2),
     "filter_ticker_eq" -> Map("events" -> 6),
-    "rag_query_spec" -> Map("documents" -> 3)
+    "rag_query_spec" -> Map("graft_rag_store" -> 3, "embeddings" -> 2)
   )
 
   private[graft] case class ScanStat(table: String, readCols: Int, totalCols: Int,
@@ -101,7 +117,8 @@ object PlanAudit {
         val root = s.relation.location.rootPaths.headOption
           .map(_.toString).getOrElse("?")
         val table = root.split('/').reverse
-          .find(seg => !seg.startsWith("v_") && !seg.startsWith("c_id="))
+          .find(seg => !seg.startsWith("v_") && !seg.contains("=") &&
+            !seg.matches("sf[0-9.]+"))
           .getOrElse("?").stripSuffix(".parquet")
         val pushed = s.metadata.getOrElse("PushedFilters", "[]")
         val nPushed = if (pushed == "[]") 0 else pushed.count(_ == ',') + 1

@@ -1,0 +1,92 @@
+package graft.tools
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+
+/** Cold serve-path latency probe (dev tool): the engine's point-lookup
+  * shape is `ann_serve_from_store` (partitioned IVF index probe) and
+  * `rag_query_spec` (ticker-routed RAG lookup over the partitioned
+  * vector store). This measures each of them in a COLD session — fresh
+  * forked JVM, store on disk, no warm query plan or cache — then a warm
+  * rep for contrast, and proves the partition pruning by comparing the
+  * scan's `numFiles` metric against the files actually present in the
+  * store (directory-level pruning is the property that makes the store
+  * serveable at 100 TB: a probe must read the probed cells' files, not
+  * the corpus).
+  *
+  * Store BUILDS are executed (if stale) before any timing — build cost
+  * is index-time cost by design and is priced by ann_ivf_pq_search /
+  * rag_search_pipeline in the bench.
+  *
+  * Usage: runMain graft.tools.ServeLatency [sfDir]
+  */
+object ServeLatency {
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = PlanAudit.allNodes(p)
+
+  private def scanMetrics(plan: SparkPlan, pathFrag: String): Seq[(Long, Long)] =
+    allNodes(plan).collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(pathFrag)) =>
+        (s.metrics.get("numFiles").map(_.value).getOrElse(-1L),
+          s.metrics.get("filesSize").map(_.value).getOrElse(-1L))
+    }.distinct
+
+  private def filesOnDisk(root: String): Int = {
+    def walk(f: File): Int =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      else if (f.getName.endsWith(".parquet") || f.getName.startsWith("part-")) 1
+      else 0
+    walk(new File(root))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Ensure stores are PUBLISHED before timing (build is index-time
+    // cost; a stale store would otherwise bill its rebuild to rep 1).
+    graft.queries.VectorQueries.ivfIndexStore(spark, sfDir).count()
+    graft.queries.PipelineQueries.vectorStoreServed(spark, sfDir).count()
+    spark.catalog.clearCache()
+    println("[serve] stores published; timing begins (rep 1 = first plan" +
+      " compile + execution in THIS forked JVM = cold serve)")
+
+    val sf = sfDir.split('/').last
+    for (q <- Seq("ann_serve_from_store", "rag_query_spec")) {
+      val storeRoot = q match {
+        case "ann_serve_from_store" => s"/tmp/graft_ann_index/$sf"
+        case _ => s"/tmp/graft_rag_store/$sf"
+      }
+      var lastPlan: SparkPlan = null
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        df.collect()
+        lastPlan = df.queryExecution.executedPlan
+        val secs = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        secs
+      }
+      val onDisk = filesOnDisk(storeRoot)
+      val scans = scanMetrics(lastPlan, storeRoot.split('/')(2))
+      println(f"[serve] $q%-22s cold=${times.head}%6.2f s warm=${times.drop(1).min}%6.2f s " +
+        s"store_files_read=${scans.map(_._1).sum} of $onDisk on disk " +
+        s"(bytes=${scans.map(_._2).sum})")
+      allNodes(lastPlan).collect {
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains(storeRoot.split('/')(2))) =>
+          println(s"[serve]   scan partitionFilters=${s.partitionFilters.mkString(";").take(200)}")
+          println(s"[serve]   metrics=${s.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(" ").take(300)}")
+      }
+    }
+    spark.stop()
+  }
+}

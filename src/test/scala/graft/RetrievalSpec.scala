@@ -97,15 +97,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(fromStore.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == inline)
     // The store is laid out one directory per IVF cell, and the serve
-    // probes it through DYNAMIC partition pruning — only the probed
-    // cells' files are ever listed, the directory-level win that makes
-    // the store serveable at 100 TB.
+    // pushes the router-resolved probe list as a STATIC partition
+    // predicate — only the probed cells' files are ever read, the
+    // directory-level win that makes the store serveable at 100 TB.
+    // (The earlier dynamic-pruning formulation was fragile: without
+    // broadcast reuse the planner degrades it to a literal `true` and
+    // the probe silently scans every cell.)
     val root = new java.io.File("/tmp/graft_ann_index/sf0.001")
     val versions = root.listFiles().filter(_.getName.startsWith("v_"))
     assert(versions.length == 1, s"expected one published version in $root")
-    assert(versions.head.listFiles().exists(_.getName.startsWith("c_id=")))
-    val planStr = fromStore.queryExecution.executedPlan.toString
-    assert(planStr.contains("dynamicpruning"),
-      s"expected a dynamicpruning partition filter on the index scan:\n$planStr")
+    val cellDirs = versions.head.listFiles().count(_.getName.startsWith("c_id="))
+    assert(cellDirs > 0)
+    val scans = graft.tools.PlanAudit.allNodes(
+      fromStore.queryExecution.executedPlan).collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains("graft_ann_index")) => sc
+    }
+    assert(scans.nonEmpty, "expected a parquet scan over the index store")
+    val readPartitions = scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, scans.head.dataFilters)
+      .map(_.files.size).size
+    assert(readPartitions < cellDirs,
+      s"static cell pruning must read fewer partitions ($readPartitions) " +
+        s"than cells on disk ($cellDirs)")
+    assert(scans.head.partitionFilters.exists(_.toString.contains("IN")),
+      s"expected a static IN partition filter, got ${scans.head.partitionFilters}")
   }
 }

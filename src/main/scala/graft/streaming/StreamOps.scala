@@ -616,4 +616,81 @@ object StreamOps {
       VecAssign(v.vec_id, bestC, best)
     }
   }
+
+  /** MAINTENANCE half of the streaming IVF ingestion ([[annAssignStream]]
+    * is the assign half): upsert a micro-batch of PQ-coded index rows
+    * `(vec_id, s, code, c_id)` into the cell-partitioned store, touching
+    * ONLY the affected cell directories.
+    *
+    * Semantics (the foreachBatch idempotent-sink contract, the
+    * [[upsertBatch]] pattern applied to a PARTITIONED store):
+    *
+    *  - '''Exactly-once under replay''': the store carries a `_MAINT`
+    *    marker holding the last applied batch id; a replayed batch
+    *    (id ≤ marker) is a no-op, so at-least-once delivery composes to
+    *    effectively-once store state.
+    *  - '''Latest-wins per (vec_id, s)''': batch rows replace any
+    *    existing rows for the same vector — covering both in-place code
+    *    updates and CELL REASSIGNMENT (the vector's old cell is
+    *    rewritten without it, its new cell with it).
+    *  - '''Touched-cells-only I/O''': the write uses dynamic partition
+    *    overwrite, so untouched cell directories are never rewritten —
+    *    at 100 TB a batch touches O(batch) cells, not O(store). The old
+    *    cells of reassigned vectors are found with one semi-join against
+    *    the store; a production deployment backs that lookup with the
+    *    primary-key side index instead of a scan, which changes the
+    *    lookup's cost, not this merge.
+    *  - A touched cell left EMPTY (its only rows moved away) cannot be
+    *    expressed by dynamic overwrite (no rows → partition not
+    *    rewritten); its directory is deleted explicitly.
+    *
+    * The staleness story composes with [[graft.ops.DerivedStore]]: the
+    * version directory stays keyed by (fingerprint, source mtime) — a
+    * full REBUILD supersedes any maintained state, and `_MAINT` records
+    * how far streaming ingestion advanced the published version. */
+  def ivfMaintainBatch(spark: SparkSession, versionPath: String,
+                       assigns: DataFrame, batchId: Long): Boolean = {
+    import org.apache.spark.sql.functions._
+    val marker = new java.io.File(versionPath, "_MAINT")
+    val last =
+      if (marker.exists())
+        scala.io.Source.fromFile(marker).mkString.trim.toLong
+      else -1L
+    if (batchId <= last) return false // replayed batch: already applied
+    val store = spark.read.parquet(versionPath)
+      .withColumn("c_id", col("c_id").cast("long"))
+    val batch = assigns.select(
+      col("vec_id").cast("long"), col("s").cast("int"),
+      col("code").cast("long"), col("c_id").cast("long"))
+      .localCheckpoint() // pin: read before the overwrite clobbers inputs
+    val batchVecs = batch.select("vec_id").distinct()
+    // Touched = the batch's target cells ∪ the current cells of every
+    // batch vector (reassignment sources).
+    val touched = (batch.select("c_id") union
+      store.join(batchVecs, Seq("vec_id"), "left_semi").select("c_id"))
+      .distinct().collect().map(_.getLong(0))
+    val keep = store
+      .filter(col("c_id").isInCollection(touched))
+      .join(batchVecs, Seq("vec_id"), "left_anti")
+    val merged = keep.select(batch.columns.map(col): _*).union(batch)
+      .localCheckpoint() // materialize BEFORE overwriting what `keep` reads
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("c_id").parquet(versionPath)
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // Cells emptied by reassignment: dynamic overwrite never saw them.
+    val nonEmpty = merged.select("c_id").distinct().collect().map(_.getLong(0)).toSet
+    touched.filterNot(nonEmpty).foreach { c =>
+      val dir = new java.io.File(versionPath, s"c_id=$c")
+      Option(dir.listFiles()).foreach(_.foreach(f => { f.delete(): Unit }))
+      dir.delete(): Unit
+    }
+    val tmp = new java.io.File(versionPath, s"._MAINT.$batchId")
+    java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes("UTF-8"))
+    tmp.renameTo(marker): Unit
+    true
+  }
 }

@@ -556,4 +556,59 @@ class StreamingSpec extends AnyFunSuite {
       .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
     assert(got.size == want.size && got == want)
   }
+
+  test("streaming IVF maintenance: touched-cells-only upsert, batch parity, replay no-op") {
+    // Work on a COPY of the published sf0.001 index version so the
+    // shared store other tests serve from is never mutated.
+    val src = graft.queries.VectorQueries
+      .ivfIndexStore(spark, "/root/testdata/sf0.001")
+    val work = java.nio.file.Files.createTempDirectory("ivf_maint").toString + "/v_copy"
+    src.write.partitionBy("c_id").parquet(work)
+
+    val before = spark.read.parquet(work)
+      .select(col("vec_id"), col("s"), col("code").cast("long"),
+        col("c_id").cast("long"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val subjects = before.groupBy(_._1).view.mapValues(_.map(_._4).head)
+    val (vUpd, cellUpd) = subjects.head          // in-place code update
+    val (vMove, cellMove) = subjects.drop(1).head // cell reassignment
+    val newCell = before.map(_._4).max + 50       // brand-new vector, new cell
+    val targetCell = before.map(_._4).min
+    val batch = Seq.tabulate(4)(s => (vUpd, s, 99L, cellUpd)) ++
+      Seq.tabulate(4)(s => (vMove, s, 7L, targetCell)) ++
+      Seq.tabulate(4)(s => (999999L, s, 1L, newCell))
+    val batchDf = batch.toDF("vec_id", "s", "code", "c_id")
+
+    val untouchedCells = before.map(_._4) --
+      Set(cellUpd, cellMove, targetCell, newCell)
+    def cellListing(c: Long): Set[String] =
+      Option(new java.io.File(work, s"c_id=$c").listFiles())
+        .map(_.map(f => s"${f.getName}:${f.lastModified}").toSet)
+        .getOrElse(Set.empty)
+    val untouchedBefore = untouchedCells.map(c => c -> cellListing(c)).toMap
+
+    assert(StreamOps.ivfMaintainBatch(spark, work, batchDf, batchId = 1L))
+
+    val after = spark.read.parquet(work)
+      .select(col("vec_id"), col("s"), col("code").cast("long"),
+        col("c_id").cast("long"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // Batch parity: latest-wins merge computed in plain batch land.
+    val batchKeys = batch.map(_._1).toSet
+    val want = before.filterNot(r => batchKeys(r._1)) ++
+      batch.map { case (v, s, c, cid) => (v, s, c, cid) }
+    assert(after == want, "maintained store must equal the batch-land merge")
+    // Reassignment: vMove gone from its old cell, present in the target.
+    assert(!after.exists(r => r._1 == vMove && r._4 == cellMove))
+    assert(after.exists(r => r._1 == vMove && r._4 == targetCell))
+    // Touched-cells-only I/O: untouched cell directories byte-identical.
+    untouchedCells.foreach { c =>
+      assert(cellListing(c) == untouchedBefore(c),
+        s"untouched cell $c was rewritten")
+    }
+    // Replay of the same batch id is a no-op (exactly-once).
+    val listingAll = before.map(_._4).map(c => c -> cellListing(c)).toMap
+    assert(!StreamOps.ivfMaintainBatch(spark, work, batchDf, batchId = 1L))
+    before.map(_._4).foreach(c => assert(cellListing(c) == listingAll(c)))
+  }
 }

@@ -62,6 +62,16 @@ object Bench {
           try fn(spark, warmDir).count() catch { case _: Throwable => }
           dropCachedBlocks(spark)
         }
+        // Stage the bench SF's derived stores (pair/label/minhash/IVF/
+        // RAG/BM25) HERE, untimed but reported in warmup_sec: store
+        // builds are index-time cost, priced separately by their
+        // inline-build twins; without staging, whichever serve consumer
+        // runs first absorbs a one-time build (measured +4-7 s spikes
+        // on a cold /tmp) and the timed numbers measure staging luck,
+        // not serving.
+        try SparkEntry.stageDerivedStores(spark, sfDir)
+        catch { case _: Throwable => }
+        dropCachedBlocks(spark)
         (System.nanoTime() - tw) / 1e9
       } else 0.0
     val results = SparkEntry.queries.map { case (name, fn) =>

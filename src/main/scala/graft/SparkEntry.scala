@@ -51,4 +51,21 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracleSql).toMap
+
+  /** Build every DerivedStore-staged table for `sfDir` if not already
+    * published. Store builds are INDEX-time cost — each has an inline-
+    * build twin in the registry that prices the build honestly
+    * (dedup_ngram_jaccard / dedup_cluster_cc / dedup_minhash_lsh /
+    * ann_ivf_pq_search / rag_search_pipeline / bm25_score) — so serve
+    * consumers should measure SERVING; callers (the bench warmup, a
+    * deployment's index job) stage here, outside any serve timing. */
+  def stageDerivedStores(spark: SparkSession, sfDir: String): Unit = {
+    graft.queries.TextQueries.jaccardPairsStore(spark, sfDir).count()
+    graft.queries.TextQueries.clusterLabelsStore(spark, sfDir).count()
+    graft.queries.TextQueries.minhashPairsStore(spark, sfDir).count()
+    graft.queries.VectorQueries.ivfIndexStore(spark, sfDir).count()
+    graft.queries.PipelineQueries.vectorStoreServed(spark, sfDir).count()
+    graft.queries.MiningQueries.bm25Store(spark, sfDir).count()
+    (): Unit
+  }
 }

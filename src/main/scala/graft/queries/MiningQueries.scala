@@ -174,7 +174,7 @@ object MiningQueries extends QueryPack {
   private val BM25_DIR = "/tmp/graft_bm25_scores"
   private val BM25_FINGERPRINT =
     s"bm25:k1=$K1:b=$B:terms=${QUERY_TERMS.mkString(",")}:round=r6"
-  private def bm25Store(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bm25Store(s: SparkSession, dir: String): DataFrame = {
     val path = graft.ops.DerivedStore.serve(
       BM25_DIR, dir, "documents.parquet", BM25_FINGERPRINT) { tmp =>
       bm25Scores(s, dir).write.parquet(tmp)

@@ -44,6 +44,12 @@ object CurationQueries extends QueryPack {
   private val CHUNK = 16
   private val STRIDE = 8
 
+  /** The Gopher stopword list (Rae et al. 2021 §A1.1: "contains at least
+    * two of the following English words: the, be, to, of, and, that,
+    * have, with"), plus the indefinite article the paper's prose variant
+    * includes. Shared by the Spark gate and its oracle. */
+  private val GOPHER_STOPS = Seq("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
@@ -171,6 +177,41 @@ object CurationQueries extends QueryPack {
           col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("top_unigram_frac"), col("top_bigram_frac"),
           (col("top_unigram_frac") <= 0.3 && col("top_bigram_frac") <= 0.18).as("keep"))
+    }),
+
+    // -- Gopher-style rule filter: the published heuristic gate ------------
+    // The rule family from the Gopher/MassiveText quality filter (Rae et
+    // al. 2021 §A1.1), thresholds tuned to the testdata's ~54-token docs:
+    // word count in [10, 200]; mean word length in [2, 8]; distinct-token
+    // ratio ≥ 0.3 (the repetition guard); ≥ 2 hits from the canonical
+    // stopword list (real text contains function words; generated noise
+    // often doesn't). Every PASS decision is integer arithmetic
+    // (2n ≤ Σlen ≤ 8n instead of float mean bounds), so the gate is
+    // engine-exact with no quantization; the reported ratios are single
+    // exact IEEE divisions. Pure map-side expressions — one scan, zero
+    // shuffle, codegen'd end to end; at 100 TB this is the gate that runs
+    // FIRST, before any pairwise machinery, so single-pass matters. ------
+    "quality_gopher_rules" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val stops = array(GOPHER_STOPS.map(lit): _*)
+      docs(s, dir)
+        .withColumn("ts", toks)
+        .withColumn("n", size(col("ts")))
+        .withColumn("sum_len",
+          aggregate(col("ts"), lit(0L), (acc, x) => acc + length(x)))
+        .withColumn("n_distinct", size(array_distinct(col("ts"))))
+        .withColumn("n_stop",
+          size(array_intersect(array_distinct(col("ts")), stops)).cast("long"))
+        .select(
+          col("doc_id"),
+          col("n").cast("long").as("n_words"),
+          (col("sum_len").cast("double") / col("n")).as("mean_word_len"),
+          (col("n_distinct").cast("double") / col("n")).as("distinct_ratio"),
+          col("n_stop"),
+          (col("n").between(10, 200) &&
+            col("sum_len") >= col("n") * 2 && col("sum_len") <= col("n") * 8 &&
+            col("n_distinct") * 10 >= col("n") * 3 &&
+            col("n_stop") >= 2).as("passes"))
     }),
 
     // -- per-source balancing: keep at most SOURCE_CAP docs per source,
@@ -401,6 +442,30 @@ object CurationQueries extends QueryPack {
         |                   THEN CAST(top_bi AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE)
         |                   ELSE 0.0 END) <= 0.18 AS keep
         |FROM counted""".stripMargin,
+
+    "quality_gopher_rules" -> {
+      val stopsSql = GOPHER_STOPS.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         |), m AS (
+         |  SELECT doc_id, len(ts) AS n,
+         |         CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS sum_len,
+         |         len(list_distinct(ts)) AS n_distinct,
+         |         CAST(len(list_filter(list_distinct(ts),
+         |                              t -> list_contains($stopsSql, t))) AS BIGINT) AS n_stop
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |       CAST(n AS BIGINT) AS n_words,
+         |       CAST(sum_len AS DOUBLE) / n AS mean_word_len,
+         |       CAST(n_distinct AS DOUBLE) / n AS distinct_ratio,
+         |       n_stop,
+         |       (n BETWEEN 10 AND 200
+         |        AND sum_len >= n * 2 AND sum_len <= n * 8
+         |        AND n_distinct * 10 >= n * 3
+         |        AND n_stop >= 2) AS passes
+         |FROM m""".stripMargin
+    },
 
     "source_cap_sample" ->
       s"""SELECT source, doc_id FROM (

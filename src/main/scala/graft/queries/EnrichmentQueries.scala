@@ -137,7 +137,23 @@ object EnrichmentQueries extends QueryPack {
         col("doc_id"), col("frame_idx"),
         length(col("frame")).cast("long").as("n_frame_bytes"),
         TextOps.polyHash(col("frame")).as("frame_checksum"))
-    })
+    }),
+
+    // -- multimodal: exact byte-level dedup of opaque payloads -------------
+    // The first dedup any multimodal corpus runs: identical blobs (the
+    // same image re-crawled from N mirrors) collapse on a content hash
+    // BEFORE any perceptual machinery prices in. Keyed on md5 of the raw
+    // bytes — content-defined, layout-independent — with min-id as the
+    // canonical keep, exactly dedup_exact's convention lifted from text
+    // to binary. One map-side hash + one hash-keyed aggregate: at 100 TB
+    // the shuffle carries (16-byte digest, id), never the payloads, and
+    // the group-by is AQE-coalesced. n_copies > 1 rows are the dedup
+    // ledger a removal job joins back against. ---------------------------
+    "multimodal_exact_dedup" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), md5(EnrichOps.toBlob(col("text"))).as("payload_md5"))
+        .groupBy(col("payload_md5"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -221,6 +237,15 @@ object EnrichmentQueries extends QueryPack {
          |SELECT doc_id, frame_idx,
          |       CAST(length(frame) AS BIGINT) AS n_frame_bytes,
          |       ${polySql("frame")} AS frame_checksum
-         |FROM fr""".stripMargin
+         |FROM fr""".stripMargin,
+
+    // DuckDB md5(VARCHAR) hashes the UTF-8 bytes — the same bytes
+    // encode(text,'UTF-8') hands Spark's md5, so the digests agree.
+    "multimodal_exact_dedup" ->
+      """SELECT md5(text) AS payload_md5,
+        |       min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)""".stripMargin
   )
 }

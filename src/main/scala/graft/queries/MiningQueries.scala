@@ -42,6 +42,10 @@ object MiningQueries extends QueryPack {
   private val K1 = 1.2
   private val B = 0.75
 
+  /** Minimum document co-occurrence count for a PMI pair — the standard
+    * low-frequency cutoff (PMI explodes on rare pairs). */
+  private val MIN_COOCCUR = 20L
+
   /** Fixed lexical query for bm25_score — high-df testdata terms so the
     * score exercises the saturation curve. */
   private val QUERY_TERMS = Seq("join", "hash", "scan")
@@ -554,6 +558,42 @@ object MiningQueries extends QueryPack {
           array_join(
             transform(slice(sort_array(col("ids")), 1, POSTING_CAP),
               _.cast("string")), ",").as("postings_head"))
+    }),
+
+    // -- PMI co-occurrence mining: which terms travel together? ------------
+    // The collocation probe every corpus audit runs (and the phrase-
+    // detection signal behind word2vec-style phrase merging): for term
+    // pairs co-occurring in ≥ MIN_COOCCUR documents, PMI =
+    // ln(N·df(u,v) / (df(u)·df(v))) — positive ⇒ the pair co-occurs more
+    // than independence predicts. Pair generation is a per-document
+    // self-join of the DISTINCT token list (shuffle keyed by doc_id;
+    // fan-out is C(|doc|,2) per doc — linear in corpus size with a
+    // constant-bounded multiplier, aggregated map-side), and the result
+    // space collapses to the VOCABULARY pair table, ≪ corpus. Float
+    // parity: everything inside ln() is exact integer-ratio division,
+    // the 1-ulp ln wiggle is r6-quantized, ordering ties break on the
+    // term pair. Top-50 is TakeOrderedAndProject — no global sort. ------
+    "cooccur_pmi_topk" -> ((s, dir) => {
+      import graft.ops.Num
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.distinctTokens(col("text"))).as("t"))
+      val total = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val cu = toks.groupBy(col("t")).agg(count(lit(1)).as("cu"))
+      val pairs = toks.as("u")
+        .join(toks.as("v"),
+          col("u.doc_id") === col("v.doc_id") && col("u.t") < col("v.t"))
+        .groupBy(col("u.t").as("tu"), col("v.t").as("tv"))
+        .agg(count(lit(1)).as("cuv"))
+        .filter(col("cuv") >= MIN_COOCCUR)
+      pairs
+        .join(cu.select(col("t").as("tu"), col("cu").as("cu_u")), "tu")
+        .join(cu.select(col("t").as("tv"), col("cu").as("cu_v")), "tv")
+        .crossJoin(broadcast(total))
+        .select(col("tu"), col("tv"), col("cuv"),
+          Num.r6(log((col("cuv") * col("n_docs")).cast("double") /
+            (col("cu_u") * col("cu_v")))).as("pmi"))
+        .orderBy(col("pmi").desc, col("tu"), col("tv"))
+        .limit(50)
     })
   )
 
@@ -722,7 +762,29 @@ object MiningQueries extends QueryPack {
          |       array_to_string(list_sort(list(doc_id))[1:$POSTING_CAP], ',') AS postings_head
          |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
          |      FROM documents)
-         |GROUP BY t""".stripMargin
+         |GROUP BY t""".stripMargin,
+
+    "cooccur_pmi_topk" -> {
+      import graft.ops.Num.R6_SQL
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |  FROM documents
+         |), cu AS (
+         |  SELECT t, count(*) AS cu FROM tok GROUP BY t
+         |), pr AS (
+         |  SELECT u.t AS tu, v.t AS tv, count(*) AS cuv
+         |  FROM tok u JOIN tok v ON u.doc_id = v.doc_id AND u.t < v.t
+         |  GROUP BY u.t, v.t
+         |  HAVING count(*) >= $MIN_COOCCUR
+         |)
+         |SELECT pr.tu, pr.tv, pr.cuv,
+         |       ${R6_SQL("ln(CAST(pr.cuv * (SELECT count(*) FROM documents) AS DOUBLE) / (a.cu * b.cu))")} AS pmi
+         |FROM pr
+         |JOIN cu a ON a.t = pr.tu
+         |JOIN cu b ON b.t = pr.tv
+         |ORDER BY pmi DESC, pr.tu, pr.tv
+         |LIMIT 50""".stripMargin
+    }
   )
 
   /** Oracle twin of [[bpeTrain]]: three chained merge stages (each

@@ -239,18 +239,34 @@ object TextQueries extends QueryPack {
   private def minhashSql(i: Int): String =
     s"list_min(list_transform(hs, x -> (x * ${MINHASH_A(i)} + ${MINHASH_B(i)}) % $P))"
 
+  /** Oracle twin of [[jaccardPairs]], ending in a `pairs(a_id, b_id)` CTE.
+    * Shared by the CC chain below and the graph_triangle_count oracle. */
+  private[graft] lazy val PAIR_CTES: String =
+    s"""$HASHES_CTE, pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM hashed a JOIN hashed b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |    AND len(a.hs) * 20 >= len(b.hs) * 19 AND len(b.hs) * 20 >= len(a.hs) * 19
+       |  WHERE ${jacSql("a.hs", "b.hs")} >= $JACCARD_T
+       |)""".stripMargin
+
+  /** Oracle twin of the word-3-gram shingle-hash projection, ending in an
+    * `sh(doc_id, sh)` CTE — shared by the shingle-Jaccard and containment
+    * oracles. */
+  private lazy val SHINGLE_CTE: String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+       |                       i -> ${polySql("array_to_string(string_split(text, ' ')[i:i+2], ' ')")})) AS sh
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+       |)""".stripMargin
+
   /** Oracle twin of [[clusterLabels]], ending in a `comp(doc_id, comp)`
     * CTE: transitive closure of the symmetric pair graph; min reachable
     * label = connected component. UNION (not UNION ALL) dedups the
     * frontier so the recursion terminates. Shared by the
     * dedup_cluster_cc and split_leakage_safe oracles. */
   private[graft] lazy val CC_CTES: String =
-    s"""$HASHES_CTE, pairs AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM hashed a JOIN hashed b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |    AND len(a.hs) * 20 >= len(b.hs) * 19 AND len(b.hs) * 20 >= len(a.hs) * 19
-       |  WHERE ${jacSql("a.hs", "b.hs")} >= $JACCARD_T
-       |), edges AS (
+    s"""$PAIR_CTES, edges AS (
        |  SELECT a_id AS src, b_id AS dst FROM pairs
        |  UNION ALL
        |  SELECT b_id AS src, a_id AS dst FROM pairs
@@ -390,6 +406,32 @@ object TextQueries extends QueryPack {
       r.join(clusterLabelsStore(s, dir), "doc_id")
         .select(col("doc_id"), col("comp"), col("pr"),
           (row_number().over(w) === 1).as("is_canonical"))
+    }),
+
+    // -- triangle counting over the near-dup graph -------------------------
+    // How clique-like are the near-dup clusters? A chain a~b~c where a≁c
+    // marks a threshold-straddling cluster (transitive collapse merged
+    // docs that are NOT pairwise near-dups — the known failure mode of
+    // CC-based dedup); triangle-dense components are true duplicate
+    // groups. Standard wedge-close counting on the CANONICALLY ORIENTED
+    // edge list (a_id < b_id from the pair store): wedges x<y<z from two
+    // oriented edges close iff (x,z) is also an edge — each triangle
+    // counted exactly once, no ×6 orientation blowup. Both joins are
+    // equi-joins keyed on doc ids; wedge fan-out is Σ deg⁺(v)² over the
+    // PAIR table (near-dup neighborhoods, bounded), never the corpus.
+    // Consumes the persisted pair store like pagerank_canonical — the
+    // dedup_ngram_jaccard inline build remains the priced twin. ----------
+    "graph_triangle_count" -> ((s, dir) => {
+      val pairs = jaccardPairsStore(s, dir).select(col("a_id"), col("b_id"))
+      val wedges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+        .join(pairs.select(col("a_id").as("y2"), col("b_id").as("z")),
+          col("y") === col("y2"))
+        .select(col("x"), col("y"), col("z"))
+      val tri = wedges.join(pairs,
+        wedges("x") === pairs("a_id") && wedges("z") === pairs("b_id"), "left_semi")
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tri"))
     }),
 
     // -- leakage-safe split: train/valid/test at CLUSTER granularity -------
@@ -573,6 +615,58 @@ object TextQueries extends QueryPack {
           graft.expressions.JaccardSimilarity.jaccardSimSorted(col("a_sh"), col("b_sh")))
         .filter(col("jac") >= 0.5)
         .select("a_id", "b_id", "jac")
+    }),
+
+    // -- containment dedup: doc-inside-doc detection via prefix filtering --
+    // Jaccard misses the asymmetric case: a short document wholly embedded
+    // in a longer one scores jac = |A|/|B| (small), yet the small doc adds
+    // no training signal — containment C(A,B) = |A∩B| / |A| is the measure
+    // that catches it (C ≥ 0.9 here). The candidate join is PREFIX
+    // FILTERING (the SSJoin/PPJoin family): order every shingle by GLOBAL
+    // document frequency (rarest first, hash tiebreak — any fixed total
+    // order is lossless); if C(A,B) ≥ t then B must contain one of A's
+    // first |A| − ⌈t·|A|⌉ + 1 shingles in that order, so the probe side
+    // emits only that prefix (~⌊0.1·|A|⌋+1 rows/doc) while the build side
+    // posts all shingles. Rare-shingle posting lists are short BY
+    // CONSTRUCTION of the ordering, so the equi-join fan-out stays near
+    // the true-pair count on a Zipf vocabulary — never all-pairs, and
+    // candidates are verified with one exact sorted-array intersect. The
+    // threshold compare is integer (i·10 ≥ 9·|A|), immune to float
+    // rounding; emission is from the SMALLER side (size, then id).
+    // Shuffles: df agg + rank window + candidate join + distinct — each
+    // keyed, each AQE-coalesced; at 100 TB the frequency table is the
+    // shingle vocabulary (derived, ≪ corpus) and everything else is
+    // posting-list-local. ------------------------------------------------
+    "dedup_containment" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = docs(s, dir)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"),
+          array_sort(graft.expressions.TextHash.shingleHashes(col("text"))).as("sh"))
+        .withColumn("n", size(col("sh")))
+        .cache()
+      val posts = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("h"))
+      // global document frequency of each shingle = the prefix order
+      val freq = posts.groupBy(col("h")).agg(count(lit(1)).as("f"))
+      val ranked = posts.join(freq, "h")
+        .withColumn("pos",
+          row_number().over(Window.partitionBy("doc_id").orderBy(col("f"), col("h"))))
+      // prefix length p = n − ⌈0.9·n⌉ + 1 (integer form: ⌈9n/10⌉ = ⌊(9n+9)/10⌋)
+      val probe = ranked
+        .filter(col("pos") <= col("n") - floor((col("n") * 9 + 9) / 10) + 1)
+        .select(col("doc_id").as("a_id"), col("n").as("a_n"), col("h"))
+      val build = posts.select(col("doc_id").as("b_id"), col("n").as("b_n"), col("h"))
+      val cand = probe.join(build, Seq("h"))
+        .filter(col("a_n") < col("b_n") ||
+          (col("a_n") === col("b_n") && col("a_id") < col("b_id")))
+        .select("a_id", "b_id").distinct()
+      val ta = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      val tb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      cand.join(ta, "a_id").join(tb, "b_id")
+        .withColumn("i", size(array_intersect(col("a_sh"), col("b_sh"))))
+        .filter(col("i") * 10 >= size(col("a_sh")) * 9)
+        .select(col("a_id"), col("b_id"),
+          (col("i").cast("double") / size(col("a_sh"))).as("cont"))
     }),
 
     // -- incremental-ingest dedup: a NEW batch against the standing corpus -
@@ -821,6 +915,15 @@ object TextQueries extends QueryPack {
          |FROM r3 JOIN comp c ON c.doc_id = r3.doc_id""".stripMargin
     },
 
+    "graph_triangle_count" ->
+      s"""WITH $PAIR_CTES, tri AS (
+         |  SELECT p1.a_id AS x, p1.b_id AS y, p2.b_id AS z
+         |  FROM pairs p1 JOIN pairs p2 ON p2.a_id = p1.b_id
+         |  WHERE EXISTS (SELECT 1 FROM pairs p3
+         |                WHERE p3.a_id = p1.a_id AND p3.b_id = p2.b_id)
+         |), v AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+         |SELECT doc_id, count(*) AS n_tri FROM v GROUP BY doc_id""".stripMargin,
+
     "split_leakage_safe" ->
       s"""WITH RECURSIVE $CC_CTES
          |SELECT doc_id, comp, ${SPLIT_SQL("comp")} AS split
@@ -926,12 +1029,7 @@ object TextQueries extends QueryPack {
     "dedup_shingle_jaccard" -> {
       def smh(i: Int): String =
         s"list_min(list_transform(sh, x -> (x * ${MINHASH_A(i)} + ${MINHASH_B(i)}) % $P))"
-      s"""WITH sh AS (
-         |  SELECT doc_id,
-         |         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-         |                       i -> ${polySql("array_to_string(string_split(text, ' ')[i:i+2], ' ')")})) AS sh
-         |  FROM documents WHERE len(string_split(text, ' ')) >= 3
-         |), banded AS (
+      s"""WITH $SHINGLE_CTE, banded AS (
          |  ${(0 until 4).map { j =>
         s"SELECT doc_id, sh, CAST($j AS VARCHAR) || '_' || ${smh(2 * j)} || '_' || ${smh(2 * j + 1)} AS bucket FROM sh"
       }.mkString("\n  UNION ALL\n  ")}
@@ -949,6 +1047,20 @@ object TextQueries extends QueryPack {
          |WHERE CAST(len(list_filter(sa.sh, t -> list_contains(sb.sh, t))) AS DOUBLE)
          |         / (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, t -> list_contains(sb.sh, t)))) >= 0.5""".stripMargin
     },
+
+    // All-pairs containment: the oracle needs no prefix filter (filtering
+    // is a lossless candidate prune, so the verified result is identical).
+    "dedup_containment" ->
+      s"""WITH $SHINGLE_CTE, p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         len(list_filter(a.sh, t -> list_contains(b.sh, t))) AS i,
+         |         len(a.sh) AS na
+         |  FROM sh a JOIN sh b
+         |    ON (len(a.sh) < len(b.sh)
+         |        OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id))
+         |)
+         |SELECT a_id, b_id, CAST(i AS DOUBLE) / na AS cont
+         |FROM p WHERE i * 10 >= 9 * na""".stripMargin,
 
     "dedup_simhash" -> {
       val bits = (0 until 16).map { b =>

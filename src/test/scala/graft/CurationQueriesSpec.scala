@@ -163,4 +163,27 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(out.filter(col("scale") > 0 && col("q_l1") < 127).count() == 0,
       "max-abs coordinate must reach the grid edge")
   }
+
+  // ---- gopher rule gate --------------------------------------------------
+
+  test("quality_gopher_rules: passes flag is exactly the conjunction of the reported rules") {
+    val out = q("quality_gopher_rules").cache()
+    assert(out.count() == graft.model.Tables.documents(spark, SF).count())
+    val recomputed = out.withColumn("expect",
+      col("n_words").between(10, 200) &&
+        col("mean_word_len") >= 2.0 && col("mean_word_len") <= 8.0 &&
+        col("distinct_ratio") >= 0.3 &&
+        col("n_stop") >= 2)
+    assert(recomputed.filter(col("passes") =!= col("expect")).count() == 0,
+      "gate must equal the conjunction of its published rules")
+  }
+
+  test("quality_gopher_rules is map-side only: no shuffle in the plan") {
+    val df = q("quality_gopher_rules")
+    df.count()
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, "the first-pass gate must not shuffle")
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.TextQueries
+
+/** Containment dedup + near-dup-graph analytics. Values are oracle-checked
+  * by the driver; these specs pin the invariants the hash compare can't
+  * express — above all that prefix filtering is a LOSSLESS candidate
+  * prune (the scaled path finds exactly the all-pairs result). */
+class DedupGraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+  private val SF = "/root/testdata/sf0.001"
+
+  private def q(name: String) = TextQueries.queries(name)(spark, SF)
+
+  // ---- dedup_containment ------------------------------------------------
+
+  test("dedup_containment: prefix filtering loses no pair vs brute-force all-pairs") {
+    val got = q("dedup_containment")
+      .select("a_id", "b_id", "cont").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // brute force: every ordered (smaller, larger) doc pair, exact verify
+    val sh = graft.model.Tables.documents(spark, SF)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        array_sort(graft.expressions.TextHash.shingleHashes(col("text"))).as("sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val brute = a.crossJoin(b)
+      .filter(size(col("a_sh")) < size(col("b_sh")) ||
+        (size(col("a_sh")) === size(col("b_sh")) && col("a_id") < col("b_id")))
+      .withColumn("i", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .filter(col("i") * 10 >= size(col("a_sh")) * 9)
+      .select(col("a_id"), col("b_id"),
+        (col("i").cast("double") / size(col("a_sh"))).as("cont"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(got == brute,
+      s"prefix-filtered result must equal all-pairs: missing=${brute -- got}, extra=${got -- brute}")
+    assert(brute.nonEmpty, "testdata should contain at least one containment pair")
+  }
+
+  test("dedup_containment: emission convention and threshold hold") {
+    val rows = q("dedup_containment").collect()
+    assert(rows.forall(r => r.getDouble(2) >= 0.9 && r.getDouble(2) <= 1.0),
+      "containment in [0.9, 1.0]")
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "no self-pairs")
+  }
+
+  // ---- graph_triangle_count ---------------------------------------------
+
+  test("graph_triangle_count: vertex participation sums to 3x the triangle count") {
+    val out = q("graph_triangle_count").cache()
+    val total = out.agg(sum(col("n_tri"))).head().getLong(0)
+    assert(total % 3 == 0, "each triangle contributes exactly 3 vertex rows")
+    assert(out.filter(col("n_tri") <= 0).count() == 0, "only triangle members appear")
+
+    // cross-check against a driver-side enumeration of the pair store
+    val pairs = TextQueries.queries("dedup_ngram_jaccard")(spark, SF)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    var nTri = 0L
+    for (Seq(x, y, z) <- verts.combinations(3))
+      if (pairs((x, y)) && pairs((y, z)) && pairs((x, z))) nTri += 1
+    assert(total == 3 * nTri, s"expected $nTri triangles, engine reported ${total / 3}")
+  }
+}

@@ -182,4 +182,26 @@ class MiningSpec extends AnyFunSuite {
     assert(scores(4L) > scores(1L))
     assert(scores.values.forall(_ > 0.0))
   }
+
+  test("cooccur_pmi_topk: PMI sign tracks dependence on a constructed corpus") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pmi_corpus"
+    // 40 docs. x,y appear ONLY together (20 docs) -> PMI =
+    // ln(40·20/(20·20)) = ln 2. u is in every doc, v in 20, so (u,v)
+    // co-occurs exactly as independence predicts -> PMI = 0. (x,v)
+    // co-occurs in 10 docs, under the count floor -> absent.
+    val docs = (0 until 40).map { i =>
+      val xy = if (i < 20) "x y" else "p q"
+      (i.toLong, s"u $xy ${if (i % 2 == 0) "v" else "w"}", "en", "src0", 10L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("cooccur_pmi_topk")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(out(("x", "y")) - math.log(2.0)) < 1e-6,
+      "perfectly coupled pair scores ln(2)")
+    assert(math.abs(out(("u", "v"))) < 1e-6, "independent pair scores ~0")
+    assert(!out.contains(("x", "q")), "never-co-occurring pair is absent")
+    // count filter: pairs under the 20-doc floor don't appear
+    assert(out.keys.forall { case (a, b) => a < b }, "pairs are ordered")
+  }
 }

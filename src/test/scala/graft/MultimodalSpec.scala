@@ -54,4 +54,15 @@ class MultimodalSpec extends AnyFunSuite {
     // stride 10 for len 160: 16 samples, all 'q'
     assert(out(2L) === "q" * 16)
   }
+
+  test("multimodal_exact_dedup: identical blobs collapse, ledger is complete") {
+    val out = graft.queries.EnrichmentQueries
+      .queries("multimodal_exact_dedup")(spark, "/root/testdata/sf0.001").cache()
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    // one group per distinct payload; every doc accounted for exactly once
+    assert(out.count() == docs.select(col("text")).distinct().count())
+    assert(out.agg(sum(col("n_copies"))).head().getLong(0) == docs.count())
+    // keep_id is a real doc and the group minimum by construction
+    assert(out.join(docs, out("keep_id") === docs("doc_id"), "left_anti").count() == 0)
+  }
 }

@@ -154,6 +154,54 @@ object EnrichmentQueries extends QueryPack {
         .select(col("doc_id"), md5(EnrichOps.toBlob(col("text"))).as("payload_md5"))
         .groupBy(col("payload_md5"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")))
+        ,
+
+    // -- multimodal: perceptual near-dup via frame-simhash + Hamming LSH ---
+    // The near-dup tier above the exact byte hash: re-encoded or lightly
+    // edited payloads share most FRAMES but no global digest. Stub
+    // perceptual hash = 16-bit simhash over the per-frame checksums (a
+    // real pipeline swaps the frame checksum for a decoder's DCT/pixel
+    // features; the signature algebra and everything downstream is
+    // unchanged). Pair search is Hamming-banded LSH: 16 bits split into
+    // 4×4-bit bands — hamming ≤ 3 can disturb at most 3 bands, so
+    // band-equality candidate generation is LOSSLESS by pigeonhole, and
+    // the oracle's all-pairs form agrees exactly. Candidates ride the
+    // shared LshJoin machinery (broadcast build now, salted (bucket,
+    // salt) shuffle at corpus scale) with first-collision-band emission —
+    // distinct pairs with no dedup shuffle; the exact bit_count verify
+    // rides in the join filter. 64-bit/8-band is the same code with a
+    // wider simHash — band width trades bucket size against band count
+    // as the corpus grows. -----------------------------------------------
+    "multimodal_phash_neardup" -> ((s, dir) => {
+      val nf = greatest(lit(1),
+        floor((length(col("text")) + 15) / 16).cast("int"))
+      val sig = docs(s, dir)
+        .withColumn("fh", transform(sequence(lit(0), nf - 1),
+          i => TextOps.polyHash(col("text").substr(i * 16 + 1, lit(16)))))
+        .select(col("doc_id"), TextOps.simHash(col("fh")).as("ph"))
+        .cache()
+      def bandKey(j: Int) =
+        concat_ws("_", lit(j), shiftright(col("ph"), 4 * j).bitwiseAND(lit(15)))
+      val bands = sig.select(
+        col("doc_id"), col("ph"),
+        bandKey(0).as("b0"), bandKey(1).as("b1"), bandKey(2).as("b2"),
+        explode(array((0 until 4).map(bandKey): _*)).as("bucket"))
+      val firstCollision =
+        col("x.bucket") === col("x.b0") ||
+          (col("x.bucket") === col("x.b1") && col("x.b0") =!= col("y.b0")) ||
+          (col("x.bucket") === col("x.b2") && col("x.b0") =!= col("y.b0") &&
+            col("x.b1") =!= col("y.b1")) ||
+          (col("x.b0") =!= col("y.b0") && col("x.b1") =!= col("y.b1") &&
+            col("x.b2") =!= col("y.b2"))
+      val plan = graft.ops.LshJoin.candidateJoin(s, bands,
+        firstCollision &&
+          bit_count(col("x.ph").bitwiseXOR(col("y.ph"))) <= 3)
+      val ta = sig.select(col("doc_id").as("a_id"), col("ph").as("a_ph"))
+      val tb = sig.select(col("doc_id").as("b_id"), col("ph").as("b_ph"))
+      graft.ops.LshJoin.verifyJoin(plan, ta, tb)
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("a_ph").bitwiseXOR(col("b_ph"))).cast("int").as("hamming"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -246,6 +294,26 @@ object EnrichmentQueries extends QueryPack {
         |       min(doc_id) AS keep_id,
         |       count(*) AS n_copies
         |FROM documents
-        |GROUP BY md5(text)""".stripMargin
+        |GROUP BY md5(text)""".stripMargin,
+
+    // All-pairs Hamming: banding is a lossless prune (pigeonhole over the
+    // 4 bands), so the direct form agrees exactly.
+    "multimodal_phash_neardup" -> {
+      val bits = (0 until 16).map { b =>
+        s"(CASE WHEN list_sum(list_transform(fh, x -> ((x // ${1L << b}) % 2) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH fr AS (
+         |  SELECT doc_id,
+         |         list_transform(range(0, greatest(1, (length(text) + 15) // 16)),
+         |                        i -> ${polySql("substring(text, CAST(i * 16 + 1 AS INT), 16)")}) AS fh
+         |  FROM documents
+         |), sig AS (
+         |  SELECT doc_id, CAST($bits AS BIGINT) AS ph FROM fr
+         |)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph, b.ph)) <= 3""".stripMargin
+    }
   )
 }

@@ -260,17 +260,22 @@ object TextQueries extends QueryPack {
        |  FROM documents WHERE len(string_split(text, ' ')) >= 3
        |)""".stripMargin
 
+  /** [[PAIR_CTES]] plus the symmetric `edges(src, dst)` orientation —
+    * shared by the CC chain and the clustering-coefficient oracle. */
+  private[graft] lazy val EDGE_CTES: String =
+    s"""$PAIR_CTES, edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT b_id AS src, a_id AS dst FROM pairs
+       |)""".stripMargin
+
   /** Oracle twin of [[clusterLabels]], ending in a `comp(doc_id, comp)`
     * CTE: transitive closure of the symmetric pair graph; min reachable
     * label = connected component. UNION (not UNION ALL) dedups the
     * frontier so the recursion terminates. Shared by the
     * dedup_cluster_cc and split_leakage_safe oracles. */
   private[graft] lazy val CC_CTES: String =
-    s"""$PAIR_CTES, edges AS (
-       |  SELECT a_id AS src, b_id AS dst FROM pairs
-       |  UNION ALL
-       |  SELECT b_id AS src, a_id AS dst FROM pairs
-       |), reach(id, lbl) AS (
+    s"""$EDGE_CTES, reach(id, lbl) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
@@ -432,6 +437,39 @@ object TextQueries extends QueryPack {
       tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tri"))
+    }),
+
+    // -- local clustering coefficient over the near-dup graph --------------
+    // The per-node refinement of the triangle probe: coeff(v) =
+    // 2·tri(v) / (deg(v)·(deg(v)−1)) — 1.0 means v's neighborhood is a
+    // clique (a true duplicate group), low values mark hub documents
+    // whose cluster was glued by transitive chains. Reported for every
+    // node with deg ≥ 2 (coeff is undefined below that), tri-less nodes
+    // included at 0. Degree is one keyed agg over the symmetric edge
+    // orientation; triangles reuse the oriented wedge-close join; the
+    // coefficient is a single exact IEEE division of integers — engine-
+    // deterministic with no quantization. Same pair-store consumption
+    // as pagerank_canonical/graph_triangle_count. ------------------------
+    "graph_clustering_coeff" -> ((s, dir) => {
+      val pairs = jaccardPairsStore(s, dir).select(col("a_id"), col("b_id"))
+        .localCheckpoint()
+      val deg = pairs.select(col("a_id").as("doc_id"))
+        .union(pairs.select(col("b_id").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+      val wedges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+        .join(pairs.select(col("a_id").as("y2"), col("b_id").as("z")),
+          col("y") === col("y2"))
+        .select(col("x"), col("y"), col("z"))
+      val tri = wedges.join(pairs,
+        wedges("x") === pairs("a_id") && wedges("z") === pairs("b_id"), "left_semi")
+        .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+      deg.filter(col("deg") >= 2)
+        .join(tri, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          ((coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+            (col("deg") * (col("deg") - 1))).as("coeff"))
     }),
 
     // -- leakage-safe split: train/valid/test at CLUSTER granularity -------
@@ -923,6 +961,24 @@ object TextQueries extends QueryPack {
          |                WHERE p3.a_id = p1.a_id AND p3.b_id = p2.b_id)
          |), v AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
          |SELECT doc_id, count(*) AS n_tri FROM v GROUP BY doc_id""".stripMargin,
+
+    "graph_clustering_coeff" ->
+      s"""WITH $EDGE_CTES, deg AS (
+         |  SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY src
+         |), tri AS (
+         |  SELECT p1.a_id AS x, p1.b_id AS y, p2.b_id AS z
+         |  FROM pairs p1 JOIN pairs p2 ON p2.a_id = p1.b_id
+         |  WHERE EXISTS (SELECT 1 FROM pairs p3
+         |                WHERE p3.a_id = p1.a_id AND p3.b_id = p2.b_id)
+         |), vt AS (
+         |  SELECT doc_id, count(*) AS n_tri
+         |  FROM (SELECT unnest([x, y, z]) AS doc_id FROM tri) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, d.deg,
+         |       coalesce(vt.n_tri, 0) AS n_tri,
+         |       CAST(coalesce(vt.n_tri, 0) * 2 AS DOUBLE) / (d.deg * (d.deg - 1)) AS coeff
+         |FROM deg d LEFT JOIN vt ON vt.doc_id = d.doc_id
+         |WHERE d.deg >= 2""".stripMargin,
 
     "split_leakage_safe" ->
       s"""WITH RECURSIVE $CC_CTES

@@ -69,4 +69,22 @@ class DedupGraphSpec extends AnyFunSuite {
       if (pairs((x, y)) && pairs((y, z)) && pairs((x, z))) nTri += 1
     assert(total == 3 * nTri, s"expected $nTri triangles, engine reported ${total / 3}")
   }
+
+  // ---- graph_clustering_coeff -------------------------------------------
+
+  test("graph_clustering_coeff: bounded, complete over deg>=2, consistent with triangles") {
+    val out = q("graph_clustering_coeff").cache()
+    assert(out.filter(col("coeff") < 0 || col("coeff") > 1).count() == 0,
+      "coefficient lives in [0, 1]")
+    assert(out.filter(col("deg") < 2).count() == 0, "undefined below degree 2")
+    // coeff = 2*tri / (deg*(deg-1)) must hold row-wise
+    assert(out.filter(col("coeff") =!=
+      (col("n_tri") * 2).cast("double") / (col("deg") * (col("deg") - 1))).count() == 0)
+    // the triangle column must agree with graph_triangle_count for
+    // every doc that appears in both
+    val tri = q("graph_triangle_count")
+    assert(out.join(tri, "doc_id")
+      .filter(out("n_tri") =!= tri("n_tri")).count() == 0,
+      "per-doc triangle participation must match the standalone query")
+  }
 }

@@ -65,4 +65,29 @@ class MultimodalSpec extends AnyFunSuite {
     // keep_id is a real doc and the group minimum by construction
     assert(out.join(docs, out("keep_id") === docs("doc_id"), "left_anti").count() == 0)
   }
+
+  test("multimodal_phash_neardup: Hamming banding is lossless vs brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.EnrichmentQueries
+      .queries("multimodal_phash_neardup")(spark, sf)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.forall(_._3 <= 3), "every emitted pair within the Hamming radius")
+
+    // brute force the same signatures all-pairs
+    import org.apache.spark.sql.functions._
+    val nf = greatest(lit(1), floor((length(col("text")) + 15) / 16).cast("int"))
+    val sig = graft.model.Tables.documents(spark, sf)
+      .withColumn("fh", transform(sequence(lit(0), nf - 1),
+        i => graft.ops.TextOps.polyHash(col("text").substr(i * 16 + 1, lit(16)))))
+      .select(col("doc_id"), graft.ops.TextOps.simHash(col("fh")).as("ph"))
+    val brute = sig.select(col("doc_id").as("a_id"), col("ph").as("a_ph"))
+      .crossJoin(sig.select(col("doc_id").as("b_id"), col("ph").as("b_ph")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("a_ph").bitwiseXOR(col("b_ph"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select("a_id", "b_id", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute,
+      s"banded result must equal all-pairs: missing=${brute -- got}, extra=${got -- brute}")
+  }
 }

@@ -516,6 +516,32 @@ object JoinQueries extends QueryPack {
           (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_pct"))
     }),
 
+    // -- native: TPC-H q18-style large-order customers ---------------------
+    // The aggregate-then-semi-join archetype (the HAVING-subquery family):
+    // sum lineitem quantity per order FIRST (map-side partial combine
+    // collapses each order's lines before the shuffle), keep the rare
+    // orders above the threshold, and only then touch the orders/customer
+    // dims — the selective agg result broadcasts into both joins, so the
+    // fact table shuffles once (keyed l_orderkey) and the dims never
+    // shuffle at all. Quantity sums are DECIMAL-accumulated (order-free,
+    // Num.dsum) and the top-100 is TakeOrderedAndProject with a full
+    // tiebreak. The wrong plan — join first, aggregate after — would
+    // shuffle orders×lineitem; the explicit agg-first shape is what q18
+    // exists to exercise. ------------------------------------------------
+    "tpch_q18_large_orders" -> ((s, dir) => {
+      val bigOrders = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(graft.ops.Num.dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300.0)
+      Tables.orders(s, dir)
+        .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // -- native: TPC-H q3-style 3-way join + top-k -------------------------
     // Filters applied BEFORE the joins so they push to the parquet scans;
     // the filtered customer dim is broadcast; orderBy+limit plans as
@@ -830,6 +856,19 @@ object JoinQueries extends QueryPack {
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+
+    "tpch_q18_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${graft.ops.Num.DSUM_SQL("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${graft.ops.Num.DSUM_SQL("l_quantity")} > 300.0
+         |)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         |FROM orders
+         |JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 100""".stripMargin,
 
     "tpch_q3_shipping" ->
       s"""SELECT l_orderkey, o_orderdate, $REV_SQL AS revenue

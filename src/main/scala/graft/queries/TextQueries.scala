@@ -321,6 +321,34 @@ object TextQueries extends QueryPack {
         col("doc_id"),
         TextOps.polyHash(col("text")).as("fp"))),
 
+    // -- character-entropy quality signal ----------------------------------
+    // Shannon entropy of the per-doc character distribution — the
+    // classic cheap detector for templated/degenerate text (binary
+    // junk decoded as text scores high; "aaaa…" scores near 0; natural
+    // text sits in a narrow band). Shape: explode chars → count per
+    // (doc, char) — map-side partial combine collapses each doc's chars
+    // to its ≤alphabet-size distinct rows BEFORE the shuffle, so the
+    // exchange carries the per-doc character table (≲100 rows/doc),
+    // never the text. Float parity: each −p·ln p term is r6-quantized
+    // and the per-doc sum is DECIMAL-accumulated (order-free), so both
+    // engines add identical 6-decimal values in any order. The keep
+    // threshold compares the exact decimal-summed double. --------------
+    "text_char_entropy" -> ((s, dir) => {
+      import graft.ops.Num
+      val ch = docs(s, dir).select(
+        col("doc_id"), length(col("text")).cast("long").as("n"),
+        explode(split(col("text"), "")).as("c"))
+      val p = col("cnt").cast("double") / col("n").cast("double")
+      ch.groupBy(col("doc_id"), col("n"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(count(lit(1)).as("n_distinct_chars"),
+          Num.dsum6(Num.r6(-p * log(p))).as("entropy"))
+        .select(col("doc_id"), col("n").as("n_chars"),
+          col("n_distinct_chars"), col("entropy"),
+          (col("entropy") >= 2.5).as("keep"))
+    }),
+
     // -- token-budget truncation: keep the first 32 tokens -----------------
     // The context-window clip every training pipeline applies before
     // packing; pure codegen'd expressions, map-side, zero shuffle.
@@ -896,6 +924,22 @@ object TextQueries extends QueryPack {
 
     "text_fingerprint" ->
       s"SELECT doc_id, ${polySql("text")} AS fp FROM documents",
+
+    "text_char_entropy" -> {
+      import graft.ops.Num.{DSUM6_SQL, R6_SQL}
+      s"""WITH ch AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+         |         unnest(string_split(text, '')) AS c
+         |  FROM documents
+         |), cnt AS (
+         |  SELECT doc_id, n, c, count(*) AS cnt FROM ch GROUP BY doc_id, n, c
+         |)
+         |SELECT doc_id, n AS n_chars,
+         |       count(*) AS n_distinct_chars,
+         |       ${DSUM6_SQL(R6_SQL("-(CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)"))} AS entropy,
+         |       ${DSUM6_SQL(R6_SQL("-(CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)"))} >= 2.5 AS keep
+         |FROM cnt GROUP BY doc_id, n""".stripMargin
+    },
 
     "text_truncate_tokens" ->
       """SELECT doc_id,

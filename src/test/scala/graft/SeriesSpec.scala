@@ -153,4 +153,24 @@ class SeriesSpec extends AnyFunSuite {
     assert(df.getLong(1) > 0)
     assert(math.abs(df.getDouble(0) - manual.toDouble) < 1e-9)
   }
+
+  test("tpch_q18_large_orders plan: aggregate below the joins, broadcast, top-k") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val df = SparkEntry.queries("tpch_q18_large_orders")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.sparkPlan
+    // the quantity aggregate must sit BELOW every join: no join operator
+    // may appear in any aggregate's subtree
+    val aggs = plan.collect { case a: BaseAggregateExec => a }
+    assert(aggs.nonEmpty)
+    assert(aggs.forall(_.collect { case j: BroadcastHashJoinExec => j }.isEmpty),
+      "quantity aggregation must run before the dim joins, not after")
+    // the filtered big-order set broadcasts; the top-100 is
+    // TakeOrderedAndProject, never a global sort
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "big-order set must broadcast into the orders join")
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "top-100 must plan as TakeOrderedAndProject")
+  }
 }

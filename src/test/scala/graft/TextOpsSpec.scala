@@ -148,4 +148,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(hs(0) == hs(1))
     assert(hs.forall(h => h >= 0 && h < 65536))
   }
+
+  test("text_char_entropy: degenerate text scores 0, uniform text scores ln(k)") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_entropy_corpus"
+    Seq(
+      (1L, "aaaaaaaaaaaaaaaa", "en", "src0", 16L),   // 1 symbol -> H = 0
+      (2L, "abcdabcdabcdabcd", "en", "src0", 16L),   // 4 uniform -> H = ln 4
+      (3L, "abababababababab", "en", "src0", 16L))   // 2 uniform -> H = ln 2
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("text_char_entropy")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 0.0)
+    // each -p ln p term is r6-quantized before the exact decimal sum
+    def h(k: Int) = {
+      val term = math.floor((-(1.0 / k) * math.log(1.0 / k)) * 1e6 + 0.5) / 1e6
+      BigDecimal(term).setScale(6).*(k).toDouble
+    }
+    assert(out(2L) == h(4), s"uniform-4 entropy: got ${out(2L)}, want ${h(4)}")
+    assert(out(3L) == h(2))
+  }
 }

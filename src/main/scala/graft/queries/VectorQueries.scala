@@ -257,6 +257,56 @@ object VectorQueries extends QueryPack {
         .select(col("c_id"), col("pos"), col("n"), col("mean"), col("delta"))
     }),
 
+    // -- full Lloyd's TRAINING loop: two chained assign→update rounds ------
+    // ivf_recluster is one maintenance iteration against fixed seeds;
+    // this is the k-means TRAINER: round 2 assigns against the MEANS
+    // round 1 produced, i.e. the centroid update actually feeds back —
+    // the canonical distributed-ML training loop (the same shape as
+    // pagerank_canonical's rank feedback, lifted to 64-dim vectors). Per
+    // round: one broadcast of the centroid table (≤k rows — the only
+    // driver-independent state), one fused per-partition top-1 assign
+    // over the corpus, one (cell, dim)-keyed aggregate with map-side
+    // combine. Nothing driver-side iterates over data; the round count
+    // is the fixed cross-engine contract (the oracle unrolls exactly 2).
+    // Float parity: per-dim sums fold in vec_id order (both engines
+    // identical sequence), means are r6-quantized before feeding round
+    // 2's cosine, so assignment decisions are bit-identical. Empty cells
+    // drop out of the update in both engines. ----------------------------
+    "kmeans_lloyd_train" -> ((s, dir) => {
+      // Round-robin the probe once: a local small-file scan is ONE input
+      // partition, and each round's per-vector cosine×k + heap would run
+      // as a single task chained behind the previous round's broadcast —
+      // the whole trainer serializes. On a real multi-split input the
+      // scan provides the parallelism and this is a no-op cost.
+      val e = emb(s, dir).repartition(s.sessionState.conf.numShufflePartitions)
+      def assign(cents: DataFrame): DataFrame =
+        VectorOps.topKPerQuery(
+          e.crossJoin(broadcast(cents))
+            .withColumn("csim", cosineSim(col("embedding"), col("c_emb"))),
+          col("vec_id"), Seq(col("csim").desc, col("c_id")), k = 1)
+          .select(col("vec_id"), col("embedding"), col("c_id"))
+      def update(assigned: DataFrame): DataFrame =
+        assigned
+          .select(col("c_id"), col("vec_id"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("c_id"), col("pos").cast("long").as("pos"),
+            col("vec_id"), col("v").cast("double").as("v"))
+          .groupBy(col("c_id"), col("pos"))
+          .agg(count(lit(1)).as("n"),
+            collect_list(struct(col("vec_id"), col("v"))).as("vs"))
+          .select(col("c_id"), col("pos"), col("n"),
+            graft.ops.Num.r6(
+              aggregate(transform(array_sort(col("vs")), _.getField("v")),
+                lit(0.0), (acc, x) => acc + x) / col("n").cast("double")).as("mean"))
+      val cents0 = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val g1 = update(assign(cents0))
+      val cents1 = g1.groupBy(col("c_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          _.getField("mean")).as("c_emb"))
+      update(assign(cents1))
+    }),
+
     // -- superset: kNN JOIN — top-3 neighbors for EVERY vector (not a
     //    small query set), blocked by LSH bucket. The classic kNN-join
     //    primitive behind embedding-based near-dup mining and retrieval
@@ -737,6 +787,36 @@ object VectorQueries extends QueryPack {
          |       ${graft.ops.Num.R6_SQL(
                    s"${graft.ops.Num.R6_SQL(meanSql)} - CAST(c.c_emb[g.pos + 1] AS DOUBLE)")} AS delta
          |FROM g JOIN cents c USING (c_id)""".stripMargin
+    },
+
+    "kmeans_lloyd_train" -> {
+      val meanSql = graft.ops.Num.R6_SQL("sv / CAST(n AS DOUBLE)")
+      def round(cents: String, assign: String, g: String) =
+        s"""$assign AS (
+           |  SELECT vec_id, c_id FROM (
+           |    SELECT e.vec_id, c.c_id,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |                              ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+           |    FROM embeddings e, $cents c
+           |  ) WHERE rn = 1
+           |), $g AS (
+           |  SELECT c_id, pos, n, $meanSql AS mean FROM (
+           |    SELECT a.c_id, p.pos, count(*) AS n,
+           |           list_reduce([CAST(0.0 AS DOUBLE)] ||
+           |             list(CAST(e.embedding[p.pos + 1] AS DOUBLE) ORDER BY e.vec_id),
+           |             (x, y) -> x + y) AS sv
+           |    FROM $assign a JOIN embeddings e USING (vec_id), ps p
+           |    GROUP BY a.c_id, p.pos
+           |  )
+           |)""".stripMargin
+      s"""WITH ps AS (SELECT unnest(range(0, $DIMS)) AS pos),
+         |cents0 AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0
+         |), ${round("cents0", "a1", "g1")},
+         |cents1 AS (
+         |  SELECT c_id, list(mean ORDER BY pos) AS c_emb FROM g1 GROUP BY c_id
+         |), ${round("cents1", "a2", "g2")}
+         |SELECT c_id, pos, n, mean FROM g2""".stripMargin
     },
 
     "ann_ivf_probe" ->

@@ -90,4 +90,27 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(plan.contains("MapPartitions"), s"no map-side partial stage in:\n$plan")
     assert(fused.count() == 2 * 3)
   }
+
+  test("kmeans_lloyd_train: round-2 state differs from round-1 and covers the corpus") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.VectorQueries
+      .queries("kmeans_lloyd_train")(spark, sf).cache()
+    val nVecs = graft.model.Tables.embeddings(spark, sf).count()
+    val dims = out.select(col("pos")).distinct().count()
+    assert(dims == 64, "every dimension updated")
+    // each vector lands in exactly one cell: per-dim counts sum to corpus
+    val perDim = out.groupBy(col("pos")).agg(sum(col("n")).as("tot"))
+      .select(col("tot")).distinct().collect()
+    assert(perDim.length == 1 && perDim.head.getLong(0) == nVecs,
+      s"per-dim assignment counts must sum to $nVecs")
+    // the feedback must be real: round-2 output differs from a single
+    // ivf_recluster-style round (same seeds, one iteration)
+    val oneRound = graft.queries.VectorQueries
+      .queries("ivf_recluster")(spark, sf)
+      .select(col("c_id"), col("pos"), col("mean"))
+    val diff = out.select(col("c_id"), col("pos"), col("mean"))
+      .except(oneRound).count()
+    assert(diff > 0, "two chained rounds must move the centroids beyond round 1")
+  }
 }

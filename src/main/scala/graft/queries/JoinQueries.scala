@@ -338,6 +338,32 @@ object JoinQueries extends QueryPack {
       noOrders.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
     }),
 
+    // -- native: FULL OUTER reconciliation ---------------------------------
+    // The replica/feed reconciliation shape: compare per-customer order
+    // counts against per-user event counts keyed on the shared id space,
+    // classifying each key as both / orders_only / events_only — the
+    // audit every two-system migration runs. Full outer is the one join
+    // type AQE cannot broadcast (both sides must keep unmatched rows),
+    // so it pins the sort-merge path: both PRE-AGGREGATED sides shuffle
+    // once on the key — aggregate-before-join keeps the exchange at
+    // per-key cardinality, never raw fact rows. ---------------------------
+    "join_full_outer" -> ((s, dir) => {
+      // orders restricted to custkey >= 100 so all three presence classes
+      // are populated on the testdata id ranges (events users are 0..149)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_custkey") >= 100)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_orders"))
+      val ev = Tables.events(s, dir)
+        .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("n_events"))
+      o.join(ev, Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          when(col("n_orders").isNotNull && col("n_events").isNotNull, "both")
+            .when(col("n_orders").isNotNull, "orders_only")
+            .otherwise("events_only").as("presence"))
+    }),
+
     // -- native: rollup over the region/nation hierarchy -------------------
     "agg_rollup" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -724,6 +750,22 @@ object JoinQueries extends QueryPack {
         |FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "join_full_outer" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS k, count(*) AS n_orders
+        |  FROM orders WHERE o_custkey >= 100 GROUP BY o_custkey
+        |), ev AS (
+        |  SELECT user_id AS k, count(*) AS n_events
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT coalesce(o.k, ev.k) AS k,
+        |       coalesce(o.n_orders, 0) AS n_orders,
+        |       coalesce(ev.n_events, 0) AS n_events,
+        |       CASE WHEN o.k IS NOT NULL AND ev.k IS NOT NULL THEN 'both'
+        |            WHEN o.k IS NOT NULL THEN 'orders_only'
+        |            ELSE 'events_only' END AS presence
+        |FROM o FULL OUTER JOIN ev ON o.k = ev.k""".stripMargin,
 
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n,

@@ -30,6 +30,10 @@ case class GramHit(doc_id: Long, st: Long, en: Long)
   * (dup = true; doc/st no longer meaningful). */
 case class GramSeen(doc_id: Long, st: Long, dup: Boolean)
 
+/** Streaming perceptual near-dup pair: an arriving payload matched a
+  * kept canonical signature within the Hamming radius. */
+case class PhashPair(a_id: Long, b_id: Long, hamming: Int)
+
 /** Streaming funnel state/output: how far a user has progressed. */
 case class FunnelProgress(user_id: Long, stages_matched: Long, converted: Boolean)
 
@@ -291,6 +295,62 @@ object StreamOps {
           }
         })
       .toDF()
+  }
+
+  /** Streaming twin of `multimodal_phash_neardup`: perceptual near-dup
+    * detection on an INGEST stream. Each arriving payload's 16-bit
+    * frame-simhash probes the standing index of KEPT canonical
+    * signatures (state: one (signature → min doc id) entry per distinct
+    * signature per band bucket — bounded by the 2^16 signature space,
+    * never by stream length) and emits a pair for every canonical within
+    * Hamming ≤ 3. The 4×4-bit band keys are built from the SAME
+    * expressions as the batch query, so stream and batch bucket
+    * identically by construction; a pair is emitted only in the FIRST
+    * band where the two signatures agree (computable bucket-locally from
+    * the two signatures), so no cross-bucket dedup stage is needed.
+    * Within a batch, rows process in doc_id order for determinism.
+    * Delivery is at-least-once under replay — the sink dedups by
+    * (a_id, b_id) upsert, the [[upsertBatch]] contract. */
+  def phashDedupStream(docs: DataFrame): org.apache.spark.sql.Dataset[PhashPair] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val nf = greatest(lit(1), floor((length(col("text")) + 15) / 16).cast("int"))
+    val sig = docs
+      .withColumn("fh", transform(sequence(lit(0), nf - 1),
+        i => graft.ops.TextOps.polyHash(col("text").substr(i * 16 + 1, lit(16)))))
+      .withColumn("ph", graft.ops.TextOps.simHash(col("fh")))
+    def bandKey(j: Int) =
+      concat_ws("_", lit(j), shiftright(col("ph"), 4 * j).bitwiseAND(lit(15)))
+    val banded = sig.select(
+      col("doc_id").cast("long").as("doc_id"), col("ph"),
+      explode(array((0 until 4).map(bandKey): _*)).as("bucket"))
+    def bandOf(p: Long, j: Int): Long = (p >> (4 * j)) & 15
+    def firstMatch(p1: Long, p2: Long): Int =
+      (0 until 4).find(j => bandOf(p1, j) == bandOf(p2, j)).getOrElse(-1)
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[PhashPair]
+    implicit val stateEnc = org.apache.spark.sql.Encoders.kryo[Map[Long, Long]]
+    banded.as[(Long, Long, String)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING))
+      .groupByKey(_._3)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (bucket: String, rows: Iterator[(Long, Long, String)],
+         state: GroupState[Map[Long, Long]]) => {
+          val j = bucket.takeWhile(_ != '_').toInt
+          var kept = state.getOption.getOrElse(Map.empty[Long, Long])
+          val out = Seq.newBuilder[PhashPair]
+          rows.toSeq.sortBy(_._1).foreach { case (d, ph, _) =>
+            kept.foreach { case (mPh, mId) =>
+              val ham = java.lang.Long.bitCount(ph ^ mPh)
+              if (ham <= 3 && mId != d && firstMatch(ph, mPh) == j)
+                out += PhashPair(math.min(mId, d), math.max(mId, d), ham)
+            }
+            kept = kept.updatedWith(ph)(prev => Some(prev.fold(d)(math.min(_, d))))
+          }
+          state.update(kept)
+          out.result().iterator
+        })
   }
 
   /** Streaming twin of `mix_token_budget`: per-source token-budget

@@ -21,6 +21,56 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("streaming phash near-dup: cross-batch parity with the keeper-state simulation") {
+    implicit val sqlCtx = spark.sqlContext
+    // real sf0.001 texts plus two exact payload copies arriving later —
+    // guarantees at least the two hamming-0 pairs
+    val base = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val dups = Seq((5000L, base.head._2), (5001L, base(1)._2))
+    val (batch1, batch2) = base.splitAt(base.length / 2)
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.phashDedupStream(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("phash_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(batch1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(batch2.toIndexedSeq ++ dups)
+      q.processAllAvailable()
+
+      // expected: keeper simulation over signatures computed with the
+      // BATCH expressions, processed in the stream's order (per batch,
+      // ascending doc_id)
+      val all = (batch1 ++ batch2 ++ dups)
+      val nf = greatest(lit(1), floor((length(col("text")) + 15) / 16).cast("int"))
+      val sigs = all.toSeq.toDF("doc_id", "text")
+        .withColumn("fh", transform(sequence(lit(0), nf - 1),
+          i => graft.ops.TextOps.polyHash(col("text").substr(i * 16 + 1, lit(16)))))
+        .select(col("doc_id"), graft.ops.TextOps.simHash(col("fh")).as("ph"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var kept = Map.empty[Long, Long]  // signature -> canonical id
+      val expected = scala.collection.mutable.Set[(Long, Long, Int)]()
+      for (batch <- Seq(batch1, batch2 ++ dups); (d, _) <- batch.sortBy(_._1)) {
+        val ph = sigs(d)
+        kept.foreach { case (mPh, mId) =>
+          val ham = java.lang.Long.bitCount(ph ^ mPh)
+          if (ham <= 3 && mId != d)
+            expected += ((math.min(mId, d), math.max(mId, d), ham))
+        }
+        kept = kept.updatedWith(ph)(prev => Some(prev.fold(d)(math.min(_, d))))
+      }
+
+      val got = spark.table("phash_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected.toSet,
+        s"missing=${expected.toSet -- got}, extra=${got -- expected.toSet}")
+      assert(got.contains((base.head._1, 5000L, 0)), "exact copy pairs with its original")
+    } finally q.stop()
+  }
+
   test("T2: dropDuplicates over a replayed stream emits each id once") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Msg]

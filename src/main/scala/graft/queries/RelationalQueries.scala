@@ -115,6 +115,26 @@ object RelationalQueries extends QueryPack {
       purchases.unionByName(signups, allowMissingColumns = true)
     }),
 
+    // -- anti-entropy table digest: order-free per-shard content checksum --
+    // The replica-reconciliation primitive behind join_full_outer's row
+    // audit: two copies of a 100 TB table compare per-shard digests first
+    // and row-diff only the shards that disagree. Digest = bit_xor of a
+    // canonical per-row hash — XOR is commutative/associative, so the
+    // digest is independent of row order, partitioning, AND engine
+    // aggregation order (no decimal machinery needed); the row hash is
+    // the shared polynomial hash over a field concatenation with an
+    // explicit separator (no ambiguity between ("ab","c")/("a","bc")).
+    // One scan + a keyed agg whose shuffle carries one (shard, digest)
+    // partial per map task. ------------------------------------------------
+    "table_checksum" -> ((s, dir) => {
+      val rowHash = graft.ops.TextOps.polyHash(
+        concat_ws("|", col("doc_id"), col("lang"), col("source"), col("text")))
+      Tables.documents(s, dir)
+        .select(col("source"), rowHash.as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
+    }),
+
     // -- O4: retrieval dedup keep-first by score (rag_engine.py:230-239) ---
     "distinct_dedup_hash" -> ((s, dir) =>
       DedupOps.keepFirst(
@@ -311,6 +331,15 @@ object RelationalQueries extends QueryPack {
         |UNION ALL
         |SELECT event_id, user_id, ts, event_type, NULL AS value
         |FROM events WHERE event_type = 'signup'""".stripMargin,
+
+    "table_checksum" -> {
+      val rowSql = "CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' || text"
+      val polySql =
+        s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split($rowSql, ''), c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % ${graft.ops.TextOps.P})"
+      s"""SELECT source, count(*) AS n_rows, bit_xor($polySql) AS digest
+         |FROM documents
+         |GROUP BY source""".stripMargin
+    },
 
     "distinct_dedup_hash" ->
       s"""SELECT event_id, user_id, ts_int, event_type, value FROM (

@@ -239,17 +239,16 @@ object VectorQueries extends QueryPack {
           .withColumn("csim", cosineSim(col("embedding"), col("c_emb"))),
         col("vec_id"), Seq(col("csim").desc, col("c_id")), k = 1)
         .select(col("vec_id"), col("embedding"), col("c_id"))
+      // r6-quantized terms + DECIMAL accumulation: order-free parity with
+      // O(1) state per (cell, dim) — the collect-and-fold alternative
+      // materializes member lists in the aggregate and cannot scale.
       val g = assign
         .select(col("c_id"), col("vec_id"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(col("c_id"), col("pos").cast("long").as("pos"),
-          col("vec_id"), col("v").cast("double").as("v"))
+          graft.ops.Num.r6(col("v").cast("double")).as("v"))
         .groupBy(col("c_id"), col("pos"))
-        .agg(count(lit(1)).as("n"),
-          collect_list(struct(col("vec_id"), col("v"))).as("vs"))
-        .select(col("c_id"), col("pos"), col("n"),
-          aggregate(transform(array_sort(col("vs")), _.getField("v")),
-            lit(0.0), (acc, x) => acc + x).as("sv"))
+        .agg(count(lit(1)).as("n"), graft.ops.Num.dsum6(col("v")).as("sv"))
       g.join(broadcast(cents), "c_id")
         .withColumn("mean", graft.ops.Num.r6(col("sv") / col("n").cast("double")))
         .withColumn("delta", graft.ops.Num.r6(col("mean") -
@@ -268,10 +267,10 @@ object VectorQueries extends QueryPack {
     // over the corpus, one (cell, dim)-keyed aggregate with map-side
     // combine. Nothing driver-side iterates over data; the round count
     // is the fixed cross-engine contract (the oracle unrolls exactly 2).
-    // Float parity: per-dim sums fold in vec_id order (both engines
-    // identical sequence), means are r6-quantized before feeding round
-    // 2's cosine, so assignment decisions are bit-identical. Empty cells
-    // drop out of the update in both engines. ----------------------------
+    // Float parity: per-dim member terms are r6-quantized then DECIMAL-
+    // accumulated (order-free), and means re-quantize before feeding
+    // round 2's cosine, so assignment decisions are bit-identical. Empty
+    // cells drop out of the update in both engines. ----------------------
     "kmeans_lloyd_train" -> ((s, dir) => {
       // Round-robin the probe once: a local small-file scan is ONE input
       // partition, and each round's per-vector cosine×k + heap would run
@@ -285,19 +284,20 @@ object VectorQueries extends QueryPack {
             .withColumn("csim", cosineSim(col("embedding"), col("c_emb"))),
           col("vec_id"), Seq(col("csim").desc, col("c_id")), k = 1)
           .select(col("vec_id"), col("embedding"), col("c_id"))
+      // Per-dim sums are r6-quantized-then-DECIMAL-accumulated: order-free
+      // cross-engine parity with O(1) aggregation state per (cell, dim) —
+      // the collect-members-and-fold alternative materializes every
+      // member list in the aggregate and OOMs the 10× probe.
       def update(assigned: DataFrame): DataFrame =
         assigned
           .select(col("c_id"), col("vec_id"),
             posexplode(col("embedding")).as(Seq("pos", "v")))
           .select(col("c_id"), col("pos").cast("long").as("pos"),
-            col("vec_id"), col("v").cast("double").as("v"))
+            graft.ops.Num.r6(col("v").cast("double")).as("v"))
           .groupBy(col("c_id"), col("pos"))
-          .agg(count(lit(1)).as("n"),
-            collect_list(struct(col("vec_id"), col("v"))).as("vs"))
+          .agg(count(lit(1)).as("n"), graft.ops.Num.dsum6(col("v")).as("sv"))
           .select(col("c_id"), col("pos"), col("n"),
-            graft.ops.Num.r6(
-              aggregate(transform(array_sort(col("vs")), _.getField("v")),
-                lit(0.0), (acc, x) => acc + x) / col("n").cast("double")).as("mean"))
+            graft.ops.Num.r6(col("sv") / col("n").cast("double")).as("mean"))
       val cents0 = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       val g1 = update(assign(cents0))
@@ -776,11 +776,11 @@ object VectorQueries extends QueryPack {
          |    FROM embeddings e, cents c
          |  ) WHERE rn = 1
          |), m AS (
-         |  SELECT a.c_id, p.pos, e.vec_id, CAST(e.embedding[p.pos + 1] AS DOUBLE) AS v
+         |  SELECT a.c_id, p.pos,
+         |         ${graft.ops.Num.R6_SQL("CAST(e.embedding[p.pos + 1] AS DOUBLE)")} AS v
          |  FROM assign a JOIN embeddings e USING (vec_id), ps p
          |), g AS (
-         |  SELECT c_id, pos, count(*) AS n,
-         |         list_reduce([CAST(0.0 AS DOUBLE)] || list(v ORDER BY vec_id), (a, b) -> a + b) AS sv
+         |  SELECT c_id, pos, count(*) AS n, ${graft.ops.Num.DSUM6_SQL("v")} AS sv
          |  FROM m GROUP BY c_id, pos
          |)
          |SELECT g.c_id, g.pos, g.n, ${graft.ops.Num.R6_SQL(meanSql)} AS mean,
@@ -802,9 +802,8 @@ object VectorQueries extends QueryPack {
            |), $g AS (
            |  SELECT c_id, pos, n, $meanSql AS mean FROM (
            |    SELECT a.c_id, p.pos, count(*) AS n,
-           |           list_reduce([CAST(0.0 AS DOUBLE)] ||
-           |             list(CAST(e.embedding[p.pos + 1] AS DOUBLE) ORDER BY e.vec_id),
-           |             (x, y) -> x + y) AS sv
+           |           ${graft.ops.Num.DSUM6_SQL(
+                          graft.ops.Num.R6_SQL("CAST(e.embedding[p.pos + 1] AS DOUBLE)"))} AS sv
            |    FROM $assign a JOIN embeddings e USING (vec_id), ps p
            |    GROUP BY a.c_id, p.pos
            |  )

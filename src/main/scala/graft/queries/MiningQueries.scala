@@ -589,9 +589,14 @@ object MiningQueries extends QueryPack {
         .join(cu.select(col("t").as("tu"), col("cu").as("cu_u")), "tu")
         .join(cu.select(col("t").as("tv"), col("cu").as("cu_v")), "tv")
         .crossJoin(broadcast(total))
+        // both factors cast to double BEFORE the multiply: the integer
+        // product cuv·N tops out around n_docs² and overflows a long once
+        // the corpus passes ~3e9 docs — inside 100 TB range. The double
+        // product rounds identically in both engines (one IEEE multiply
+        // of exactly-converted integers).
         .select(col("tu"), col("tv"), col("cuv"),
-          Num.r6(log((col("cuv") * col("n_docs")).cast("double") /
-            (col("cu_u") * col("cu_v")))).as("pmi"))
+          Num.r6(log((col("cuv").cast("double") * col("n_docs").cast("double")) /
+            (col("cu_u").cast("double") * col("cu_v").cast("double")))).as("pmi"))
         .orderBy(col("pmi").desc, col("tu"), col("tv"))
         .limit(50)
     })
@@ -778,7 +783,7 @@ object MiningQueries extends QueryPack {
          |  HAVING count(*) >= $MIN_COOCCUR
          |)
          |SELECT pr.tu, pr.tv, pr.cuv,
-         |       ${R6_SQL("ln(CAST(pr.cuv * (SELECT count(*) FROM documents) AS DOUBLE) / (a.cu * b.cu))")} AS pmi
+         |       ${R6_SQL("ln((CAST(pr.cuv AS DOUBLE) * CAST((SELECT count(*) FROM documents) AS DOUBLE)) / (CAST(a.cu AS DOUBLE) * CAST(b.cu AS DOUBLE)))")} AS pmi
          |FROM pr
          |JOIN cu a ON a.t = pr.tu
          |JOIN cu b ON b.t = pr.tv

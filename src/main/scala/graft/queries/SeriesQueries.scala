@@ -188,6 +188,43 @@ object SeriesQueries extends QueryPack {
         .agg(count(lit(1)).as("cnt"))
         .withColumn("p",
           col("cnt").cast("double") / sum(col("cnt")).over(wp).cast("double"))
+    }),
+
+    // -- M4 visual downsampling: per-bucket first/last/min/max points ------
+    // The M4 aggregation (Jugel et al., VLDB 2014): a width-w time bucket
+    // is represented by exactly the four points a pixel-perfect line
+    // rendering needs — first, last, value-min, value-max. Unlike LTTB
+    // (whose selected point feeds the next bucket — inherently
+    // sequential), M4 is a pure keyed aggregate: one shuffle on
+    // (series, bucket), min/max over lexicographic structs picks each
+    // role's point WITH a deterministic (ts, id) tiebreak, and the 4
+    // roles explode map-side after the agg. A 100 TB series table
+    // downsamples in one pass to 4 points per (key, bucket) — the shape
+    // dashboards actually query. ------------------------------------------
+    "series_downsample_m4" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        col("event_type"),
+        col("ts").cast("long").as("ts_int"),
+        col("event_id"), col("value"))
+        .withColumn("bucket", floor(col("ts_int") / 86400).cast("long"))
+      val g = e.groupBy(col("event_type"), col("bucket"))
+        .agg(
+          min(struct(col("ts_int"), col("event_id"), col("value"))).as("f"),
+          max(struct(col("ts_int"), col("event_id"), col("value"))).as("l"),
+          min(struct(col("value"), col("ts_int"), col("event_id"))).as("vmin"),
+          max(struct(col("value"), col("ts_int"), col("event_id"))).as("vmax"))
+      g.select(col("event_type"), col("bucket"),
+        explode(array(
+          struct(lit("first").as("role"), col("f.ts_int").as("ts_int"),
+            col("f.value").as("value")),
+          struct(lit("last").as("role"), col("l.ts_int").as("ts_int"),
+            col("l.value").as("value")),
+          struct(lit("vmin").as("role"), col("vmin.ts_int").as("ts_int"),
+            col("vmin.value").as("value")),
+          struct(lit("vmax").as("role"), col("vmax.ts_int").as("ts_int"),
+            col("vmax.value").as("value")))).as("p"))
+        .select(col("event_type"), col("bucket"),
+          col("p.role"), col("p.ts_int"), col("p.value"))
     })
   )
 
@@ -295,6 +332,35 @@ object SeriesQueries extends QueryPack {
         |SELECT prev_type, cur_type, cnt,
         |       CAST(cnt AS DOUBLE) /
         |       CAST(sum(cnt) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
-        |FROM pairs""".stripMargin
+        |FROM pairs""".stripMargin,
+
+    // Role tiebreaks mirror the Spark structs' lexicographic order:
+    // first/vmin break ties ascending, last/vmax descending on every
+    // later field.
+    "series_downsample_m4" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_int,
+        |         event_id, value,
+        |         CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS bucket
+        |  FROM events
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |                       ORDER BY ts_int, event_id, value) AS rf,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |                       ORDER BY ts_int DESC, event_id DESC, value DESC) AS rl,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |                       ORDER BY value, ts_int, event_id) AS rmin,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |                       ORDER BY value DESC, ts_int DESC, event_id DESC) AS rmax
+        |  FROM e
+        |)
+        |SELECT event_type, bucket, 'first' AS role, ts_int, value FROM r WHERE rf = 1
+        |UNION ALL
+        |SELECT event_type, bucket, 'last'  AS role, ts_int, value FROM r WHERE rl = 1
+        |UNION ALL
+        |SELECT event_type, bucket, 'vmin'  AS role, ts_int, value FROM r WHERE rmin = 1
+        |UNION ALL
+        |SELECT event_type, bucket, 'vmax'  AS role, ts_int, value FROM r WHERE rmax = 1""".stripMargin
   )
 }

@@ -335,7 +335,10 @@ object TextQueries extends QueryPack {
     // threshold compares the exact decimal-summed double. --------------
     "text_char_entropy" -> ((s, dir) => {
       import graft.ops.Num
-      val ch = docs(s, dir).select(
+      // empty-text guard: Spark splits "" into [""] while DuckDB's
+      // string_split yields [] — without the filter an empty doc would
+      // produce a divide-by-zero row here and no row in the oracle
+      val ch = docs(s, dir).filter(length(col("text")) > 0).select(
         col("doc_id"), length(col("text")).cast("long").as("n"),
         explode(split(col("text"), "")).as("c"))
       val p = col("cnt").cast("double") / col("n").cast("double")
@@ -930,7 +933,7 @@ object TextQueries extends QueryPack {
       s"""WITH ch AS (
          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
          |         unnest(string_split(text, '')) AS c
-         |  FROM documents
+         |  FROM documents WHERE length(text) > 0
          |), cnt AS (
          |  SELECT doc_id, n, c, count(*) AS cnt FROM ch GROUP BY doc_id, n, c
          |)

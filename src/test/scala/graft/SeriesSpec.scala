@@ -173,4 +173,30 @@ class SeriesSpec extends AnyFunSuite {
     assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
       "top-100 must plan as TakeOrderedAndProject")
   }
+
+  test("series_downsample_m4: every bucket keeps exactly its envelope points") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("series_downsample_m4")(spark, sf).cache()
+    // exactly the 4 roles per (series, bucket)
+    val bad = out.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("role")).as("nr"))
+      .filter(col("n") =!= 4 || col("nr") =!= 4)
+    assert(bad.count() == 0, "each bucket must carry first/last/vmin/vmax")
+    // roles agree with a raw recomputation
+    val raw = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("long").as("ts_int"), col("value"))
+      .withColumn("bucket", floor(col("ts_int") / 86400).cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(min(col("value")).as("r_vmin"), max(col("value")).as("r_vmax"),
+        min(col("ts_int")).as("r_tmin"), max(col("ts_int")).as("r_tmax"))
+    val joined = out.groupBy(col("event_type"), col("bucket"))
+      .pivot("role", Seq("first", "last", "vmin", "vmax"))
+      .agg(first(struct(col("ts_int"), col("value"))))
+      .join(raw, Seq("event_type", "bucket"))
+    assert(joined.filter(
+      col("vmin.value") =!= col("r_vmin") || col("vmax.value") =!= col("r_vmax") ||
+        col("first.ts_int") =!= col("r_tmin") || col("last.ts_int") =!= col("r_tmax"))
+      .count() == 0, "envelope points must match the raw per-bucket extrema")
+  }
 }

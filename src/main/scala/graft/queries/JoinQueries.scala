@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -481,6 +481,48 @@ object JoinQueries extends QueryPack {
             (col("n") * col("n"))).as("covar_pop_qty_price"))
     }),
 
+    // -- Welch's t-test: the A/B experimentation primitive -----------------
+    // Per metric (event_type), compare the deterministic A/B cohorts
+    // (user_id parity — the engine's hash-assignment convention) with the
+    // unequal-variance t statistic and Welch–Satterthwaite df. ONE pass,
+    // one keyed agg: six conditional DECIMAL moments (2 dp inputs → 4 dp
+    // squares, exact and order-free), then closed-form element-wise IEEE
+    // arithmetic — no quantization needed (sqrt is IEEE-exact), same
+    // parity argument as stats_corr_exact. Mergeable moments are what a
+    // 100 TB experiment readout needs: no per-cohort collect, no second
+    // scan, partial aggregation all the way down. -------------------------
+    "stats_welch_ttest" -> ((s, dir) => {
+      val d2 = DecimalType(18, 2)
+      val v = col("value").cast(d2)
+      val isA = col("user_id") % 2 === 0
+      def csum(cond: Column, x: Column) =
+        sum(when(cond, x).otherwise(lit(BigDecimal(0)).cast(DecimalType(36, 4)))).cast("double")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+          sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+          csum(isA, v).as("sa"), csum(!isA, v).as("sb"),
+          csum(isA, v * v).as("saa"), csum(!isA, v * v).as("sbb"))
+        .select(
+          col("event_type"), col("n_a"), col("n_b"),
+          (col("sa") / col("n_a")).as("mean_a"),
+          (col("sb") / col("n_b")).as("mean_b"),
+          ((col("saa") - col("sa") * col("sa") / col("n_a")) / (col("n_a") - 1))
+            .as("var_a"),
+          ((col("sbb") - col("sb") * col("sb") / col("n_b")) / (col("n_b") - 1))
+            .as("var_b"))
+        .withColumn("se2",
+          col("var_a") / col("n_a") + col("var_b") / col("n_b"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          col("mean_a"), col("mean_b"),
+          ((col("mean_a") - col("mean_b")) / sqrt(col("se2"))).as("t_stat"),
+          ((col("se2") * col("se2")) /
+            ((col("var_a") / col("n_a")) * (col("var_a") / col("n_a")) / (col("n_a") - 1) +
+              (col("var_b") / col("n_b")) * (col("var_b") / col("n_b")) / (col("n_b") - 1)))
+            .as("df"))
+    }),
+
     // -- §2.10 UDAF superset: typed custom aggregate (VWAP) ----------------
     // weight = props.k + 1 (k ∈ 0..100 from the JSON payload)
     "agg_vwap_custom" -> ((s, dir) =>
@@ -847,6 +889,32 @@ object JoinQueries extends QueryPack {
         |         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
         |       (n * sxy - sx * sy) / (n * n) AS covar_pop_qty_price
         |FROM m""".stripMargin,
+
+    "stats_welch_ttest" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sa,
+        |         CAST(sum(CASE WHEN user_id % 2 <> 0 THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sb,
+        |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(36,4)) END) AS DOUBLE) AS saa,
+        |         CAST(sum(CASE WHEN user_id % 2 <> 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(36,4)) END) AS DOUBLE) AS sbb
+        |  FROM events GROUP BY event_type
+        |), v AS (
+        |  SELECT event_type, n_a, n_b,
+        |         sa / n_a AS mean_a, sb / n_b AS mean_b,
+        |         (saa - sa * sa / n_a) / (n_a - 1) AS var_a,
+        |         (sbb - sb * sb / n_b) / (n_b - 1) AS var_b
+        |  FROM m
+        |), s AS (
+        |  SELECT *, var_a / n_a + var_b / n_b AS se2 FROM v
+        |)
+        |SELECT event_type, n_a, n_b, mean_a, mean_b,
+        |       (mean_a - mean_b) / sqrt(se2) AS t_stat,
+        |       (se2 * se2) /
+        |         ((var_a / n_a) * (var_a / n_a) / (n_a - 1) +
+        |          (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS df
+        |FROM s""".stripMargin,
 
     "percentile_approx_sketch" ->
       """SELECT event_type,

@@ -89,10 +89,26 @@ object DerivedStore {
         require(new File(published, "_SUCCESS").exists(),
           s"store publish failed and no concurrent winner at $published")
       }
-      // GC superseded versions (best-effort: an open reader's handles
-      // survive the unlink on POSIX; failures are ignored).
-      Option(sfRoot.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName != version && !f.getName.startsWith(".tmp_"))
+      // GC, best-effort (failures ignored):
+      //  - superseded versions: keep the single most RECENT one as a
+      //    grace window — Spark plans lazily and opens no file handle
+      //    until action time, so a DataFrame built against the old
+      //    version would break if its directory vanished before its
+      //    first action; one published generation of grace covers that
+      //    window, and everything older goes.
+      //  - orphaned .tmp_* left by crashed builders: reclaimed once
+      //    they have been cold for an hour (no live builder writes for
+      //    an hour), so repeated crashes can't accumulate full-size
+      //    partial copies forever.
+      val entries = Option(sfRoot.listFiles()).getOrElse(Array.empty)
+      entries
+        .filter(f => f.getName.startsWith("v_") && f.getName != version)
+        .sortBy(-_.lastModified())
+        .drop(1)
+        .foreach(f => try deleteRecursively(f) catch { case _: Throwable => })
+      entries
+        .filter(f => f.getName.startsWith(".tmp_") &&
+          f.lastModified() < System.currentTimeMillis() - 3600000L)
         .foreach(f => try deleteRecursively(f) catch { case _: Throwable => })
     }
     published.getAbsolutePath

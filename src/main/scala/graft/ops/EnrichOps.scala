@@ -209,6 +209,26 @@ object EnrichOps {
     * the storage shape for image/audio payloads. */
   def toBlob(text: Column): Column = encode(text, "UTF-8")
 
+  /** 16-bit perceptual signature of an opaque payload: simhash over the
+    * polynomial checksums of its 16-byte frames (a real decoder swaps
+    * frame checksums for DCT/pixel features; the signature algebra is
+    * unchanged). ONE definition shared by the batch near-dup query
+    * (`multimodal_phash_neardup`) and the streaming ingest twin
+    * ([[graft.streaming.StreamOps.phashDedupStream]]) so batch and
+    * stream can never bucket differently — the same single-definition
+    * rule as [[TextOps.sampleKey]]. Empty payloads hash one empty
+    * frame. */
+  def phashSignature(text: Column): Column = {
+    val nf = greatest(lit(1), floor((length(text) + 15) / 16).cast("int"))
+    TextOps.simHash(transform(sequence(lit(0), nf - 1),
+      i => TextOps.polyHash(text.substr(i * 16 + 1, lit(16)))))
+  }
+
+  /** Band-j key of [[phashSignature]]'s 4×4-bit Hamming-LSH banding
+    * (Hamming ≤ 3 leaves ≥ 1 band untouched — pigeonhole). */
+  def phashBandKey(ph: Column, j: Int): Column =
+    concat_ws("_", lit(j), shiftright(ph, 4 * j).bitwiseAND(lit(15)))
+
   /** Multimodal STUB feature extraction over the blob: byte length, first
     * byte, content checksum. A real decoder (image resize, audio frames)
     * replaces the expressions with a batched binary UDF; the schema

@@ -173,15 +173,10 @@ object EnrichmentQueries extends QueryPack {
     // wider simHash — band width trades bucket size against band count
     // as the corpus grows. -----------------------------------------------
     "multimodal_phash_neardup" -> ((s, dir) => {
-      val nf = greatest(lit(1),
-        floor((length(col("text")) + 15) / 16).cast("int"))
       val sig = docs(s, dir)
-        .withColumn("fh", transform(sequence(lit(0), nf - 1),
-          i => TextOps.polyHash(col("text").substr(i * 16 + 1, lit(16)))))
-        .select(col("doc_id"), TextOps.simHash(col("fh")).as("ph"))
+        .select(col("doc_id"), EnrichOps.phashSignature(col("text")).as("ph"))
         .cache()
-      def bandKey(j: Int) =
-        concat_ws("_", lit(j), shiftright(col("ph"), 4 * j).bitwiseAND(lit(15)))
+      def bandKey(j: Int) = EnrichOps.phashBandKey(col("ph"), j)
       val bands = sig.select(
         col("doc_id"), col("ph"),
         bandKey(0).as("b0"), bandKey(1).as("b1"), bandKey(2).as("b2"),

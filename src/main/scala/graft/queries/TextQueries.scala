@@ -260,6 +260,38 @@ object TextQueries extends QueryPack {
        |  FROM documents WHERE len(string_split(text, ' ')) >= 3
        |)""".stripMargin
 
+  /** Per-vertex triangle participation `(doc_id, n_tri)` over a
+    * canonically oriented (a_id < b_id) pair table: wedges x<y<z from two
+    * oriented edges close iff (x,z) is also a pair — each triangle
+    * counted exactly once, no ×6 orientation blowup. ONE definition
+    * shared by `graph_triangle_count` and `graph_clustering_coeff`
+    * (whose n_tri columns a spec asserts agree); oracle twin:
+    * [[TRI_CTES]]. */
+  private def triangleCounts(pairs: DataFrame): DataFrame = {
+    val wedges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+      .join(pairs.select(col("a_id").as("y2"), col("b_id").as("z")),
+        col("y") === col("y2"))
+      .select(col("x"), col("y"), col("z"))
+    wedges.join(pairs,
+      wedges("x") === pairs("a_id") && wedges("z") === pairs("b_id"), "left_semi")
+      .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Oracle twin of [[triangleCounts]] — `tri` + per-vertex `vt` CTEs,
+    * appended after a chain that already defines `pairs`. */
+  private lazy val TRI_CTES: String =
+    s"""tri AS (
+       |  SELECT p1.a_id AS x, p1.b_id AS y, p2.b_id AS z
+       |  FROM pairs p1 JOIN pairs p2 ON p2.a_id = p1.b_id
+       |  WHERE EXISTS (SELECT 1 FROM pairs p3
+       |                WHERE p3.a_id = p1.a_id AND p3.b_id = p2.b_id)
+       |), vt AS (
+       |  SELECT doc_id, count(*) AS n_tri
+       |  FROM (SELECT unnest([x, y, z]) AS doc_id FROM tri) GROUP BY doc_id
+       |)""".stripMargin
+
   /** [[PAIR_CTES]] plus the symmetric `edges(src, dst)` orientation —
     * shared by the CC chain and the clustering-coefficient oracle. */
   private[graft] lazy val EDGE_CTES: String =
@@ -457,18 +489,9 @@ object TextQueries extends QueryPack {
     // PAIR table (near-dup neighborhoods, bounded), never the corpus.
     // Consumes the persisted pair store like pagerank_canonical — the
     // dedup_ngram_jaccard inline build remains the priced twin. ----------
-    "graph_triangle_count" -> ((s, dir) => {
-      val pairs = jaccardPairsStore(s, dir).select(col("a_id"), col("b_id"))
-      val wedges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
-        .join(pairs.select(col("a_id").as("y2"), col("b_id").as("z")),
-          col("y") === col("y2"))
-        .select(col("x"), col("y"), col("z"))
-      val tri = wedges.join(pairs,
-        wedges("x") === pairs("a_id") && wedges("z") === pairs("b_id"), "left_semi")
-      tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tri"))
-    }),
+    "graph_triangle_count" -> ((s, dir) =>
+      triangleCounts(
+        jaccardPairsStore(s, dir).select(col("a_id"), col("b_id")))),
 
     // -- local clustering coefficient over the near-dup graph --------------
     // The per-node refinement of the triangle probe: coeff(v) =
@@ -487,14 +510,7 @@ object TextQueries extends QueryPack {
       val deg = pairs.select(col("a_id").as("doc_id"))
         .union(pairs.select(col("b_id").as("doc_id")))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
-      val wedges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
-        .join(pairs.select(col("a_id").as("y2"), col("b_id").as("z")),
-          col("y") === col("y2"))
-        .select(col("x"), col("y"), col("z"))
-      val tri = wedges.join(pairs,
-        wedges("x") === pairs("a_id") && wedges("z") === pairs("b_id"), "left_semi")
-        .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+      val tri = triangleCounts(pairs)
       deg.filter(col("deg") >= 2)
         .join(tri, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("deg"),
@@ -1001,25 +1017,12 @@ object TextQueries extends QueryPack {
     },
 
     "graph_triangle_count" ->
-      s"""WITH $PAIR_CTES, tri AS (
-         |  SELECT p1.a_id AS x, p1.b_id AS y, p2.b_id AS z
-         |  FROM pairs p1 JOIN pairs p2 ON p2.a_id = p1.b_id
-         |  WHERE EXISTS (SELECT 1 FROM pairs p3
-         |                WHERE p3.a_id = p1.a_id AND p3.b_id = p2.b_id)
-         |), v AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
-         |SELECT doc_id, count(*) AS n_tri FROM v GROUP BY doc_id""".stripMargin,
+      s"""WITH $PAIR_CTES, $TRI_CTES
+         |SELECT doc_id, n_tri FROM vt""".stripMargin,
 
     "graph_clustering_coeff" ->
-      s"""WITH $EDGE_CTES, deg AS (
+      s"""WITH $EDGE_CTES, $TRI_CTES, deg AS (
          |  SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY src
-         |), tri AS (
-         |  SELECT p1.a_id AS x, p1.b_id AS y, p2.b_id AS z
-         |  FROM pairs p1 JOIN pairs p2 ON p2.a_id = p1.b_id
-         |  WHERE EXISTS (SELECT 1 FROM pairs p3
-         |                WHERE p3.a_id = p1.a_id AND p3.b_id = p2.b_id)
-         |), vt AS (
-         |  SELECT doc_id, count(*) AS n_tri
-         |  FROM (SELECT unnest([x, y, z]) AS doc_id FROM tri) GROUP BY doc_id
          |)
          |SELECT d.doc_id, d.deg,
          |       coalesce(vt.n_tri, 0) AS n_tri,

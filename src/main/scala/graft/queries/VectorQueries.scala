@@ -483,7 +483,12 @@ object VectorQueries extends QueryPack {
     val raw = s.read.parquet(path)
     val pruned =
       if (cells.isEmpty) raw
-      else raw.filter(col("c_id").isInCollection(cells.map(_.toInt)))
+      // Long literals, NOT .toInt: centroid ids are vec_ids (int64), and
+      // truncating would silently match zero partitions once an id
+      // exceeds Int.MaxValue. Catalyst's cast-unwrapping re-narrows the
+      // comparison losslessly when the inferred partition type is int,
+      // so directory pruning is preserved either way.
+      else raw.filter(col("c_id").isInCollection(cells))
     pruned.withColumn("c_id", col("c_id").cast("long"))
   }
 

@@ -313,16 +313,12 @@ object StreamOps {
     * (a_id, b_id) upsert, the [[upsertBatch]] contract. */
   def phashDedupStream(docs: DataFrame): org.apache.spark.sql.Dataset[PhashPair] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val nf = greatest(lit(1), floor((length(col("text")) + 15) / 16).cast("int"))
     val sig = docs
-      .withColumn("fh", transform(sequence(lit(0), nf - 1),
-        i => graft.ops.TextOps.polyHash(col("text").substr(i * 16 + 1, lit(16)))))
-      .withColumn("ph", graft.ops.TextOps.simHash(col("fh")))
-    def bandKey(j: Int) =
-      concat_ws("_", lit(j), shiftright(col("ph"), 4 * j).bitwiseAND(lit(15)))
+      .withColumn("ph", graft.ops.EnrichOps.phashSignature(col("text")))
     val banded = sig.select(
       col("doc_id").cast("long").as("doc_id"), col("ph"),
-      explode(array((0 until 4).map(bandKey): _*)).as("bucket"))
+      explode(array((0 until 4).map(j =>
+        graft.ops.EnrichOps.phashBandKey(col("ph"), j)): _*)).as("bucket"))
     def bandOf(p: Long, j: Int): Long = (p >> (4 * j)) & 15
     def firstMatch(p1: Long, p2: Long): Int =
       (0 until 4).find(j => bandOf(p1, j) == bandOf(p2, j)).getOrElse(-1)
@@ -707,21 +703,44 @@ object StreamOps {
     * The staleness story composes with [[graft.ops.DerivedStore]]: the
     * version directory stays keyed by (fingerprint, source mtime) — a
     * full REBUILD supersedes any maintained state, and `_MAINT` records
-    * how far streaming ingestion advanced the published version. */
+    * how far streaming ingestion advanced the published version.
+    *
+    * '''Deployment contract — single writer, maintenance window.'''
+    * Unlike [[graft.ops.DerivedStore]] publishes (write-temp + atomic
+    * rename, immutable versions), this upsert mutates the published
+    * version IN PLACE: a reader that lists files while a batch commits
+    * can see a torn cell or a vanished directory. That is the standard
+    * trade of partition-overwrite maintenance and is safe exactly when
+    * serving and maintenance don't overlap (one process, or a serving
+    * fleet drained during the maintenance trigger). A concurrent-reader
+    * deployment instead copies touched cells into a NEW version dir and
+    * republishes the manifest — same merge logic, one more rename. */
   def ivfMaintainBatch(spark: SparkSession, versionPath: String,
                        assigns: DataFrame, batchId: Long): Boolean = {
     import org.apache.spark.sql.functions._
     val marker = new java.io.File(versionPath, "_MAINT")
     val last =
-      if (marker.exists())
-        scala.io.Source.fromFile(marker).mkString.trim.toLong
-      else -1L
+      if (marker.exists()) {
+        val srcF = scala.io.Source.fromFile(marker)
+        try srcF.mkString.trim.toLong finally srcF.close()
+      } else -1L
     if (batchId <= last) return false // replayed batch: already applied
     val store = spark.read.parquet(versionPath)
       .withColumn("c_id", col("c_id").cast("long"))
+    // Within-batch conflict resolution: a vector re-ingested or
+    // reassigned inside ONE trigger arrives as two rows per (vec_id, s)
+    // store key with different cells — the union below would store it
+    // under both, breaking latest-wins. The assign payload carries no
+    // event time, so the winner is the deterministic lexicographic max
+    // of (c_id, code): arbitrary but stable under replay, and a no-op
+    // for the normal one-assignment-per-vector batch.
     val batch = assigns.select(
       col("vec_id").cast("long"), col("s").cast("int"),
       col("code").cast("long"), col("c_id").cast("long"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(max(struct(col("c_id"), col("code"))).as("w"))
+      .select(col("vec_id"), col("s"),
+        col("w.code").as("code"), col("w.c_id").as("c_id"))
       .localCheckpoint() // pin: read before the overwrite clobbers inputs
     val batchVecs = batch.select("vec_id").distinct()
     // Touched = the batch's target cells ∪ the current cells of every

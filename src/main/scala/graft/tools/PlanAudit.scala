@@ -121,7 +121,20 @@ object PlanAudit {
             !seg.matches("sf[0-9.]+"))
           .getOrElse("?").stripSuffix(".parquet")
         val pushed = s.metadata.getOrElse("PushedFilters", "[]")
-        val nPushed = if (pushed == "[]") 0 else pushed.count(_ == ',') + 1
+        // Count TOP-LEVEL commas only: a single filter's rendering can
+        // itself contain commas — Not(EqualTo(event_type,error)) is one
+        // pushed filter, not two — so nesting depth gates the split.
+        val nPushed = if (pushed == "[]") 0 else {
+          var depth = 0
+          var n = 1
+          pushed.foreach {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 0 => n += 1
+            case _ => ()
+          }
+          n
+        }
         ScanStat(table, s.requiredSchema.size, s.relation.dataSchema.size,
           nPushed, s.dataFilters.size)
     }

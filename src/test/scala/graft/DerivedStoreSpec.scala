@@ -60,12 +60,16 @@ class DerivedStoreSpec extends AnyFunSuite {
     val n = Array(0)
     val p1 = DerivedStore.serve(store, sf, "src.parquet", "fp-v1")(build(n))
     val p2 = DerivedStore.serve(store, sf, "src.parquet", "fp-v2")(build(n))
-    assert(n(0) == 2, "fingerprint change must rebuild")
-    assert(p1 != p2)
-    // superseded version was GC'd; only the new one (plus no tmp) remains
-    val versions = new File(store, "sfX").listFiles().map(_.getName)
-    assert(versions.sameElements(Array(new File(p2).getName)),
-      s"expected only the new version after GC, got ${versions.mkString(",")}")
+    val p3 = DerivedStore.serve(store, sf, "src.parquet", "fp-v3")(build(n))
+    assert(n(0) == 3, "fingerprint change must rebuild")
+    assert(p1 != p2 && p2 != p3)
+    // GC keeps the current version plus ONE superseded generation (the
+    // grace window for lazily-planned readers); anything older goes —
+    // after three publishes, v1 is gone and v2/v3 remain
+    val versions = new File(store, "sfX").listFiles().map(_.getName).sorted
+    assert(versions.sameElements(
+      Array(new File(p2).getName, new File(p3).getName).sorted),
+      s"expected current + one grace version after GC, got ${versions.mkString(",")}")
   }
 
   test("no partial publish: the served path always has _SUCCESS") {

@@ -73,24 +73,33 @@ object Bench {
     catch { case _: Throwable => }
     dropCachedBlocks(spark)
     val warmSecs = (System.nanoTime() - tw) / 1e9
+    // Fail closed on errors: a query that throws is recorded at -1.0 (an
+    // impossible duration) and named in the errors list — it must not
+    // appear as a legitimate ~4 ms instant-analysis-error entry (the r7
+    // failure mode: 3 broken queries "ran" at 0.004 s).
+    val errored = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] FAIL $name: ${e.getMessage}")
+          errored += name; false }
       val secs = (System.nanoTime() - t0) / 1e9
       // A query's own cache build is timed above; dropping it afterwards
       // keeps one query's working set from distorting the next (GC
       // pressure from leaked caches skewed earlier runs by 5-8×).
       dropCachedBlocks(spark)
-      name -> secs
+      name -> (if (ok) secs else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
     // Per-query detail first (a ~4 KB line), then a short total-only line
     // LAST: the driver's tail capture can truncate the head of long
     // output, so the parseable headline number must be the final line.
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","warmup_sec":$warmSecs,"queries":$qs,"sf":"$sfDir","cpus":$cpus}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","cpus":$cpus}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","warmup_sec":$warmSecs,"queries":$qs,"n_errors":${errored.size},"errors":$errs,"sf":"$sfDir","cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errored.size},"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

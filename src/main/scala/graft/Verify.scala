@@ -21,9 +21,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Fail-closed bookkeeping: a query that throws must leave a loud
+    // artifact, not silently vanish from the correctness report (r7's
+    // failure mode: 11 broken queries produced a shorter, all-green
+    // report). Two mechanisms, so either side of the compare trips:
+    //  - an error parquet row is written under the query's own output dir
+    //    (schema `__graft_error`) — any oracle compare against it fails;
+    //  - every failure is recorded in `_errors.json`, and the registry
+    //    name list in `registry.json`, so tools/check.py can assert
+    //    |registry| == |oracle| == |outputs| and fail on any disagreement.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    val ran = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .foreach { case (name, fn) =>
+    ran.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // Normalize TIMESTAMP -> TIMESTAMP_NTZ before writing: Spark writes
@@ -39,7 +49,16 @@ object Verify {
         }
         ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        failures(name) = msg
+        System.err.println(s"[verify] FAIL $name: $msg")
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("__graft_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] could not write error row for $name: ${e2.getMessage}")
+        }
       }
       // Queries cache intermediate frames for their own multi-use plans;
       // drop them so one query's working set doesn't squat on executor
@@ -61,6 +80,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/registry.json"),
+      ran.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size}/${ran.size} queries FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
+    // Nonzero exit on any failure: a broken query must fail the run, not
+    // shorten the report.
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -15,11 +15,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * full-table scan into a row-group-pruned, column-projected read.
   */
 object Tables {
-  /** Timestamp columns stored as parquet TIMESTAMP(NANOS) per table. Spark
-    * has no nanosecond timestamp type, so we read them as longs
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
-    * the same truncation DuckDB applies, keeping the oracle bit-aligned. */
-  private val nanoTsCols: Map[String, Seq[String]] = Map(
+  /** Event-time columns per table, by whatever physical encoding the
+    * producer chose. The engine cannot assume one: the same logical column
+    * has arrived as INT64 TIMESTAMP(NANOS), as `timestamp[us]` with no UTC
+    * flag (Spark: TIMESTAMP_NTZ), and could arrive UTC-adjusted
+    * (TimestampType). [[normalizeTs]] maps all three onto the one
+    * engine-canonical type, `TimestampType` — wall-clock-identical under
+    * the pinned UTC session zone — so every downstream `cast(ts as long)` /
+    * `unix_micros(ts)` sees a single schema regardless of the file's
+    * physical layout. SchemaPortabilitySpec locks this contract. */
+  private val tsCols: Map[String, Seq[String]] = Map(
     "events" -> Seq("ts"),
     "lineitem" -> Seq("l_shipdate"),
     "orders" -> Seq("o_orderdate"))
@@ -47,29 +52,43 @@ object Tables {
     perSession.getOrElseUpdate((dir, key), build)
   }
 
+  /** Normalize one event-time column to the canonical `TimestampType`.
+    *
+    *  - `LongType`: the legacy INT64(TIMESTAMP_NANOS) encoding read as raw
+    *    longs (`nanosAsLong`); truncate ns → µs, the same truncation DuckDB
+    *    applies, keeping the oracle bit-aligned.
+    *  - `TimestampNTZType`: `timestamp[us]` without the UTC flag. Normally
+    *    already read as LTZ via `inferTimestampNTZ.enabled=false` below;
+    *    this branch covers sources loaded without that conf. The cast is
+    *    wall-clock-preserving under the UTC session zone.
+    *  - `TimestampType`: already canonical.
+    *
+    * Anything else is a contract violation worth failing loudly on, not a
+    * silently-miscast column. */
+  private def normalizeTs(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case LongType => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"unsupported physical encoding for time column '$c': $other")
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     cached(spark, dir, name) {
+      // Read-time schema portability, set before analysis so inference sees
+      // them: nanos-encoded timestamps arrive as raw longs (no Spark ns
+      // type), and µs-no-UTC-flag timestamps arrive directly as LTZ
+      // TimestampType rather than NTZ — which keeps `ts BETWEEN …`
+      // predicates pushing to the parquet scan with no cast wrapper on the
+      // column (PlanAudit asserts the pushdown).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      nanoTsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
-        if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-          df.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
-        else df
-      }
-    }
-
-  /** `events` with the raw nanosecond column kept as `ts_nanos`. Predicates
-    * on the converted `ts` cannot reach the parquet scan (the conversion
-    * expression blocks pushdown), so range filters should ALSO constrain
-    * `ts_nanos` — that predicate pushes down and prunes row groups, which
-    * is the difference between a pruned read and a full scan at 100 TB.
-    * Callers drop `ts_nanos` after filtering. */
-  def eventsWithRawTs(spark: SparkSession, dir: String): DataFrame =
-    cached(spark, dir, "events-raw-ts") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts_nanos", org.apache.spark.sql.functions.col("ts"))
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      tsCols.getOrElse(name, Nil).foldLeft(raw)(normalizeTs)
     }
 
   def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")

@@ -40,22 +40,13 @@ object FilterOps {
   def timeWindow(df: DataFrame, tsCol: Column, start: String, end: String): DataFrame =
     df.filter(tsCol.between(lit(start).cast("timestamp"), lit(end).cast("timestamp")))
 
-  /** Time-range filter over the nanos-backed events table: the same
-    * predicate on `ts` PLUS the exactly-equivalent bound on the raw
-    * `ts_nanos` column (µs = floor(ns/1000), so ts ∈ [S, E] ⟺
-    * ns ∈ [S_ns, E_ns + 999]). Only the raw-column predicate reaches the
-    * parquet scan (PushedFilters) and prunes row groups; the `ts` predicate
-    * keeps the semantics self-evident. */
-  def timeWindowPushdown(df: DataFrame, start: String, end: String): DataFrame = {
-    val startTs = lit(start).cast("timestamp")
-    val endTs = lit(end).cast("timestamp")
-    val startNs = startTs.cast("long") * 1000000000L
-    val endNs = endTs.cast("long") * 1000000000L + 999999999L
-    df.filter(
-      col("ts").between(startTs, endTs) &&
-        col("ts_nanos").between(startNs, endNs))
-      .drop("ts_nanos")
-  }
+  /** Time-range filter over the events table. `ts` is the loader-canonical
+    * `TimestampType` column straight off the scan (Tables.normalizeTs), so
+    * the BETWEEN predicate reaches the parquet reader as PushedFilters and
+    * prunes row groups — the difference between a pruned read and a full
+    * scan at 100 TB. PlanAudit asserts the pushdown. */
+  def timeWindowPushdown(df: DataFrame, start: String, end: String): DataFrame =
+    timeWindow(df, col("ts"), start, end)
 
   /** Optional equality predicate AND-ed on (rag_engine.py:208-210). */
   def tickerEq(df: DataFrame, key: Column, value: Long): DataFrame =

@@ -56,18 +56,18 @@ object RelationalQueries extends QueryPack {
           FilterOps.coalesceTimestamp(col("timestamp"), col("publish_time"))
             .as("timestamp_fixed"))),
 
-    // -- P4: conjunctive time-range predicate (raw-nanos bound pushed to
-    //    the parquet scan for row-group pruning) ---------------------------
+    // -- P4: conjunctive time-range predicate, pushed to the parquet scan
+    //    for row-group pruning ---------------------------------------------
     "filter_time_window" -> ((s, dir) =>
       FilterOps.timeWindowPushdown(
-        Tables.eventsWithRawTs(s, dir),
+        Tables.events(s, dir),
         "2024-01-10 00:00:00", "2024-01-20 00:00:00")),
 
     // -- P5: + optional key equality ---------------------------------------
     "filter_ticker_eq" -> ((s, dir) =>
       FilterOps.tickerEq(
         FilterOps.timeWindowPushdown(
-          Tables.eventsWithRawTs(s, dir),
+          Tables.events(s, dir),
           "2024-01-10 00:00:00", "2024-01-20 00:00:00"),
         col("user_id"), 7L)),
 

@@ -42,9 +42,37 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Fail-closed count assertion: every query Verify ran (registry.json)
+    # must have BOTH an oracle entry and an output dir. A missing side is a
+    # FAIL, not a silently shorter report (the r7 failure mode).
+    try:
+        registry = set(json.load(open(f"{out_dir}/registry.json")))
+    except FileNotFoundError:
+        registry = set(oracle)
+    import os
+    outputs = {d for d in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, d))}
+    scope = {n for n in registry if not only or n in only}
+    for name in sorted(scope - set(oracle)):
+        print(f"FAIL {name}: registry query has no oracle_sql entry")
+        n_fail += 1
+    for name in sorted(scope - outputs):
+        print(f"FAIL {name}: registry query produced no output dir")
+        n_fail += 1
+    errors = {}
+    try:
+        errors = json.load(open(f"{out_dir}/_errors.json"))
+    except FileNotFoundError:
+        pass
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        if name in errors:
+            print(f"FAIL {name}: verify error {errors[name]}")
+            n_fail += 1
+            continue
+        if name not in outputs:
+            continue  # already counted above
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")

@@ -65,7 +65,7 @@ object Tables {
     *
     * Anything else is a contract violation worth failing loudly on, not a
     * silently-miscast column. */
-  private def normalizeTs(df: DataFrame, c: String): DataFrame = {
+  private[graft] def normalizeTs(df: DataFrame, c: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types._
     df.schema(c).dataType match {

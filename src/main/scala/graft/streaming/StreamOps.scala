@@ -558,8 +558,13 @@ object StreamOps {
     rows
       // unix_micros, not a seconds cast: the batch window orders by the
       // full-precision timestamp, and a seconds truncation could flip the
-      // (ts, event_id) order for sub-second neighbors.
-      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("tsl"),
+      // (ts, event_id) order for sub-second neighbors. The inner cast to
+      // canonical TimestampType is a no-op for LTZ sources (MemoryStream)
+      // and normalizes an NTZ-encoded parquet source, on which bare
+      // unix_micros is an analysis error (same portability contract as
+      // Tables.normalizeTs; SchemaPortabilitySpec drives the NTZ case).
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts").cast("timestamp")).as("tsl"),
         col("event_id").cast("long"), col("value").cast("double"))
       .as[(Long, Long, Long, Double)](
         org.apache.spark.sql.Encoders.tuple(
@@ -609,7 +614,10 @@ object StreamOps {
     implicit val stateEnc = org.apache.spark.sql.Encoders.product[SSState]
     events
       .select(col("event_type"), col("user_id").cast("long"),
-        unix_micros(col("ts")).as("tsl"), col("event_id").cast("long"))
+        // cast-to-canonical before unix_micros: NTZ-source portability,
+        // no-op on LTZ (see rollingMedianStream).
+        unix_micros(col("ts").cast("timestamp")).as("tsl"),
+        col("event_id").cast("long"))
       .as[(String, Long, Long, Long)](
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.STRING,

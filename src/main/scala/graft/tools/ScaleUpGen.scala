@@ -32,9 +32,9 @@ import org.apache.spark.sql.functions._
   *    land within a copy); measures and dates are kept. nation/region
   *    stay fixed — dimension tables don't scale in TPC-H either.
   *
-  * Output schema matches what `Tables.load` expects: the TIMESTAMP(NANOS)
-  * columns arrive as longs (legacy nanosAsLong) and are written back as
-  * longs, which the loader converts identically.
+  * Timestamp columns pass through in whatever physical encoding the
+  * source uses (nanos-as-long, NTZ, or UTC-adjusted); `Tables.normalizeTs`
+  * maps any of them onto the canonical TimestampType at load.
   *
   * Usage: runMain graft.tools.ScaleUpGen [srcDir dstDir copies]
   */

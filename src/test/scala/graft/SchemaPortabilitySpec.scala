@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Tables
+import graft.streaming.StreamOps
+
+/** The round-7→8 breakage class, turned into a unit-test failure: the
+  * driver regenerated the testdata with a different physical timestamp
+  * encoding (INT64 TIMESTAMP(NANOS) → `timestamp[us]` with no UTC flag,
+  * which Spark 4 reads as TIMESTAMP_NTZ) and every `cast(ts as long)` /
+  * `unix_micros(ts)` call site became an analysis error.
+  *
+  * The contract under test: [[Tables.load]] yields ONE canonical post-load
+  * schema — `ts` is `TimestampType`, wall-clock-identical values under the
+  * pinned UTC session zone — regardless of which of the three observed
+  * encodings the parquet file uses:
+  *
+  *   - `events_nanos.parquet`  INT64 TIMESTAMP(NANOS)        (r1-r6 data)
+  *   - `events_ntz.parquet`    timestamp[us], no UTC flag    (r7+ data)
+  *   - `events_utc.parquet`    timestamp[us], UTC-adjusted
+  *
+  * Fixtures live in src/test/resources/fixtures (same rows, same logical
+  * values, byte-different physical layout). On top of schema equality the
+  * spec asserts the properties the engine actually relies on: epoch casts
+  * analyze, values are bit-identical across encodings, the time-range
+  * predicate still reaches the parquet scan, and the streaming twins
+  * accept an NTZ-encoded file source.
+  */
+class SchemaPortabilitySpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+
+  private val encodings = Seq("nanos", "ntz", "utc")
+
+  /** Stage fixture `events_<enc>.parquet` into its own dir under the
+    * standard `<dir>/events.parquet` layout and load through Tables. */
+  private def loadFixture(enc: String): DataFrame = {
+    val dir = Files.createTempDirectory(s"graft-portability-$enc")
+    dir.toFile.deleteOnExit()
+    val src = Paths.get(getClass.getResource(s"/fixtures/events_$enc.parquet").toURI)
+    Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Tables.load(spark, dir.toString, "events")
+  }
+
+  private lazy val loaded: Map[String, DataFrame] =
+    encodings.map(e => e -> loadFixture(e)).toMap
+
+  test("one canonical post-load schema across all three physical encodings") {
+    val schemas = loaded.map { case (enc, df) =>
+      enc -> df.schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq
+    }
+    // ts is canonical TimestampType in every encoding — never NTZ, never long
+    schemas.foreach { case (enc, fields) =>
+      val (_, tsType, _) = fields.find(_._1 == "ts").get
+      assert(tsType == TimestampType, s"encoding $enc: ts is $tsType")
+    }
+    // and the full (name, type, nullability) schema is identical
+    assert(schemas("ntz") == schemas("nanos"),
+      s"ntz vs nanos schema drift:\n${schemas("ntz")}\n${schemas("nanos")}")
+    assert(schemas("utc") == schemas("nanos"),
+      s"utc vs nanos schema drift:\n${schemas("utc")}\n${schemas("nanos")}")
+  }
+
+  test("epoch-domain expressions analyze and agree bit-for-bit across encodings") {
+    // The exact expression shapes that broke in r7 when ts arrived NTZ.
+    val results = loaded.map { case (enc, df) =>
+      enc -> df.select(
+        col("event_id"),
+        col("ts").cast("long").as("sec"),
+        unix_micros(col("ts")).as("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    }
+    assert(results("nanos") == results("ntz"))
+    assert(results("nanos") == results("utc"))
+    // spot-check the absolute domain: 2024-01-10T00:00:00Z epoch seconds
+    assert(results("ntz").head._2 == 1704844800L)
+  }
+
+  test("time-range predicate reaches the parquet scan on the current (ntz) encoding") {
+    val filtered = graft.ops.FilterOps.timeWindowPushdown(
+      loaded("ntz"), "2024-01-10 00:00:00", "2024-01-12 00:00:00")
+    val stats = graft.tools.PlanAudit.scanStats(filtered.queryExecution.sparkPlan)
+    assert(stats.nonEmpty, "no parquet scan found in the filtered plan")
+    assert(stats.head.nPushed >= 1,
+      s"ts BETWEEN did not push to the parquet reader: $stats")
+    // and the filter semantics survive the encoding: 2 days of 7-hourly
+    // rows starting at the window open = ceil(48/7) = 7 rows
+    assert(filtered.count() == 7)
+  }
+
+  test("normalizeTs rejects an un-normalizable encoding loudly") {
+    import spark.implicits._
+    val bogus = Seq(("a", "2024-01-01")).toDF("event_id", "ts")
+    val e = intercept[IllegalStateException](Tables.normalizeTs(bogus, "ts"))
+    assert(e.getMessage.contains("unsupported physical encoding"))
+  }
+
+  test("streaming twin accepts an NTZ-encoded file source") {
+    // readStream with an explicitly-NTZ schema reproduces the fragile
+    // case: a parquet feed whose ts is not LTZ. The stream twins cast to
+    // canonical TimestampType before unix_micros, so this must analyze
+    // AND produce the same medians as the batch path over the same rows.
+    val dir = Files.createTempDirectory("graft-portability-stream")
+    dir.toFile.deleteOnExit()
+    val src = Paths.get(getClass.getResource("/fixtures/events_ntz.parquet").toURI)
+    Files.copy(src, dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType),
+      StructField("ts", TimestampNTZType)))
+    val in = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = StreamOps.rollingMedianStream(in)
+      .writeStream.format("memory").queryName("portability_med")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("portability_med")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).sortBy(t => (t._1, t._2))
+    assert(got.length == 40)
+    // batch reference: same per-key trailing-10 median over the canonical load
+    val ref = loaded("ntz").select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getDouble(3)))
+      .groupBy(_._1).flatMap { case (uid, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._2))
+        sorted.indices.map { i =>
+          val wnd = sorted.slice(math.max(0, i - 9), i + 1).map(_._4).sorted
+          val n = wnd.length
+          val med = if (n % 2 == 1) wnd((n + 1) / 2 - 1)
+                    else (wnd(n / 2 - 1) + wnd(n / 2)) / 2.0
+          (uid, sorted(i)._2, med)
+        }
+      }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == ref)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst squared-L2 distance over two numeric arrays.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(a, b,
+  * (x,y) => (x-y)*(x-y)), 0.0, _+_)`) is interpreted: Spark does not
+  * codegen lambdas, so the PQ code-assignment stages — |vectors| ×
+  * |codebook| × subspaces evaluations — pay closure dispatch, lambda
+  * variable binding and Double boxing per ELEMENT. Profiled on the inline
+  * IVF+PQ build (ProfileQuery, sf0.1) those two stages were 35+ CPU-
+  * seconds for ~3M pair evaluations of 16-float subvectors; this fused
+  * single-pass loop participates in whole-stage codegen like
+  * [[CosineSimilarity]].
+  *
+  * Numerics: elements widen to double and the (x−y)² terms accumulate
+  * left-to-right in index order — the exact fold of the HOF version and
+  * of the DuckDB oracle's `list_reduce(list_transform(list_zip(...)))`,
+  * so results stay bit-identical. Mismatched lengths fold the common
+  * prefix (all call sites zip equal-length subvectors).
+  */
+case class SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"squared_distance expects array<float|double> inputs, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[ArrayData]
+    val xb = b.asInstanceOf[ArrayData]
+    val n = math.min(xa.numElements(), xb.numElements())
+    val leftFloat = elemType(left) == FloatType
+    val rightFloat = elemType(right) == FloatType
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) xa.getFloat(i).toDouble else xa.getDouble(i)
+      val y = if (rightFloat) xb.getFloat(i).toDouble else xb.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val la = if (elemType(left) == FloatType) "(double) %s.getFloat(%s)" else "%s.getDouble(%s)"
+    val lb = if (elemType(right) == FloatType) "(double) %s.getFloat(%s)" else "%s.getDouble(%s)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${la.format(a, i)} - ${lb.format(b, i)};
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SquaredDistance {
+  /** Column-API entry point: `squared_distance(a, b)`. */
+  def squaredDist(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SquaredDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

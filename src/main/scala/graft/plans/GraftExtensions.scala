@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
     e.injectFunction((
+      new FunctionIdentifier("squared_distance"),
+      new ExpressionInfo(classOf[graft.expressions.SquaredDistance].getName, "squared_distance"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expressions.SquaredDistance(exprs(0), exprs(1))))
+    e.injectFunction((
       new FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[graft.expressions.JaccardSimilarity].getName, "jaccard_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

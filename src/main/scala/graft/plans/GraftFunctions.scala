@@ -13,6 +13,9 @@ object GraftFunctions {
       spark, "cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
     org.apache.spark.sql.graft.ColumnBridge.registerFunction(
+      spark, "squared_distance",
+      exprs => graft.expressions.SquaredDistance(exprs(0), exprs(1)))
+    org.apache.spark.sql.graft.ColumnBridge.registerFunction(
       spark, "jaccard_sim",
       exprs => graft.expressions.JaccardSimilarity(exprs(0), exprs(1)))
     org.apache.spark.sql.graft.ColumnBridge.registerFunction(

@@ -39,6 +39,37 @@ class CustomExprSpec extends AnyFunSuite {
     assert(got(2).getDouble(0) == 0.0)
   }
 
+  test("SquaredDistance: bit-identical to the HOF fold on real embeddings") {
+    import graft.expressions.SquaredDistance.squaredDist
+    val e = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    // the exact interpreted fold the expression replaced (PQ build d2)
+    def hofD2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a, b, (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }),
+        lit(0.0), (acc, v) => acc + v)
+    val both = e.crossJoin(broadcast(q)).select(
+      hofD2($"embedding", $"q_emb").as("hof"),
+      squaredDist($"embedding", $"q_emb").as("native"))
+    val mismatches = both.filter(
+      $"hof" =!= $"native" || $"hof".isNull =!= $"native".isNull).count()
+    assert(mismatches == 0)
+  }
+
+  test("SquaredDistance: nulls propagate, identical arrays -> 0.0") {
+    import graft.expressions.SquaredDistance.squaredDist
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f))),
+      (Some(Seq(3.0f, 0.0f)), Some(Seq(0.0f, 4.0f))),
+      (None, Some(Seq(1.0f, 1.0f))),
+      (Some(Seq(1.0f, 1.0f)), None)
+    ).toDF("a", "b").select(squaredDist($"a", $"b").as("d2"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(0.0), Some(25.0), None, None))
+  }
+
   test("JaccardSimilarity: bit-identical to the composed intersect formula") {
     import graft.expressions.JaccardSimilarity.jaccardSim
     val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")

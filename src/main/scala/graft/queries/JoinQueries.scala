@@ -610,6 +610,81 @@ object JoinQueries extends QueryPack {
         .limit(100)
     }),
 
+    // -- native: TPC-H q10-style returned-item revenue ---------------------
+    // The fact-to-fact-to-dim archetype with a top-k over a grouped join:
+    // both filters (returnflag on lineitem, the quarter window on orders)
+    // push to their scans BEFORE the join, so the l_orderkey shuffle moves
+    // only the ~25% returned lines of one quarter. customer is NOT
+    // broadcast-forced: it scales with SF (15 M rows at TPC-H SF100), so
+    // the plan must stay a key-shuffled join that AQE may downgrade to
+    // broadcast at small SFs — forcing broadcast here would be a plan that
+    // dies at 100 TB. Top-20 is TakeOrderedAndProject with c_custkey
+    // tiebreak. ----------------------------------------------------------
+    "tpch_q10_returns" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
+
+    // -- native: TPC-H q19-style disjunctive bracket predicates ------------
+    // Three (brand, size, quantity) brackets OR-ed together — the planner
+    // test is what survives pushdown: the disjunction references both
+    // sides, but its single-table envelopes (p_size BETWEEN 1 AND 15 on
+    // part, l_quantity BETWEEN 1 AND 30 on lineitem) are planted as
+    // explicit pre-join filters, the CNF residue Spark itself cannot
+    // extract from an OR-of-ANDs — so both scans prune before the join
+    // and the exact bracket predicate evaluates on the survivors. part is
+    // broadcast: it is the small side of this query by construction
+    // (three brands of a bounded catalog). ------------------------------
+    "tpch_q19_brackets" -> ((s, dir) => {
+      val bracket =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity").between(1, 30))
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+            col("p_size").between(1, 15))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(bracket)
+        .agg(count(lit(1)).as("n"), revenue.as("revenue"))
+    }),
+
+    // -- native: TPC-H q22-style scalar-subquery + anti-join ---------------
+    // Customers with above-average balance and NO urgent orders: the
+    // average is a 1-row aggregate broadcast into the filter (a scalar
+    // that both engines derive from the same DECIMAL-exact sum, so the
+    // threshold comparison is bit-deterministic); the "no urgent orders"
+    // test is a LEFT ANTI join against the filtered orders projection —
+    // the anti side carries only o_custkey, so at scale it is a
+    // one-column shuffle, not an orders scan into a NOT IN. -------------
+    "tpch_q22_untapped" -> ((s, dir) => {
+      val avgBal = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 0.0)
+        .agg(graft.ops.Num.davg(col("c_acctbal")).as("avg_bal"))
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      Tables.customer(s, dir)
+        .join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          graft.ops.Num.dsum(col("c_acctbal")).as("total_bal"))
+    }),
+
     // -- native: TPC-H q3-style 3-way join + top-k -------------------------
     // Filters applied BEFORE the joins so they push to the parquet scans;
     // the filtered customer dim is broadcast; orderBy+limit plans as
@@ -979,6 +1054,42 @@ object JoinQueries extends QueryPack {
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY o_totalprice DESC, o_orderkey
          |LIMIT 100""".stripMargin,
+
+    "tpch_q10_returns" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, $REV_SQL AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |GROUP BY c_custkey, c_name, c_acctbal
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+
+    "tpch_q19_brackets" ->
+      s"""SELECT count(*) AS n, $REV_SQL AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "tpch_q22_untapped" ->
+      s"""WITH avg_bal AS (
+         |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) / count(c_acctbal) AS avg_bal
+         |  FROM customer WHERE c_acctbal > 0.0
+         |)
+         |SELECT c_nationkey, count(*) AS n_cust,
+         |       ${graft.ops.Num.DSUM_SQL("c_acctbal")} AS total_bal
+         |FROM customer, avg_bal
+         |WHERE c_acctbal > avg_bal
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderpriority = '1-URGENT')
+         |GROUP BY c_nationkey""".stripMargin,
 
     "tpch_q3_shipping" ->
       s"""SELECT l_orderkey, o_orderdate, $REV_SQL AS revenue

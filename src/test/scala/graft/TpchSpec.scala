@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the r8 TPC-H-style additions: the point of
+  * each query is a specific physical shape that survives scale, so the
+  * spec pins the shape, not just the answer (the answer is already
+  * oracle-checked by the driver gate).
+  */
+class TpchSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def scans(name: String) =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+
+  private def scanOf(name: String, col: String) =
+    scans(name).find(_.schema.fieldNames.contains(col)).get
+
+  test("tpch_q10_returns plan: both filters push pre-join, top-20 is TakeOrdered") {
+    val li = scanOf("tpch_q10_returns", "l_returnflag")
+    assert(li.metadata.getOrElse("PushedFilters", "").contains("l_returnflag"),
+      "returnflag filter must reach the lineitem scan")
+    val ord = scanOf("tpch_q10_returns", "o_orderdate")
+    assert(ord.metadata.getOrElse("PushedFilters", "").contains("o_orderdate"),
+      "quarter window must reach the orders scan")
+    val plan = SparkEntry.queries("tpch_q10_returns")(spark, sf)
+      .queryExecution.sparkPlan
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "top-20 must plan as TakeOrderedAndProject, not a global sort")
+  }
+
+  test("tpch_q19_brackets plan: single-table envelopes push to BOTH scans") {
+    // The OR-of-ANDs itself is not source-translatable; the planted
+    // envelopes (quantity on lineitem, brand+size on part) must be.
+    val li = scanOf("tpch_q19_brackets", "l_quantity")
+    val liPushed = li.metadata.getOrElse("PushedFilters", "")
+    assert(liPushed.contains("l_quantity"),
+      s"quantity envelope must reach the lineitem scan, got: $liPushed")
+    val part = scanOf("tpch_q19_brackets", "p_brand")
+    val pPushed = part.metadata.getOrElse("PushedFilters", "")
+    assert(pPushed.contains("p_brand") && pPushed.contains("p_size"),
+      s"brand+size envelope must reach the part scan, got: $pPushed")
+  }
+
+  test("tpch_q19_brackets: envelopes are supersets of the bracket disjunction") {
+    // Envelope filters may only REMOVE non-qualifying rows: the query with
+    // envelopes equals the bare disjunction evaluated after the join.
+    import org.apache.spark.sql.functions._
+    import graft.model.Tables
+    val bracket =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    val bare = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .filter(bracket).count()
+    val got = SparkEntry.queries("tpch_q19_brackets")(spark, sf)
+      .collect().head.getLong(0)
+    assert(got == bare, s"envelope pre-filters changed the answer: $got vs $bare")
+  }
+
+  test("tpch_q22_untapped plan: anti-join on a one-column right side") {
+    val plan = SparkEntry.queries("tpch_q22_untapped")(spark, sf)
+      .queryExecution.sparkPlan
+    val antis = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.toString == "LeftAnti" => j
+    }
+    assert(antis.nonEmpty, "no-urgent-orders must plan as a LEFT ANTI join")
+    // the anti side must carry only the join key — at scale this is the
+    // difference between shuffling one long column and shuffling orders
+    assert(antis.head.right.output.map(_.name) == Seq("o_custkey"),
+      s"anti side must project only o_custkey, got ${antis.head.right.output}")
+  }
+}

@@ -86,10 +86,22 @@ object ScaleUpGen {
     val ev = read("events")
     val evStride = maxOf(ev, "event_id")
     val userStride = maxOf(ev, "user_id")
+    // Per-copy ~4.571 s jitter keeps copies inside the same date range
+    // without colliding timestamps. Encoding-aware (the same portability
+    // contract as Tables.normalizeTs): nanos-long ts shifts in ns;
+    // timestamp-typed ts (LTZ or NTZ) shifts through the epoch-micros
+    // domain and returns in its own type, so the written file keeps the
+    // source's physical encoding.
+    val shifted =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        col("ts") + col("copy").cast("long") * 4571000000L
+      else
+        expr("timestamp_micros(unix_micros(cast(ts as timestamp)) + copy * 4571000)")
+          .cast(ev.schema("ts").dataType)
     write(explodeCopies(ev)
       .withColumn("event_id", col("event_id") + col("copy") * evStride)
       .withColumn("user_id", col("user_id") + col("copy") * userStride)
-      .withColumn("ts", col("ts") + col("copy").cast("long") * 4571000000L),
+      .withColumn("ts", shifted),
       "events")
 
     // embeddings: rotate coordinates by copy (within-copy dot products

@@ -307,6 +307,70 @@ object VectorQueries extends QueryPack {
       update(assign(cents1))
     }),
 
+    // -- superset: distributed PCA — project every embedding onto the
+    //    dominant covariance eigenvector. The textbook big-data PCA
+    //    shape: the corpus is touched by exactly THREE distributed
+    //    passes (per-dim means; (i,j) covariance cells via a generator
+    //    fan-out with map-side partial combine — no self-join, no
+    //    shuffle of vector data; final map-only projection), while the
+    //    eigensolve runs driver-side on the d×d matrix — state bounded
+    //    by DIMENSIONALITY (64×64 here), never by corpus size, the same
+    //    sanctioned class as the BPE winner pick and the serve-path cell
+    //    list. Three fixed power-iteration rounds from e_0 are the
+    //    cross-engine contract (the oracle unrolls exactly 3 in SQL);
+    //    every float step is deterministic: means and covariance cells
+    //    are r6-quantize-then-DECIMAL sums, matvec/norm folds run in
+    //    ascending index order in both engines (driver while-loop ≡
+    //    DuckDB ordered list_reduce), and the projection is the same
+    //    ascending-j dot both engines fold element-wise. -----------------
+    "embedding_pca_project" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val d = DIMS
+      // pass 1: per-dim DECIMAL-exact means (d rows to the driver)
+      val muRows = e
+        .select(posexplode(col("embedding")).as(Seq("j", "x")))
+        .groupBy(col("j"))
+        .agg(graft.ops.Num.dsum6(graft.ops.Num.r6(col("x").cast("double"))).as("sx"),
+          count(lit(1)).as("cnt"))
+        .select(col("j"), (col("sx") / col("cnt").cast("double")).as("mu"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val muLit = array((0 until d).map(j => lit(muRows(j))): _*)
+      val cxArr = zip_with(col("embedding"), muLit, (x, m) => x.cast("double") - m)
+      // pass 2: covariance cells — generator fan-out (d² rows per vector
+      // feed a partial aggregate; only d²·partitions pre-agg rows ever
+      // shuffle), then d² rows to the driver
+      val nVec = e.count()
+      val covRows = e.select(cxArr.as("cx"))
+        .select(col("cx"), posexplode(col("cx")).as(Seq("i", "cxi")))
+        .select(col("i"), col("cxi"), posexplode(col("cx")).as(Seq("j", "cxj")))
+        .groupBy(col("i"), col("j"))
+        .agg(graft.ops.Num.dsum6(graft.ops.Num.r6(col("cxi") * col("cxj"))).as("sij"))
+        .select(col("i"), col("j"),
+          (col("sij") / lit((nVec - 1).toDouble)).as("c"))
+        .collect()
+      val cov = Array.ofDim[Double](d, d)
+      covRows.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      // driver eigensolve: 3 power-iteration rounds, ascending-index
+      // folds (the oracle's ordered list_reduce executes the same adds)
+      var v = Array.tabulate(d)(k => if (k == 0) 1.0 else 0.0)
+      for (_ <- 1 to 3) {
+        val w = Array.tabulate(d) { i =>
+          var sAcc = 0.0; var j = 0
+          while (j < d) { sAcc += cov(i)(j) * v(j); j += 1 }; sAcc
+        }
+        var n2 = 0.0; var i = 0
+        while (i < d) { n2 += w(i) * w(i); i += 1 }
+        val nrm = math.sqrt(n2)
+        v = w.map(_ / nrm)
+      }
+      val vLit = array(v.map(lit(_)).toIndexedSeq: _*)
+      // pass 3: map-only projection pc1 = <x - mu, v>
+      e.select(col("vec_id"),
+        graft.ops.Num.r6(
+          aggregate(zip_with(cxArr, vLit, (a, b) => a * b),
+            lit(0.0), (acc, t) => acc + t)).as("pc1"))
+    }),
+
     // -- superset: kNN JOIN — top-3 neighbors for EVERY vector (not a
     //    small query set), blocked by LSH bucket. The classic kNN-join
     //    primitive behind embedding-based near-dup mining and retrieval
@@ -823,6 +887,46 @@ object VectorQueries extends QueryPack {
          |  SELECT c_id, list(mean ORDER BY pos) AS c_emb FROM g1 GROUP BY c_id
          |), ${round("cents1", "a2", "g2")}
          |SELECT c_id, pos, n, mean FROM g2""".stripMargin
+    },
+
+    "embedding_pca_project" -> {
+      // One power-iteration round: w = C·v (ascending-j ordered fold per
+      // row), then normalize by the ascending-i ordered norm fold —
+      // exactly the driver while-loops, so every add runs in the same
+      // order in both engines.
+      def round(vin: String, w: String, vout: String): String =
+        s"""$w AS (
+           |  SELECT cv.i, list_reduce(list(cv.c * $vin.v ORDER BY cv.j), (a, b) -> a + b) AS w
+           |  FROM cov cv JOIN $vin ON cv.j = $vin.j GROUP BY cv.i
+           |), ${vout}n AS (
+           |  SELECT sqrt(list_reduce(list(w * w ORDER BY i), (a, b) -> a + b)) AS nrm FROM $w
+           |), $vout AS (
+           |  SELECT i AS j, w / nrm AS v FROM $w, ${vout}n
+           |)""".stripMargin
+      s"""WITH ex AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+         |         CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings
+         |), mu AS (
+         |  SELECT j, ${graft.ops.Num.DSUM6_SQL(graft.ops.Num.R6_SQL("x"))} / count(*) AS mu
+         |  FROM ex GROUP BY j
+         |), cent AS (
+         |  SELECT vec_id, j, x - mu AS cx FROM ex JOIN mu USING (j)
+         |), cov AS (
+         |  SELECT a.j AS i, b.j AS j,
+         |         ${graft.ops.Num.DSUM6_SQL(graft.ops.Num.R6_SQL("a.cx * b.cx"))}
+         |           / ((SELECT count(*) FROM embeddings) - 1) AS c
+         |  FROM cent a JOIN cent b USING (vec_id)
+         |  GROUP BY a.j, b.j
+         |), v0 AS (
+         |  SELECT j, CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END AS v
+         |  FROM (SELECT DISTINCT j FROM ex)
+         |), ${round("v0", "w1", "v1")}, ${round("v1", "w2", "v2")}, ${round("v2", "w3", "v3")}
+         |SELECT ex.vec_id,
+         |       ${graft.ops.Num.R6_SQL(
+                   "list_reduce(list((ex.x - mu.mu) * v3.v ORDER BY ex.j), (a, b) -> a + b)")} AS pc1
+         |FROM ex JOIN mu USING (j) JOIN v3 USING (j)
+         |GROUP BY ex.vec_id""".stripMargin
     },
 
     "ann_ivf_probe" ->

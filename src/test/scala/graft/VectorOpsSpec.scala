@@ -91,6 +91,53 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(fused.count() == 2 * 3)
   }
 
+  test("embedding_pca_project: matches a driver replication, Rayleigh grows, deterministic") {
+    // The synthetic embeddings are near-isotropic (flat eigenvalue
+    // spectrum), so convergence-to-PC1 is NOT a sound invariant for 3
+    // rounds. What IS guaranteed: (a) the distributed decimal pipeline
+    // computes the same 3-round iterate as a naive driver replication
+    // (different implementation, same math — tolerance covers the r6
+    // quantization steps); (b) the power-iteration Rayleigh quotient is
+    // monotone for a symmetric PSD covariance, so the variance captured
+    // by the 3-round direction is >= the starting axis variance C[0][0];
+    // (c) the engine result is bit-deterministic across invocations.
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("embedding_pca_project")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = graft.model.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val d = rows.head._2.length
+    val n = rows.length
+    val mu = Array.tabulate(d)(j => rows.map(_._2(j)).sum / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      rows.map(r => (r._2(i) - mu(i)) * (r._2(j) - mu(j))).sum / (n - 1)
+    }
+    var v = Array.tabulate(d)(k => if (k == 0) 1.0 else 0.0)
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    val ref = rows.map { case (id, x) =>
+      id -> (0 until d).map(j => (x(j) - mu(j)) * v(j)).sum
+    }.toMap
+    // (a) same 3-round projections up to quantization noise
+    val maxDiff = out.keys.map(id => math.abs(out(id) - ref(id))).max
+    assert(maxDiff < 1e-3, s"engine vs driver replication diverged: $maxDiff")
+    // (b) Rayleigh monotonicity: captured variance >= starting axis var
+    val pm = out.values.sum / n
+    val varOut = out.values.map(x => (x - pm) * (x - pm)).sum / (n - 1)
+    assert(varOut >= cov(0)(0) * 0.999,
+      s"variance along 3-round direction ${varOut} < C[0][0] ${cov(0)(0)}")
+    // (c) bit-deterministic
+    val again = SparkEntry.queries("embedding_pca_project")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == out)
+  }
+
   test("kmeans_lloyd_train: round-2 state differs from round-1 and covers the corpus") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

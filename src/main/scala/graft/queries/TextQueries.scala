@@ -29,6 +29,9 @@ object TextQueries extends QueryPack {
   /** Fixed PageRank round count — the cross-engine contract for
     * pagerank_canonical (the oracle unrolls exactly this many). */
   private val PR_ITERS = 3
+  /** k-core threshold and fixed peel-round contract (see graph_kcore). */
+  private val KCORE_K = 3
+  private val KCORE_ROUNDS = 6
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -517,6 +520,37 @@ object TextQueries extends QueryPack {
           coalesce(col("n_tri"), lit(0L)).as("n_tri"),
           ((coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
             (col("deg") * (col("deg") - 1))).as("coeff"))
+    }),
+
+    // -- k-core decomposition over the near-dup graph ----------------------
+    // The subgraph where every node keeps >= K neighbors — the standard
+    // "dense duplicate community" extractor (degree-1 chains and loosely
+    // glued satellites peel away; what survives is the clique-ish core
+    // worth human review before mass deletion). Distributed peeling:
+    // each round is one degree aggregate (map-side combine) plus two
+    // semi-joins restricting the symmetric edge list to surviving
+    // endpoints — O(E) per round, no driver state, lineage truncated per
+    // round like the CC loop. EXACTLY KCORE_ROUNDS rounds is the
+    // cross-engine contract (the oracle unrolls the same peels); peeling
+    // is idempotent at its fixpoint, so once converged extra rounds are
+    // no-ops — DedupGraphSpec asserts convergence at test SF against an
+    // exact driver-side k-core. Integer-only arithmetic: no float parity
+    // machinery needed. --------------------------------------------------
+    "graph_kcore" -> ((s, dir) => {
+      val pairs = jaccardPairsStore(s, dir).select(col("a_id"), col("b_id"))
+      var sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint()
+      for (_ <- 1 to KCORE_ROUNDS) {
+        val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= KCORE_K).select("src")
+        sym = sym
+          .join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint()
+      }
+      sym.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
     }),
 
     // -- leakage-safe split: train/valid/test at CLUSTER granularity -------
@@ -1029,6 +1063,23 @@ object TextQueries extends QueryPack {
          |       CAST(coalesce(vt.n_tri, 0) * 2 AS DOUBLE) / (d.deg * (d.deg - 1)) AS coeff
          |FROM deg d LEFT JOIN vt ON vt.doc_id = d.doc_id
          |WHERE d.deg >= 2""".stripMargin,
+
+    "graph_kcore" -> {
+      // One peel: survivors of eIn by degree, then eIn restricted to
+      // surviving endpoints — unrolled KCORE_ROUNDS times, the same
+      // fixed-round contract the Spark loop executes.
+      def peel(eIn: String, r: Int): String =
+        s"""k$r AS (SELECT src FROM $eIn GROUP BY src HAVING count(*) >= $KCORE_K),
+           |e$r AS (SELECT e.src, e.dst FROM $eIn e
+           |        JOIN k$r ka ON e.src = ka.src
+           |        JOIN k$r kb ON e.dst = kb.src)""".stripMargin
+      val peels = (1 to KCORE_ROUNDS)
+        .map(r => peel(if (r == 1) "edges" else s"e${r - 1}", r))
+        .mkString(", ")
+      s"""WITH $EDGE_CTES, $peels
+         |SELECT src AS doc_id, count(*) AS deg
+         |FROM e$KCORE_ROUNDS GROUP BY src""".stripMargin
+    },
 
     "split_leakage_safe" ->
       s"""WITH RECURSIVE $CC_CTES

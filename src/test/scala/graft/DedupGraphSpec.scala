@@ -87,4 +87,30 @@ class DedupGraphSpec extends AnyFunSuite {
       .filter(out("n_tri") =!= tri("n_tri")).count() == 0,
       "per-doc triangle participation must match the standalone query")
   }
+
+  test("graph_kcore: equals the exact converged 3-core with its degrees") {
+    val got = q("graph_kcore").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact reference: peel to convergence on the collected edge list
+    val pairs = TextQueries.jaccardPairsStore(spark, SF)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSet
+    var changed = true
+    var rounds = 0
+    while (changed) {
+      rounds += 1
+      val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next != edges
+      edges = next
+    }
+    assert(rounds <= 6,
+      s"fixed 6-round contract no longer converges at this SF: needed $rounds")
+    val ref = edges.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    assert(got == ref, "engine 3-core differs from the exact converged peel")
+    // fixpoint: every surviving node genuinely keeps >= 3 core neighbors
+    assert(got.values.forall(_ >= 3))
+  }
 }

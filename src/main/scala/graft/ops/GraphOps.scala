@@ -64,8 +64,14 @@ object GraphOps {
     val sess = edges.sparkSession
     val n = sess.sessionState.conf.numShufflePartitions
     // Materialize the (symmetric) edge list once, then size the loop from
-    // its measured count — both reuse the same checkpointed blocks.
-    val raw = edges.select(col("src"), col("dst")).localCheckpoint()
+    // its measured count — both reuse the same checkpointed blocks. The
+    // symmetric union arrives with BOTH legs' partitions (2×session),
+    // near-empty at small edge counts; the no-shuffle coalesce back to
+    // the session count halves checkpoint/count/repartition task
+    // dispatch without reducing the upstream build below the session
+    // parallelism (profiled: the 64-task pre-loop stages, not the loop,
+    // dominated dedup_cluster_cc's wall time).
+    val raw = edges.select(col("src"), col("dst")).coalesce(n).localCheckpoint()
     val edgeCount = raw.count()
     val nLoop = math.max(1L, math.min(n.toLong,
       edgeCount / LOOP_ROWS_PER_PARTITION + 1L)).toInt

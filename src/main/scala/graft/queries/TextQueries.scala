@@ -538,18 +538,32 @@ object TextQueries extends QueryPack {
     // machinery needed. --------------------------------------------------
     "graph_kcore" -> ((s, dir) => {
       val pairs = jaccardPairsStore(s, dir).select(col("a_id"), col("b_id"))
+      val n = s.sessionState.conf.numShufflePartitions
+      // Loop sizing, same contract as GraphOps.connectedComponents: the
+      // peel rounds shuffle the near-dup edge set, not the corpus, so
+      // their parallelism comes from the MEASURED edge count (capped at
+      // the session setting) — without this every one of the 6 rounds'
+      // 3 stages pays the full session task count in pure dispatch.
       var sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .coalesce(n)
         .localCheckpoint()
-      for (_ <- 1 to KCORE_ROUNDS) {
-        val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= KCORE_K).select("src")
-        sym = sym
-          .join(keep, Seq("src"), "left_semi")
-          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-          .select(col("src"), col("dst"))
-          .localCheckpoint()
-      }
+      val nLoop = math.max(1L, math.min(n.toLong,
+        sym.count() / 4000000L + 1L)).toInt
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", nLoop.toString)
+      try {
+        sym = sym.repartition(nLoop, col("src")).localCheckpoint()
+        for (_ <- 1 to KCORE_ROUNDS) {
+          val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= KCORE_K).select("src")
+          sym = sym
+            .join(keep, Seq("src"), "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst"))
+            .localCheckpoint()
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       sym.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
     }),
 

@@ -340,7 +340,11 @@ object VectorQueries extends QueryPack {
       // feed a partial aggregate; only d²·partitions pre-agg rows ever
       // shuffle), then d² rows to the driver
       val nVec = e.count()
-      val covRows = e.select(cxArr.as("cx"))
+      // Single-file-scan compensation (same as ivfPqIndex): the d² cell
+      // fan-out is the query's only heavy pass — profiled 5 s as ONE
+      // task off the one-split testdata scan, 8-way ≈ 0.8 s. A real
+      // store's own partitioning replaces this.
+      val covRows = e.repartition(8).select(cxArr.as("cx"))
         .select(col("cx"), posexplode(col("cx")).as(Seq("i", "cxi")))
         .select(col("i"), col("cxi"), posexplode(col("cx")).as(Seq("j", "cxj")))
         .groupBy(col("i"), col("j"))

@@ -523,6 +523,73 @@ object JoinQueries extends QueryPack {
             .as("df"))
     }),
 
+    // -- chi-square independence: cohort × outcome --------------------------
+    // Does outcome mix (event_type) depend on the A/B assignment? The
+    // categorical counterpart of stats_welch_ttest: one keyed count
+    // aggregate builds the contingency table, the expected counts come
+    // from broadcast row/column marginals (cells = cohorts × outcomes —
+    // bounded by category cardinality, never corpus size), and the
+    // statistic folds the per-cell (O−E)²/E terms r6-quantized through a
+    // DECIMAL sum so the cross-cell addition is order-free. df from the
+    // same cell frame via distinct counts. -------------------------------
+    "stats_chi2_independence" -> ((s, dir) => {
+      import graft.ops.Num
+      val cells = Tables.events(s, dir)
+        .groupBy((col("user_id") % 2 === 0).as("is_a"), col("event_type"))
+        .agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy("is_a").agg(sum(col("o")).as("rt"))
+      val colT = cells.groupBy("event_type").agg(sum(col("o")).as("ct"))
+      val nTot = cells.agg(sum(col("o")).as("n"))
+      cells
+        .join(broadcast(rowT), "is_a")
+        .join(broadcast(colT), "event_type")
+        .join(broadcast(nTot))
+        .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+        .withColumn("term",
+          Num.r6((col("o") - col("e")) * (col("o") - col("e")) / col("e")))
+        .agg(
+          Num.dsum6(col("term")).as("chi2"),
+          ((count_distinct(col("is_a")) - 1) *
+            (count_distinct(col("event_type")) - 1)).as("df"))
+    }),
+
+    // -- Kolmogorov–Smirnov two-sample test per metric ---------------------
+    // Distribution-level A/B readout (Welch compares means; KS catches
+    // shape changes means miss): per event_type, D = max |F_A − F_B|
+    // over the pooled support. Counts collapse per distinct value FIRST
+    // (one keyed agg with map-side combine — the shuffle carries
+    // |distinct values|, not rows), then the CDF sweep is a per-metric
+    // cumulative window. The within-metric sweep is single-reducer by
+    // nature (a CDF is a global order statistic); metrics are few and
+    // the swept frame is the distinct-value table, which is the standard
+    // scale posture for KS. All-integer cumulatives; the |F_A − F_B|
+    // terms are element-wise IEEE on exactly-representable counts, and
+    // max needs no order fixing. Nulls are excluded explicitly: the
+    // engines disagree on null sort position. -----------------------------
+    "stats_ks_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val isA = col("user_id") % 2 === 0
+      val pts = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("value"))
+        .agg(
+          sum(when(isA, 1L).otherwise(0L)).as("da"),
+          sum(when(!isA, 1L).otherwise(0L)).as("db"))
+      val cum = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = Window.partitionBy("event_type")
+      pts
+        .withColumn("ca", sum(col("da")).over(cum))
+        .withColumn("cb", sum(col("db")).over(cum))
+        .withColumn("na", sum(col("da")).over(tot))
+        .withColumn("nb", sum(col("db")).over(tot))
+        .groupBy(col("event_type"))
+        .agg(
+          max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          max(abs(col("ca").cast("double") / col("na") -
+            col("cb").cast("double") / col("nb"))).as("ks_d"))
+    }),
+
     // -- §2.10 UDAF superset: typed custom aggregate (VWAP) ----------------
     // weight = props.k + 1 (k ∈ 0..100 from the JSON payload)
     "agg_vwap_custom" -> ((s, dir) =>
@@ -990,6 +1057,44 @@ object JoinQueries extends QueryPack {
         |         ((var_a / n_a) * (var_a / n_a) / (n_a - 1) +
         |          (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS df
         |FROM s""".stripMargin,
+
+    "stats_chi2_independence" ->
+      s"""WITH cells AS (
+         |  SELECT user_id % 2 = 0 AS is_a, event_type, count(*) AS o
+         |  FROM events GROUP BY 1, 2
+         |), rt AS (SELECT is_a, sum(o) AS rt FROM cells GROUP BY is_a),
+         |ct AS (SELECT event_type, sum(o) AS ct FROM cells GROUP BY event_type),
+         |nt AS (SELECT sum(o) AS n FROM cells),
+         |terms AS (
+         |  SELECT c.is_a, c.event_type,
+         |         ${graft.ops.Num.R6_SQL(
+                     "(c.o - CAST(rt.rt AS DOUBLE) * ct.ct / nt.n) * (c.o - CAST(rt.rt AS DOUBLE) * ct.ct / nt.n) / (CAST(rt.rt AS DOUBLE) * ct.ct / nt.n)")} AS term
+         |  FROM cells c JOIN rt USING (is_a) JOIN ct USING (event_type), nt
+         |)
+         |SELECT ${graft.ops.Num.DSUM6_SQL("term")} AS chi2,
+         |       (count(DISTINCT is_a) - 1) * (count(DISTINCT event_type) - 1) AS df
+         |FROM terms""".stripMargin,
+
+    "stats_ks_test" ->
+      """WITH pts AS (
+        |  SELECT event_type, value,
+        |         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS da,
+        |         sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS db
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type, value
+        |), c AS (
+        |  SELECT event_type,
+        |         sum(da) OVER (PARTITION BY event_type ORDER BY value
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |         sum(db) OVER (PARTITION BY event_type ORDER BY value
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |         sum(da) OVER (PARTITION BY event_type) AS na,
+        |         sum(db) OVER (PARTITION BY event_type) AS nb
+        |  FROM pts
+        |)
+        |SELECT event_type,
+        |       CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |       max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)) AS ks_d
+        |FROM c GROUP BY event_type""".stripMargin,
 
     "percentile_approx_sketch" ->
       """SELECT event_type,

@@ -70,4 +70,44 @@ class FeatureSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 30L * 60 * 1000000))
   }
+
+  test("stats_chi2_independence: statistic bounds and df from the real table") {
+    val r = SparkEntry.queries("stats_chi2_independence")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val chi2 = r.getDouble(0); val df = r.getLong(1)
+    assert(chi2 >= 0.0)
+    // cohorts = 2 (user parity), outcomes = the event_type arity observed
+    val nTypes = graft.model.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_type").distinct().count()
+    assert(df == (2 - 1) * (nTypes - 1))
+  }
+
+  test("stats_ks_test: D in [0,1], and equals a driver-side CDF sweep") {
+    val out = SparkEntry.queries("stats_ks_test")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, na, nb, d) =>
+      assert(na > 0 && nb > 0); assert(d >= 0.0 && d <= 1.0)
+    }
+    // exact reference on collected rows
+    val rows = graft.model.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("value").isNotNull)
+      .select("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) % 2 == 0, r.getDouble(2)))
+    val ref = rows.groupBy(_._1).map { case (et, rs) =>
+      val na = rs.count(_._2).toDouble; val nb = rs.size - na
+      val vals = rs.map(_._3).distinct.sorted
+      var ca = 0L; var cb = 0L
+      var d = 0.0
+      vals.foreach { v =>
+        ca += rs.count(r => r._2 && r._3 == v)
+        cb += rs.count(r => !r._2 && r._3 == v)
+        d = math.max(d, math.abs(ca / na - cb / nb))
+      }
+      et -> d
+    }
+    out.foreach { case (et, _, _, d) =>
+      assert(math.abs(d - ref(et)) < 1e-12, s"$et: $d vs ${ref(et)}")
+    }
+  }
 }

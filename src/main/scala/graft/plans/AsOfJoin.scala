@@ -25,12 +25,19 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   *
   * Keys and event times are evaluated as longs (callers cast timestamps to
   * microseconds); tolerance is in the same unit.
+  *
+  * Precondition: right-side (key, ts) pairs should be unique — the merge
+  * resolves an exact-ts tie by partition arrival order, which the sort
+  * does not pin. Both registry consumers satisfy this (event streams with
+  * per-user microsecond timestamps); a caller with tied timestamps must
+  * pre-aggregate to one row per (key, ts) first.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    tolerance: Long)
+    tolerance: Long,
+    direction: AsOfDirection = AsOfBackward)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -48,6 +55,7 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
     tolerance: Long,
+    direction: AsOfDirection,
     output: Seq[Attribute])
   extends BinaryExecNode {
 
@@ -60,6 +68,7 @@ case class AsOfJoinExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val tol = tolerance
+    val fwd = direction == AsOfForward
     val lOut = left.output
     val rOut = right.output
     val outAttrs = output
@@ -101,22 +110,30 @@ case class AsOfJoinExec(
           haveKey = true
         }
         val t = lTsEval.eval(lRow).asInstanceOf[Long]
-        // ingest right rows of key k up to the current left t
+        // ingest right rows of key k up to the direction's horizon:
+        // backward looks at ts <= t, forward looks ahead to ts <= t + tol
+        val horizon = if (fwd) t + tol else t
         var ingest = true
         while (ingest && rBuf.hasNext) {
           val head = rBuf.head
           if (rKeyEval.eval(head).asInstanceOf[Long] == k) {
             val ts = rTsEval.eval(head).asInstanceOf[Long]
-            if (ts <= t) {
+            if (ts <= horizon) {
               window.addLast(new AsOfJoinExec.TsRow(ts, rBuf.next().copy()))
             } else ingest = false
           } else ingest = false
         }
-        // evict everything older than the tolerance span
-        while (!window.isEmpty && window.peekFirst.ts < t - tol)
+        // evict everything behind the direction's lower bound — left ts
+        // ascends within a key, so an evicted row can never match later
+        val lower = if (fwd) t else t - tol
+        while (!window.isEmpty && window.peekFirst.ts < lower)
           window.pollFirst()
-        // the match is the LATEST ingested row: window back = max ts <= t
-        val best = if (!window.isEmpty) window.peekLast.row else nullRight
+        // backward: LATEST ts <= t (window back). forward: EARLIEST
+        // ts in [t, t + tol] (window front, post-evict).
+        val best =
+          if (window.isEmpty) nullRight
+          else if (fwd) window.peekFirst.row
+          else window.peekLast.row
         outProj(joined(lRow, best))
       }
     }
@@ -138,10 +155,22 @@ object AsOfJoinStrategy extends Strategy {
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinPlan =>
       AsOfJoinExec(planLater(j.left), planLater(j.right),
-        j.leftKey, j.rightKey, j.leftTs, j.rightTs, j.tolerance, j.output) :: Nil
+        j.leftKey, j.rightKey, j.leftTs, j.rightTs, j.tolerance, j.direction,
+        j.output) :: Nil
     case _ => Nil
   }
 }
+
+/** Match direction of the as-of join: backward attaches the LATEST right
+  * row with ts in [t - tolerance, t] (the market-data "last known value"
+  * semantics); forward attaches the EARLIEST right row with ts in
+  * [t, t + tolerance] (the "next event after" semantics of
+  * label-attachment and reaction-time pipelines). Same single-pass
+  * bounded-window merge either way — only the horizon, eviction bound and
+  * window end picked differ. */
+sealed trait AsOfDirection
+case object AsOfBackward extends AsOfDirection
+case object AsOfForward extends AsOfDirection
 
 /** User-facing constructor: builds the logical node from two DataFrames and
   * installs the strategy on the session (idempotent). */
@@ -149,7 +178,8 @@ object AsOfJoin {
   def apply(left: DataFrame, right: DataFrame,
             leftKey: String, rightKey: String,
             leftTs: String, rightTs: String,
-            tolerance: Long): DataFrame = {
+            tolerance: Long,
+            direction: AsOfDirection = AsOfBackward): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -163,6 +193,6 @@ object AsOfJoin {
       AsOfJoinPlan(lPlan, rPlan,
         resolve(lPlan, leftKey), resolve(rPlan, rightKey),
         resolve(lPlan, leftTs), resolve(rPlan, rightTs),
-        tolerance))
+        tolerance, direction))
   }
 }

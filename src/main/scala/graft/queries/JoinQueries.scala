@@ -155,6 +155,32 @@ object JoinQueries extends QueryPack {
           col("event_id").as("asof_event"))
     }),
 
+    // -- native as-of join, FORWARD direction ------------------------------
+    // The "next event after" semantics (label attachment, reaction-time
+    // measurement): for each grid point, the EARLIEST event in
+    // [t, t + 6h]. Same one-shuffle-per-side bounded-window merge as the
+    // backward native; only the horizon, eviction bound and window end
+    // differ (plans/AsOfJoin.scala AsOfForward).
+    "asof_join_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+        .withColumn("r_us", unix_micros(col("ts")))
+      val grid = ev
+        .select(
+          col("user_id").as("g_user"),
+          (to_date(col("ts")).cast("timestamp") + expr("INTERVAL 12 HOURS")).as("g_ts"))
+        .distinct()
+        .withColumn("g_us", unix_micros(col("g_ts")))
+      graft.plans.AsOfJoin(
+        grid, ev, "g_user", "user_id", "g_us", "r_us",
+        tolerance = 6L * 3600L * 1000000L,
+        direction = graft.plans.AsOfForward)
+        .select(
+          col("g_user").as("user_id"), col("g_ts"),
+          coalesce(col("value"), lit(0.0)).as("next_value"),
+          col("event_id").as("next_event"))
+    }),
+
     // -- S3: CSV history scan with header rename + coercion + dropna -------
     // Writes a deterministic CSV (with dirty Close cells) then reads it
     // back the way the reference reads data/history/*.csv
@@ -881,6 +907,22 @@ object JoinQueries extends QueryPack {
         |  FROM grid g LEFT JOIN events e
         |    ON g.user_id = e.user_id
         |   AND e.ts >= g.g_ts - INTERVAL 6 HOUR AND e.ts <= g.g_ts
+        |) WHERE rn = 1""".stripMargin,
+
+    "asof_join_forward" ->
+      """WITH grid AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 12 HOUR AS g_ts
+        |  FROM events
+        |)
+        |SELECT user_id, g_ts, next_value, next_event FROM (
+        |  SELECT g.user_id, g.g_ts,
+        |         coalesce(e.value, 0.0) AS next_value,
+        |         e.event_id AS next_event,
+        |         row_number() OVER (PARTITION BY g.user_id, g.g_ts
+        |                            ORDER BY e.ts ASC NULLS LAST, e.event_id ASC NULLS LAST) AS rn
+        |  FROM grid g LEFT JOIN events e
+        |    ON g.user_id = e.user_id
+        |   AND e.ts >= g.g_ts AND e.ts <= g.g_ts + INTERVAL 6 HOUR
         |) WHERE rn = 1""".stripMargin,
 
     "scan_history_csv" ->

@@ -63,4 +63,47 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select($"value").collect().head
     assert(!got.isNullAt(0) && got.getDouble(0) == 5.0)
   }
+
+  test("forward: picks the earliest right row in [t, t+tol], nulls when none") {
+    import graft.plans.AsOfForward
+    val grid = Seq((1L, 1000L), (1L, 2000L), (2L, 1000L), (3L, 500L))
+      .toDF("g_user", "g_us")
+    val ev = Seq(
+      (1L, 900L, 10.0), (1L, 1001L, 12.0), (1L, 1500L, 13.0),
+      (1L, 2600L, 14.0), (2L, 100L, 20.0))
+      .toDF("user_id", "r_us", "value")
+    val got = AsOfJoin(grid, ev, "g_user", "user_id", "g_us", "r_us",
+      tolerance = 600L, direction = AsOfForward)
+      .select($"g_user", $"g_us", $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(got == Set(
+      (1L, 1000L, Some(12.0)),  // earliest >= 1000 within 600 is 1001
+      (1L, 2000L, Some(14.0)),  // 2600 == 2000+600, boundary inclusive
+      (2L, 1000L, None),        // only right row (100) is in the past
+      (3L, 500L, None)))        // key has no right rows
+  }
+
+  test("forward: native matches the composed formulation on real data") {
+    import org.apache.spark.sql.expressions.Window
+    val sf = "/root/testdata/sf0.001"
+    val native = SparkEntry.queries("asof_join_forward")(spark, sf)
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    val grid = ev.select(col("user_id").as("g_user"),
+        (to_date(col("ts")).cast("timestamp") + expr("INTERVAL 12 HOURS")).as("g_ts"))
+      .distinct()
+    val w = Window.partitionBy("g_user", "g_ts")
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
+    val composed = grid.join(ev,
+        col("g_user") === col("user_id") &&
+          col("ts") >= col("g_ts") &&
+          col("ts") <= col("g_ts") + expr("INTERVAL 6 HOURS"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("g_user").as("user_id"), col("g_ts"),
+        coalesce(col("value"), lit(0.0)).as("next_value"),
+        col("event_id").as("next_event"))
+    assert(native.count() == composed.count())
+    assert(native.except(composed).isEmpty && composed.except(native).isEmpty)
+  }
 }

@@ -79,7 +79,11 @@ object PlanAudit {
     ("active_users_rolling7", "events"),
     ("join_range_binned", "events"),
     ("join_skew_salted", "lineitem"),
-    ("join_skew_salted", "orders"))
+    ("join_skew_salted", "orders"),
+    // the marginal joins on the DERIVED cohort key infer a null guard on
+    // `user_id % 2 = 0` — modulo arithmetic, untranslatable, and user_id
+    // is never null; same class as join_skew_salted's salt guard.
+    ("stats_chi2_independence", "events"))
 
   /** Queries that legitimately read every column of a wide table:
     * row-level operators whose CONTRACT is whole rows (filter/TTL/limit

@@ -27,7 +27,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // A null ELEMENT also nulls the result (the HOF fold propagates NULL
+  // through zip_with/aggregate), so nullability must account for
+  // element-level containsNull, not just the arrays.
+  override def nullable: Boolean = left.nullable || right.nullable ||
+    SquaredDistance.elemNullable(left) || SquaredDistance.elemNullable(right)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -56,6 +60,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // null element -> null result, matching the HOF fold's propagation
+      if (xa.isNullAt(i) || xb.isNullAt(i)) return null
       val x = if (leftFloat) xa.getFloat(i).toDouble else xa.getDouble(i)
       val y = if (rightFloat) xb.getFloat(i).toDouble else xb.getDouble(i)
       dot += x * y
@@ -79,10 +85,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       val d = ctx.freshName("d")
+      // see SquaredDistance: null element -> null result, like the HOF fold
+      val nullOut =
+        if (nullable) s"${ev.isNull} = true; break;"
+        else "throw new NullPointerException(\"cosine_sim: null array element\");"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $nullOut }
          |  double $x = ${la.format(a, i)};
          |  double $y = ${lb.format(b, i)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;

@@ -29,7 +29,11 @@ case class SquaredDistance(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // A null ELEMENT also nulls the result (the HOF fold this expression
+  // replaces propagates NULL through zip_with/aggregate), so nullability
+  // must account for element-level containsNull, not just the arrays.
+  override def nullable: Boolean = left.nullable || right.nullable ||
+    SquaredDistance.elemNullable(left) || SquaredDistance.elemNullable(right)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -56,6 +60,8 @@ case class SquaredDistance(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // null element -> null result, matching the HOF fold's propagation
+      if (xa.isNullAt(i) || xb.isNullAt(i)) return null
       val x = if (leftFloat) xa.getFloat(i).toDouble else xa.getDouble(i)
       val y = if (rightFloat) xb.getFloat(i).toDouble else xb.getDouble(i)
       val d = x - y
@@ -73,10 +79,16 @@ case class SquaredDistance(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      // ev.isNull is a real variable here whenever elements can be null
+      // (nullable covers containsNull); the guard mirrors nullSafeEval.
+      val nullOut =
+        if (nullable) s"${ev.isNull} = true; break;"
+        else "throw new NullPointerException(\"squared_distance: null array element\");"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $nullOut }
          |  double $d = ${la.format(a, i)} - ${lb.format(b, i)};
          |  $acc += $d * $d;
          |}
@@ -95,4 +107,9 @@ object SquaredDistance {
   def squaredDist(a: Column, b: Column): Column =
     ColumnBridge.column(
       SquaredDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  private[expressions] def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
 }

@@ -13,8 +13,28 @@ object GraphOps {
 
   /** Loop-state rows per shuffle partition. CC state is two longs a row,
     * so 4M rows ≈ 64 MB a partition — comfortably in-memory for the
-    * per-round hash aggregation. */
-  private val LOOP_ROWS_PER_PARTITION = 4000000L
+    * per-round hash aggregation. Shared by every edge-loop consumer
+    * (connectedComponents here, graph_kcore's peel loop). */
+  private[graft] val LOOP_ROWS_PER_PARTITION = 4000000L
+
+  /** Run `body` with `spark.sql.shuffle.partitions` sized from a MEASURED
+    * edge count (capped at the session setting), restoring the session
+    * conf afterwards. Iterative edge loops shuffle the near-dup edge set,
+    * not the corpus — without this every round's stages pay the full
+    * session task count in pure dispatch on small graphs, and AQE cannot
+    * coalesce across per-round checkpoint boundaries. Safe under the
+    * engine's sequential driver contract; `body` receives the chosen
+    * partition count for explicit repartitions. */
+  private[graft] def withLoopParallelism[T](
+      spark: org.apache.spark.sql.SparkSession, edgeCount: Long)(body: Int => T): T = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val nLoop = math.max(1L, math.min(n.toLong,
+      edgeCount / LOOP_ROWS_PER_PARTITION + 1L)).toInt
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", nLoop.toString)
+    try body(nLoop)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 
   /** Min-label propagation connected components with pointer jumping.
     *
@@ -73,12 +93,8 @@ object GraphOps {
     // dominated dedup_cluster_cc's wall time).
     val raw = edges.select(col("src"), col("dst")).coalesce(n).localCheckpoint()
     val edgeCount = raw.count()
-    val nLoop = math.max(1L, math.min(n.toLong,
-      edgeCount / LOOP_ROWS_PER_PARTITION + 1L)).toInt
-    val prevShuffle = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions", nLoop.toString)
     val comp =
-      try {
+      withLoopParallelism(sess, edgeCount) { nLoop =>
         // The edge table is loop-invariant and joined on `src` every
         // round: hash-partition it on `src` ONCE before checkpointing.
         // localCheckpoint preserves outputPartitioning, so each round's
@@ -131,7 +147,7 @@ object GraphOps {
           }
         }
         state
-      } finally sess.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
     // Re-attach the untouched vertices as their own components: one join
     // against the (small) converged label table, no iteration. Left join
     // so a vertex with no edges maps to itself; AQE broadcasts the label

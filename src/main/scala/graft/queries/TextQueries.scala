@@ -548,11 +548,8 @@ object TextQueries extends QueryPack {
         .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
         .coalesce(n)
         .localCheckpoint()
-      val nLoop = math.max(1L, math.min(n.toLong,
-        sym.count() / 4000000L + 1L)).toInt
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", nLoop.toString)
-      try {
+      val edgeCount = sym.count()
+      graft.ops.GraphOps.withLoopParallelism(s, edgeCount) { nLoop =>
         sym = sym.repartition(nLoop, col("src")).localCheckpoint()
         for (_ <- 1 to KCORE_ROUNDS) {
           val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -563,7 +560,7 @@ object TextQueries extends QueryPack {
             .select(col("src"), col("dst"))
             .localCheckpoint()
         }
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       sym.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
     }),
 

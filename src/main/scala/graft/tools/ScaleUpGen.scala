@@ -96,7 +96,9 @@ object ScaleUpGen {
       if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         col("ts") + col("copy").cast("long") * 4571000000L
       else
-        expr("timestamp_micros(unix_micros(cast(ts as timestamp)) + copy * 4571000)")
+        // CAST the stride to BIGINT: `copy` is int and int*int overflows
+        // (ANSI error) at copy >= 470 — a 1000-copy 100TB-scale run hits it
+        expr("timestamp_micros(unix_micros(cast(ts as timestamp)) + copy * CAST(4571000 AS BIGINT))")
           .cast(ev.schema("ts").dataType)
     write(explodeCopies(ev)
       .withColumn("event_id", col("event_id") + col("copy") * evStride)

@@ -70,6 +70,31 @@ class CustomExprSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(Some(0.0), Some(25.0), None, None))
   }
 
+  test("null ELEMENTS null the result, matching the HOF fold (both expressions)") {
+    import graft.expressions.SquaredDistance.squaredDist
+    // element-level nulls must propagate like the HOF formulations the
+    // natives claim bit-parity with — not silently read as 0.0
+    def hofD2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a, b, (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }),
+        lit(0.0), (acc, v) => acc + v)
+    val df = Seq(
+      (Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))),
+      (Seq(Some(1.0f), Some(2.0f)), Seq(Some(1.0f), Some(2.0f)))
+    ).toDF("a", "b").select(
+      squaredDist($"a", $"b").as("nd2"), hofD2($"a", $"b").as("hd2"),
+      cosineSim($"a", $"b").as("ncos"),
+      VectorOps.cosine($"a", $"b").as("hcos"))
+    val rows = df.collect()
+    // row 0: null element -> ALL four null
+    assert((0 until 4).forall(rows(0).isNullAt), s"expected all-null: ${rows(0)}")
+    // row 1: clean -> native equals HOF bitwise
+    assert(rows(1).getDouble(0) == rows(1).getDouble(1))
+    assert(rows(1).getDouble(2) == rows(1).getDouble(3))
+  }
+
   test("JaccardSimilarity: bit-identical to the composed intersect formula") {
     import graft.expressions.JaccardSimilarity.jaccardSim
     val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")

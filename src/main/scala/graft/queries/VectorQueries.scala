@@ -91,6 +91,44 @@ object VectorQueries extends QueryPack {
        |  FROM norms a, norms b WHERE a.vec_id < b.vec_id
        |)""".stripMargin
 
+  /** Oracle twin of the PCA corpus passes: exploded elements, decimal-
+    * exact per-dim means, centered values, covariance cells, and the
+    * e_0 start vector — shared by both PCA oracles. */
+  private lazy val PCA_BASE_CTES: String =
+    s"""ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings
+       |), mu AS (
+       |  SELECT j, ${graft.ops.Num.DSUM6_SQL(graft.ops.Num.R6_SQL("x"))} / count(*) AS mu
+       |  FROM ex GROUP BY j
+       |), cent AS (
+       |  SELECT vec_id, j, x - mu AS cx FROM ex JOIN mu USING (j)
+       |), cov AS (
+       |  SELECT a.j AS i, b.j AS j,
+       |         ${graft.ops.Num.DSUM6_SQL(graft.ops.Num.R6_SQL("a.cx * b.cx"))}
+       |           / ((SELECT count(*) FROM embeddings) - 1) AS c
+       |  FROM cent a JOIN cent b USING (vec_id)
+       |  GROUP BY a.j, b.j
+       |), v0 AS (
+       |  SELECT j, CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END AS v
+       |  FROM (SELECT DISTINCT j FROM ex)
+       |)""".stripMargin
+
+  /** One oracle power-iteration round on matrix table `covT`: w = M·v
+    * (ascending-j ordered fold per row), then normalize by the
+    * ascending-i ordered norm fold — exactly the driver while-loops, so
+    * every add runs in the same order in both engines. */
+  private def pcaRound(covT: String, vin: String, w: String, vout: String): String =
+    s"""$w AS (
+       |  SELECT cv.i, list_reduce(list(cv.c * $vin.v ORDER BY cv.j), (a, b) -> a + b) AS w
+       |  FROM $covT cv JOIN $vin ON cv.j = $vin.j GROUP BY cv.i
+       |), ${vout}n AS (
+       |  SELECT sqrt(list_reduce(list(w * w ORDER BY i), (a, b) -> a + b)) AS nrm FROM $w
+       |), $vout AS (
+       |  SELECT i AS j, w / nrm AS v FROM $w, ${vout}n
+       |)""".stripMargin
+
   /** DuckDB list literal for plane p — identical integers to
     * [[VectorOps.planeWeight]]. */
   private def planeSql(p: Int): String =
@@ -324,55 +362,42 @@ object VectorQueries extends QueryPack {
     //    DuckDB ordered list_reduce), and the projection is the same
     //    ascending-j dot both engines fold element-wise. -----------------
     "embedding_pca_project" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val d = DIMS
-      // pass 1: per-dim DECIMAL-exact means (d rows to the driver)
-      val muRows = e
-        .select(posexplode(col("embedding")).as(Seq("j", "x")))
-        .groupBy(col("j"))
-        .agg(graft.ops.Num.dsum6(graft.ops.Num.r6(col("x").cast("double"))).as("sx"),
-          count(lit(1)).as("cnt"))
-        .select(col("j"), (col("sx") / col("cnt").cast("double")).as("mu"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      val muLit = array((0 until d).map(j => lit(muRows(j))): _*)
-      val cxArr = zip_with(col("embedding"), muLit, (x, m) => x.cast("double") - m)
-      // pass 2: covariance cells — generator fan-out (d² rows per vector
-      // feed a partial aggregate; only d²·partitions pre-agg rows ever
-      // shuffle), then d² rows to the driver
-      val nVec = e.count()
-      // Single-file-scan compensation (same as ivfPqIndex): the d² cell
-      // fan-out is the query's only heavy pass — profiled 5 s as ONE
-      // task off the one-split testdata scan, 8-way ≈ 0.8 s. A real
-      // store's own partitioning replaces this.
-      val covRows = e.repartition(8).select(cxArr.as("cx"))
-        .select(col("cx"), posexplode(col("cx")).as(Seq("i", "cxi")))
-        .select(col("i"), col("cxi"), posexplode(col("cx")).as(Seq("j", "cxj")))
-        .groupBy(col("i"), col("j"))
-        .agg(graft.ops.Num.dsum6(graft.ops.Num.r6(col("cxi") * col("cxj"))).as("sij"))
-        .select(col("i"), col("j"),
-          (col("sij") / lit((nVec - 1).toDouble)).as("c"))
-        .collect()
-      val cov = Array.ofDim[Double](d, d)
-      covRows.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      // driver eigensolve: 3 power-iteration rounds, ascending-index
-      // folds (the oracle's ordered list_reduce executes the same adds)
-      var v = Array.tabulate(d)(k => if (k == 0) 1.0 else 0.0)
-      for (_ <- 1 to 3) {
-        val w = Array.tabulate(d) { i =>
-          var sAcc = 0.0; var j = 0
-          while (j < d) { sAcc += cov(i)(j) * v(j); j += 1 }; sAcc
-        }
-        var n2 = 0.0; var i = 0
-        while (i < d) { n2 += w(i) * w(i); i += 1 }
-        val nrm = math.sqrt(n2)
-        v = w.map(_ / nrm)
-      }
+      val (cxArr, v, _) = pcaFirstComponent(s, dir)
       val vLit = array(v.map(lit(_)).toIndexedSeq: _*)
       // pass 3: map-only projection pc1 = <x - mu, v>
-      e.select(col("vec_id"),
-        graft.ops.Num.r6(
-          aggregate(zip_with(cxArr, vLit, (a, b) => a * b),
-            lit(0.0), (acc, t) => acc + t)).as("pc1"))
+      emb(s, dir).select(col("vec_id"),
+        graft.ops.Num.r6(pcaDot(cxArr, vLit)).as("pc1"))
+    }),
+
+    // -- superset: 2-component PCA via deflation ---------------------------
+    //    The corpus-map projection (pc1, pc2): after the first eigensolve,
+    //    deflate C2 = C − λ·v·vᵀ with λ = vᵀCv (the Rayleigh quotient of
+    //    the 3-round iterate — both computed driver-side in the same
+    //    ascending-index folds the oracle unrolls) and run 3 more power
+    //    rounds from e_1. The corpus passes are IDENTICAL to
+    //    embedding_pca_project (means + covariance cells); the extra work
+    //    is all on the d×d driver matrix, and the final pass projects
+    //    both components in one map. --------------------------------------
+    "embedding_pca_2d" -> ((s, dir) => {
+      val (cxArr, v, cov) = pcaFirstComponent(s, dir)
+      val d = DIMS
+      // λ = vᵀ C v, folded i-ascending over w4 = C·v
+      val w4 = Array.tabulate(d) { i =>
+        var sAcc = 0.0; var j = 0
+        while (j < d) { sAcc += cov(i)(j) * v(j); j += 1 }; sAcc
+      }
+      var lam = 0.0
+      var li = 0
+      while (li < d) { lam += v(li) * w4(li); li += 1 }
+      // deflation: C2 = C − λ v vᵀ (element-wise, same expression order
+      // as the oracle's `c - lam * v_i * v_j`)
+      val cov2 = Array.tabulate(d, d)((i, j) => cov(i)(j) - lam * v(i) * v(j))
+      val u = powerRounds(cov2, startIdx = 1)
+      val vLit = array(v.map(lit(_)).toIndexedSeq: _*)
+      val uLit = array(u.map(lit(_)).toIndexedSeq: _*)
+      emb(s, dir).select(col("vec_id"),
+        graft.ops.Num.r6(pcaDot(cxArr, vLit)).as("pc1"),
+        graft.ops.Num.r6(pcaDot(cxArr, uLit)).as("pc2"))
     }),
 
     // -- superset: kNN JOIN — top-3 neighbors for EVERY vector (not a
@@ -557,6 +582,70 @@ object VectorQueries extends QueryPack {
       // so directory pruning is preserved either way.
       else raw.filter(col("c_id").isInCollection(cells))
     pruned.withColumn("c_id", col("c_id").cast("long"))
+  }
+
+  // ---- PCA machinery, shared by embedding_pca_project / embedding_pca_2d
+
+  /** 3 power-iteration rounds on a d×d matrix from the e_startIdx axis,
+    * every fold in ascending index order — the exact adds the oracle's
+    * ordered list_reduce CTE rounds execute. */
+  private def powerRounds(m: Array[Array[Double]], startIdx: Int): Array[Double] = {
+    val d = m.length
+    var v = Array.tabulate(d)(k => if (k == startIdx) 1.0 else 0.0)
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(d) { i =>
+        var sAcc = 0.0; var j = 0
+        while (j < d) { sAcc += m(i)(j) * v(j); j += 1 }; sAcc
+      }
+      var n2 = 0.0; var i = 0
+      while (i < d) { n2 += w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(n2)
+      v = w.map(_ / nrm)
+    }
+    v
+  }
+
+  /** Ascending-j dot of the centered-embedding array against a literal
+    * component vector (init 0.0, left fold — the oracle's list_reduce). */
+  private def pcaDot(cxArr: org.apache.spark.sql.Column,
+                     vLit: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(cxArr, vLit, (a, b) => a * b),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** The two corpus passes + first eigensolve shared by both PCA queries:
+    * per-dim DECIMAL-exact means (d rows to the driver), covariance cells
+    * via generator fan-out with map-side combine (d² rows to the driver —
+    * state bounded by dimensionality, never corpus), and 3 power rounds
+    * from e_0. Returns (centered-array column, v1, covariance matrix). */
+  private def pcaFirstComponent(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.Column, Array[Double], Array[Array[Double]]) = {
+    val e = emb(s, dir)
+    val d = DIMS
+    val muRows = e
+      .select(posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy(col("j"))
+      .agg(graft.ops.Num.dsum6(graft.ops.Num.r6(col("x").cast("double"))).as("sx"),
+        count(lit(1)).as("cnt"))
+      .select(col("j"), (col("sx") / col("cnt").cast("double")).as("mu"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val muLit = array((0 until d).map(j => lit(muRows(j))): _*)
+    val cxArr = zip_with(col("embedding"), muLit, (x, m) => x.cast("double") - m)
+    val nVec = e.count()
+    // Single-file-scan compensation (same as ivfPqIndex): the d² cell
+    // fan-out is the query's only heavy pass — profiled 5 s as ONE task
+    // off the one-split testdata scan, 8-way ≈ 0.8 s. A real store's own
+    // partitioning replaces this.
+    val covRows = e.repartition(8).select(cxArr.as("cx"))
+      .select(col("cx"), posexplode(col("cx")).as(Seq("i", "cxi")))
+      .select(col("i"), col("cxi"), posexplode(col("cx")).as(Seq("j", "cxj")))
+      .groupBy(col("i"), col("j"))
+      .agg(graft.ops.Num.dsum6(graft.ops.Num.r6(col("cxi") * col("cxj"))).as("sij"))
+      .select(col("i"), col("j"),
+        (col("sij") / lit((nVec - 1).toDouble)).as("c"))
+      .collect()
+    val cov = Array.ofDim[Double](d, d)
+    covRows.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    (cxArr, powerRounds(cov, startIdx = 0), cov)
   }
 
   // ---- IVF+PQ machinery, shared by the inline serve (ann_ivf_pq_search,
@@ -894,42 +983,40 @@ object VectorQueries extends QueryPack {
     },
 
     "embedding_pca_project" -> {
-      // One power-iteration round: w = C·v (ascending-j ordered fold per
-      // row), then normalize by the ascending-i ordered norm fold —
-      // exactly the driver while-loops, so every add runs in the same
-      // order in both engines.
-      def round(vin: String, w: String, vout: String): String =
-        s"""$w AS (
-           |  SELECT cv.i, list_reduce(list(cv.c * $vin.v ORDER BY cv.j), (a, b) -> a + b) AS w
-           |  FROM cov cv JOIN $vin ON cv.j = $vin.j GROUP BY cv.i
-           |), ${vout}n AS (
-           |  SELECT sqrt(list_reduce(list(w * w ORDER BY i), (a, b) -> a + b)) AS nrm FROM $w
-           |), $vout AS (
-           |  SELECT i AS j, w / nrm AS v FROM $w, ${vout}n
-           |)""".stripMargin
-      s"""WITH ex AS (
-         |  SELECT vec_id, generate_subscripts(embedding, 1) AS j,
-         |         CAST(unnest(embedding) AS DOUBLE) AS x
-         |  FROM embeddings
-         |), mu AS (
-         |  SELECT j, ${graft.ops.Num.DSUM6_SQL(graft.ops.Num.R6_SQL("x"))} / count(*) AS mu
-         |  FROM ex GROUP BY j
-         |), cent AS (
-         |  SELECT vec_id, j, x - mu AS cx FROM ex JOIN mu USING (j)
-         |), cov AS (
-         |  SELECT a.j AS i, b.j AS j,
-         |         ${graft.ops.Num.DSUM6_SQL(graft.ops.Num.R6_SQL("a.cx * b.cx"))}
-         |           / ((SELECT count(*) FROM embeddings) - 1) AS c
-         |  FROM cent a JOIN cent b USING (vec_id)
-         |  GROUP BY a.j, b.j
-         |), v0 AS (
-         |  SELECT j, CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END AS v
-         |  FROM (SELECT DISTINCT j FROM ex)
-         |), ${round("v0", "w1", "v1")}, ${round("v1", "w2", "v2")}, ${round("v2", "w3", "v3")}
+      s"""WITH $PCA_BASE_CTES,
+         |${pcaRound("cov", "v0", "w1", "v1")}, ${pcaRound("cov", "v1", "w2", "v2")}, ${pcaRound("cov", "v2", "w3", "v3")}
          |SELECT ex.vec_id,
          |       ${graft.ops.Num.R6_SQL(
                    "list_reduce(list((ex.x - mu.mu) * v3.v ORDER BY ex.j), (a, b) -> a + b)")} AS pc1
          |FROM ex JOIN mu USING (j) JOIN v3 USING (j)
+         |GROUP BY ex.vec_id""".stripMargin
+    },
+
+    "embedding_pca_2d" -> {
+      // deflation chain after the pc1 rounds: λ = v3ᵀ·(C·v3) (both folds
+      // index-ascending, matching the driver while-loops), C2 = C − λvvᵀ,
+      // then 3 more rounds from e_1 and a dual projection.
+      s"""WITH $PCA_BASE_CTES,
+         |${pcaRound("cov", "v0", "w1", "v1")}, ${pcaRound("cov", "v1", "w2", "v2")}, ${pcaRound("cov", "v2", "w3", "v3")},
+         |w4 AS (
+         |  SELECT cv.i, list_reduce(list(cv.c * v3.v ORDER BY cv.j), (a, b) -> a + b) AS w
+         |  FROM cov cv JOIN v3 ON cv.j = v3.j GROUP BY cv.i
+         |), lam AS (
+         |  SELECT list_reduce(list(v3.v * w4.w ORDER BY v3.j), (a, b) -> a + b) AS l
+         |  FROM v3 JOIN w4 ON v3.j = w4.i
+         |), cov2 AS (
+         |  SELECT cv.i, cv.j, cv.c - lam.l * a.v * b.v AS c
+         |  FROM cov cv JOIN v3 a ON cv.i = a.j JOIN v3 b ON cv.j = b.j, lam
+         |), u0 AS (
+         |  SELECT j, CASE WHEN j = 2 THEN 1.0 ELSE 0.0 END AS v
+         |  FROM (SELECT DISTINCT j FROM ex)
+         |), ${pcaRound("cov2", "u0", "x1", "u1")}, ${pcaRound("cov2", "u1", "x2", "u2")}, ${pcaRound("cov2", "u2", "x3", "u3")}
+         |SELECT ex.vec_id,
+         |       ${graft.ops.Num.R6_SQL(
+                   "list_reduce(list((ex.x - mu.mu) * v3.v ORDER BY ex.j), (a, b) -> a + b)")} AS pc1,
+         |       ${graft.ops.Num.R6_SQL(
+                   "list_reduce(list((ex.x - mu.mu) * u3.v ORDER BY ex.j), (a, b) -> a + b)")} AS pc2
+         |FROM ex JOIN mu USING (j) JOIN v3 USING (j) JOIN u3 USING (j)
          |GROUP BY ex.vec_id""".stripMargin
     },
 

@@ -138,6 +138,29 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("embedding_pca_2d: pc1 matches the 1-component query, pc2 near-orthogonal") {
+    val sf = "/root/testdata/sf0.001"
+    val two = SparkEntry.queries("embedding_pca_2d")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val one = SparkEntry.queries("embedding_pca_project")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the shared first component must be IDENTICAL bits in both queries
+    assert(two.keySet == one.keySet)
+    assert(two.forall { case (id, (p1, _)) => p1 == one(id) })
+    // deflation: the second projection decorrelates from the first —
+    // C2 kills the v direction in its first application, so the sample
+    // correlation of (pc1, pc2) is near zero (loose bound: 3-round
+    // iterates, r6 quantization)
+    val xs = two.values.map(_._1).toSeq
+    val ys = two.values.map(_._2).toSeq
+    val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+    val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val den = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum *
+      ys.map(y => (y - my) * (y - my)).sum)
+    val corr = num / den
+    assert(math.abs(corr) < 0.1, s"pc1/pc2 projections correlated: $corr")
+  }
+
   test("kmeans_lloyd_train: round-2 state differs from round-1 and covers the corpus") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

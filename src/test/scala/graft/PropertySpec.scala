@@ -236,4 +236,37 @@ object PropertySpec extends Properties("graft") {
         got(i.toLong) == want
       }
     }
+
+  // -- native expressions vs their HOF folds on arbitrary float arrays ----
+  // The codegen'd kernels claim BIT-identity with the interpreted
+  // formulations (same fold order, same widening); random vectors of
+  // random equal lengths make that claim a property, not an anecdote.
+  private val vecPairGen = for {
+    n <- Gen.choose(1, 40)
+    a <- Gen.listOfN(n, Gen.choose(-1000, 1000).map(_ / 64.0f))
+    b <- Gen.listOfN(n, Gen.choose(-1000, 1000).map(_ / 64.0f))
+  } yield (a, b)
+
+  property("SquaredDistance ≡ HOF fold bitwise on random float vectors") =
+    forAll(Gen.listOfN(12, vecPairGen)) { pairs =>
+      import graft.expressions.SquaredDistance.squaredDist
+      def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(
+          zip_with(a, b, (x, y) => {
+            val d = x.cast("double") - y.cast("double"); d * d
+          }),
+          lit(0.0), (acc, v) => acc + v)
+      val df = pairs.toDF("a", "b").select(
+        squaredDist(col("a"), col("b")).as("n"), hof(col("a"), col("b")).as("h"))
+      df.filter(col("n") =!= col("h")).count() == 0
+    }
+
+  property("CosineSimilarity ≡ HOF fold bitwise on random float vectors") =
+    forAll(Gen.listOfN(12, vecPairGen)) { pairs =>
+      import graft.expressions.CosineSimilarity.cosineSim
+      val df = pairs.toDF("a", "b").select(
+        cosineSim(col("a"), col("b")).as("n"),
+        VectorOps.cosine(col("a"), col("b")).as("h"))
+      df.filter(col("n") =!= col("h")).count() == 0
+    }
 }

@@ -72,6 +72,10 @@ object Tables {
       case LongType => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
       case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
       case TimestampType => df
+      // date32: a day-granular producer (the TPC-H date columns are
+      // midnight-aligned anyway); midnight-UTC cast under the pinned
+      // session zone matches DuckDB's DATE -> TIMESTAMP promotion
+      case DateType => df.withColumn(c, col(c).cast(TimestampType))
       case other => throw new IllegalStateException(
         s"unsupported physical encoding for time column '$c': $other")
     }

@@ -94,6 +94,21 @@ class SchemaPortabilitySpec extends AnyFunSuite {
     assert(filtered.count() == 7)
   }
 
+  test("date32 encoding normalizes to midnight-UTC TimestampType") {
+    // a day-granular producer: same rows, ts truncated to its date —
+    // loads to canonical TimestampType at midnight UTC
+    val df = loadFixture("date32")
+    assert(df.schema("ts").dataType == TimestampType)
+    val got = df.select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // row 0 is 2024-01-10T00:00Z exactly; row 1 (07:00) truncates to the
+    // same midnight
+    assert(got(0L) == 1704844800L * 1000000L)
+    assert(got(1L) == 1704844800L * 1000000L)
+    // every value is midnight-aligned
+    assert(got.values.forall(_ % 86400000000L == 0))
+  }
+
   test("normalizeTs rejects an un-normalizable encoding loudly") {
     import spark.implicits._
     val bogus = Seq(("a", "2024-01-01")).toDF("event_id", "ts")

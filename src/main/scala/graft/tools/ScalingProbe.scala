@@ -21,31 +21,31 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingProbe {
 
-  /** The r7 warm bench's top-20 slowest queries, each with the table
-    * whose cardinality drives its cost — the probe computes the actual
-    * row ratio per driving table (embeddings historically scaled 4×
-    * where documents/events scaled 10×; one global ratio would mis-flag
-    * every vector query). */
+  /** The r8 warm-median top-cost queries, each with the table whose
+    * cardinality drives its cost — the probe computes the actual row
+    * ratio per driving table (embeddings historically scaled 4× where
+    * documents/events scaled 10×; one global ratio would mis-flag every
+    * vector query). */
   private val DefaultQueries: Seq[(String, String)] = Seq(
+    "dedup_cluster_cc" -> "documents",
+    "kmeans_lloyd_train" -> "embeddings",
     "lsh_recall_eval" -> "documents",
     "bpe_encode" -> "documents",
-    "dedup_cluster_cc" -> "documents",
-    "join_skew_aqe" -> "lineitem",
-    "pagerank_canonical" -> "documents",
+    "embedding_pca_project" -> "embeddings",
+    "embedding_pca_2d" -> "embeddings",
+    "graph_kcore" -> "documents",
     "phrase_merges_bpe" -> "documents",
-    "ann_ivf_pq_search" -> "embeddings",
-    "chunk_sliding_window" -> "documents",
-    "dedup_fuzzy_editdist" -> "documents",
+    "pagerank_canonical" -> "documents",
+    "join_skew_aqe" -> "lineitem",
     "corpus_curation_pipeline" -> "documents",
-    "dedup_minhash_lsh" -> "documents",
-    "mining_pipeline" -> "documents",
     "ann_serve_from_store" -> "embeddings",
+    "ann_ivf_pq_search" -> "embeddings",
+    "dedup_containment" -> "documents",
+    "mining_pipeline" -> "documents",
+    "dedup_fuzzy_editdist" -> "documents",
+    "dedup_minhash_lsh" -> "documents",
     "knn_join_lsh" -> "embeddings",
-    "join_bloom_runtime" -> "lineitem",
     "text_tfidf_top_terms" -> "documents",
-    "profile_columns" -> "events",
-    "dedup_shingle_jaccard" -> "documents",
-    "dedup_ngram_jaccard" -> "documents",
     "quality_lm_score" -> "documents")
 
   /** Headroom over perfectly-linear before a query is called superlinear:

@@ -78,18 +78,28 @@ object Bench {
     // appear as a legitimate ~4 ms instant-analysis-error entry (the r7
     // failure mode: 3 broken queries "ran" at 0.004 s).
     val errored = scala.collection.mutable.ArrayBuffer[String]()
+    // Optional min-of-N per query (SPARK_GRAFT_BENCH_REPS, default 1 so
+    // the driver contract is unchanged): single-shot totals on a shared
+    // box swing ±30% with contention; the per-query MINIMUM over a few
+    // reps is the stable-floor estimator the ScalingProbe already uses,
+    // and is the basis for BENCH_NOTES cross-round comparisons.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] FAIL $name: ${e.getMessage}")
-          errored += name; false }
-      val secs = (System.nanoTime() - t0) / 1e9
-      // A query's own cache build is timed above; dropping it afterwards
-      // keeps one query's working set from distorting the next (GC
-      // pressure from leaked caches skewed earlier runs by 5-8×).
-      dropCachedBlocks(spark)
-      name -> (if (ok) secs else -1.0)
+      var best = Double.MaxValue
+      var ok = true
+      for (_ <- 1 to reps if ok) {
+        val t0 = System.nanoTime()
+        ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] FAIL $name: ${e.getMessage}")
+            errored += name; false }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        // A query's own cache build is timed above; dropping it afterwards
+        // keeps one query's working set from distorting the next (GC
+        // pressure from leaked caches skewed earlier runs by 5-8×).
+        dropCachedBlocks(spark)
+      }
+      name -> (if (ok) best else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -82,8 +82,15 @@ object Bench {
     // the driver contract is unchanged): single-shot totals on a shared
     // box swing ±30% with contention; the per-query MINIMUM over a few
     // reps is the stable-floor estimator the ScalingProbe already uses,
-    // and is the basis for BENCH_NOTES cross-round comparisons.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // and is the basis for BENCH_NOTES cross-round comparisons. Parsed
+    // leniently (trim + Try): a malformed value must not crash the run
+    // AFTER the multi-minute warmup it sits behind.
+    val reps = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").trim.toInt)
+      .getOrElse {
+        System.err.println("[bench] bad SPARK_GRAFT_BENCH_REPS; using 1")
+        1
+      }.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
       var best = Double.MaxValue
       var ok = true

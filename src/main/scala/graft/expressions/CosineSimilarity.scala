@@ -60,8 +60,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
-      // null element -> null result, matching the HOF fold's propagation
-      if (xa.isNullAt(i) || xb.isNullAt(i)) return null
+      // null element -> null result, matching the HOF fold's propagation;
+      // schema-violating nulls (containsNull=false) fail loudly — see
+      // SquaredDistance.nullSafeEval
+      if (xa.isNullAt(i) || xb.isNullAt(i)) {
+        if (nullable) return null
+        throw new NullPointerException(
+          "cosine_sim: null element in containsNull=false input")
+      }
       val x = if (leftFloat) xa.getFloat(i).toDouble else xa.getDouble(i)
       val y = if (rightFloat) xb.getFloat(i).toDouble else xb.getDouble(i)
       dot += x * y
@@ -85,15 +91,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       val d = ctx.freshName("d")
-      // see SquaredDistance: null element -> null result, like the HOF fold
-      val nullOut =
-        if (nullable) s"${ev.isNull} = true; break;"
-        else "throw new NullPointerException(\"cosine_sim: null array element\");"
+      // see SquaredDistance: the guard is emitted only when the schema
+      // says elements can be null, keeping the common containsNull=false
+      // hot loop branch-free
+      val guard =
+        if (SquaredDistance.elemNullable(left) || SquaredDistance.elemNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $nullOut }
+         |  $guard
          |  double $x = ${la.format(a, i)};
          |  double $y = ${lb.format(b, i)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;

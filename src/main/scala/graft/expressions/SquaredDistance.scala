@@ -60,8 +60,15 @@ case class SquaredDistance(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      // null element -> null result, matching the HOF fold's propagation
-      if (xa.isNullAt(i) || xb.isNullAt(i)) return null
+      // null element -> null result, matching the HOF fold's propagation;
+      // a null in a declared-non-nullable array is a schema violation and
+      // fails loudly (returning null from a non-nullable expression would
+      // unbox to a silent 0.0 downstream)
+      if (xa.isNullAt(i) || xb.isNullAt(i)) {
+        if (nullable) return null
+        throw new NullPointerException(
+          "squared_distance: null element in containsNull=false input")
+      }
       val x = if (leftFloat) xa.getFloat(i).toDouble else xa.getDouble(i)
       val y = if (rightFloat) xb.getFloat(i).toDouble else xb.getDouble(i)
       val d = x - y
@@ -79,16 +86,22 @@ case class SquaredDistance(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
-      // ev.isNull is a real variable here whenever elements can be null
-      // (nullable covers containsNull); the guard mirrors nullSafeEval.
-      val nullOut =
-        if (nullable) s"${ev.isNull} = true; break;"
-        else "throw new NullPointerException(\"squared_distance: null array element\");"
+      // The per-element guard is emitted ONLY when the schema says
+      // elements can be null: this expression exists for multi-million-
+      // pair fused loops, and containsNull=false inputs (the embeddings
+      // store) keep the original zero-branch inner loop — trusting the
+      // schema like Spark's own codegen'd array readers do. ev.isNull is
+      // a real variable whenever the guard is emitted (nullable covers
+      // containsNull).
+      val guard =
+        if (SquaredDistance.elemNullable(left) || SquaredDistance.elemNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $nullOut }
+         |  $guard
          |  double $d = ${la.format(a, i)} - ${lb.format(b, i)};
          |  $acc += $d * $d;
          |}

@@ -91,15 +91,22 @@ object ScaleUpGen {
     // contract as Tables.normalizeTs): nanos-long ts shifts in ns;
     // timestamp-typed ts (LTZ or NTZ) shifts through the epoch-micros
     // domain and returns in its own type, so the written file keeps the
-    // source's physical encoding.
+    // source's physical encoding — EXCEPT date32 sources, whose day
+    // granularity cannot encode a seconds jitter (casting back would
+    // floor it away and collide every copy's ts): those upscale to
+    // timestamp[us], which the loader normalizes identically.
+    val tsType = ev.schema("ts").dataType
     val shifted =
-      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      if (tsType == org.apache.spark.sql.types.LongType)
         col("ts") + col("copy").cast("long") * 4571000000L
-      else
+      else {
         // CAST the stride to BIGINT: `copy` is int and int*int overflows
         // (ANSI error) at copy >= 470 — a 1000-copy 100TB-scale run hits it
-        expr("timestamp_micros(unix_micros(cast(ts as timestamp)) + copy * CAST(4571000 AS BIGINT))")
-          .cast(ev.schema("ts").dataType)
+        val micro = expr(
+          "timestamp_micros(unix_micros(cast(ts as timestamp)) + copy * CAST(4571000 AS BIGINT))")
+        if (tsType == org.apache.spark.sql.types.DateType) micro
+        else micro.cast(tsType)
+      }
     write(explodeCopies(ev)
       .withColumn("event_id", col("event_id") + col("copy") * evStride)
       .withColumn("user_id", col("user_id") + col("copy") * userStride)

@@ -56,13 +56,42 @@ object ScalingProbe {
   /** Below this wall time at the big SF, scheduling noise > signal. */
   private val MIN_SECS = 0.5
 
+  /** Driving-table mapping for CLI-named queries OUTSIDE the default
+    * set — kept even for queries rotated out of DefaultQueries, so an ad
+    * hoc probe still computes its linearity headroom against the right
+    * row ratio instead of silently assuming documents. */
+  private val ExtraTables: Map[String, String] = Map(
+    "profile_columns" -> "events",
+    "join_bloom_runtime" -> "lineitem",
+    "join_skew_salted" -> "lineitem",
+    "chunk_sliding_window" -> "documents",
+    "dedup_shingle_jaccard" -> "documents",
+    "stats_chi2_independence" -> "events",
+    "stats_ks_test" -> "events",
+    "asof_join_forward" -> "events",
+    "asof_join_native" -> "events",
+    "filter_time_window" -> "events",
+    "filter_ticker_eq" -> "events",
+    "series_downsample_m4" -> "events",
+    "ann_pq_codes" -> "embeddings",
+    "ann_recall_at_k" -> "embeddings",
+    "tpch_q10_returns" -> "lineitem",
+    "tpch_q19_brackets" -> "lineitem",
+    "tpch_q22_untapped" -> "customer")
+
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val big = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val tableOf = DefaultQueries.toMap ++ ExtraTables
     val queries: Seq[(String, String)] =
       if (args.length > 2)
         args(2).split(",").toSeq.map { q =>
-          q -> DefaultQueries.toMap.getOrElse(q, "documents")
+          val t = tableOf.getOrElse(q, {
+            System.err.println(
+              s"[probe] WARNING: no driving-table mapping for '$q'; assuming documents")
+            "documents"
+          })
+          q -> t
         }
       else DefaultQueries
     val reps = 2

@@ -43,15 +43,8 @@ class CustomExprSpec extends AnyFunSuite {
     import graft.expressions.SquaredDistance.squaredDist
     val e = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
-    // the exact interpreted fold the expression replaced (PQ build d2)
-    def hofD2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(
-        zip_with(a, b, (x, y) => {
-          val d = x.cast("double") - y.cast("double"); d * d
-        }),
-        lit(0.0), (acc, v) => acc + v)
     val both = e.crossJoin(broadcast(q)).select(
-      hofD2($"embedding", $"q_emb").as("hof"),
+      TestFolds.hofSquaredDist($"embedding", $"q_emb").as("hof"),
       squaredDist($"embedding", $"q_emb").as("native"))
     val mismatches = both.filter(
       $"hof" =!= $"native" || $"hof".isNull =!= $"native".isNull).count()
@@ -74,17 +67,11 @@ class CustomExprSpec extends AnyFunSuite {
     import graft.expressions.SquaredDistance.squaredDist
     // element-level nulls must propagate like the HOF formulations the
     // natives claim bit-parity with — not silently read as 0.0
-    def hofD2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(
-        zip_with(a, b, (x, y) => {
-          val d = x.cast("double") - y.cast("double"); d * d
-        }),
-        lit(0.0), (acc, v) => acc + v)
     val df = Seq(
       (Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))),
       (Seq(Some(1.0f), Some(2.0f)), Seq(Some(1.0f), Some(2.0f)))
     ).toDF("a", "b").select(
-      squaredDist($"a", $"b").as("nd2"), hofD2($"a", $"b").as("hd2"),
+      squaredDist($"a", $"b").as("nd2"), TestFolds.hofSquaredDist($"a", $"b").as("hd2"),
       cosineSim($"a", $"b").as("ncos"),
       VectorOps.cosine($"a", $"b").as("hcos"))
     val rows = df.collect()

@@ -250,14 +250,9 @@ object PropertySpec extends Properties("graft") {
   property("SquaredDistance ≡ HOF fold bitwise on random float vectors") =
     forAll(Gen.listOfN(12, vecPairGen)) { pairs =>
       import graft.expressions.SquaredDistance.squaredDist
-      def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(
-          zip_with(a, b, (x, y) => {
-            val d = x.cast("double") - y.cast("double"); d * d
-          }),
-          lit(0.0), (acc, v) => acc + v)
       val df = pairs.toDF("a", "b").select(
-        squaredDist(col("a"), col("b")).as("n"), hof(col("a"), col("b")).as("h"))
+        squaredDist(col("a"), col("b")).as("n"),
+        TestFolds.hofSquaredDist(col("a"), col("b")).as("h"))
       df.filter(col("n") =!= col("h")).count() == 0
     }
 

@@ -17,3 +17,19 @@ object SparkTest {
     s
   }
 }
+
+/** The interpreted HOF folds that DEFINE the native expressions' parity
+  * contracts — one definition shared by every spec that asserts against
+  * them, so the contract formulation cannot drift between copies. */
+object TestFolds {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** The exact zip_with/aggregate squared-L2 fold SquaredDistance replaced. */
+  def hofSquaredDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+}

@@ -61,10 +61,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       // null element -> null result, matching the HOF fold's propagation;
-      // schema-violating nulls (containsNull=false) fail loudly — see
-      // SquaredDistance.nullSafeEval
+      // schema-violating nulls (containsNull=false) fail loudly — gated on
+      // elemNullable, the same condition that emits the codegen guard, so
+      // interpreted and codegen paths agree (see SquaredDistance)
       if (xa.isNullAt(i) || xb.isNullAt(i)) {
-        if (nullable) return null
+        if (SquaredDistance.elemNullable(left) || SquaredDistance.elemNullable(right))
+          return null
         throw new NullPointerException(
           "cosine_sim: null element in containsNull=false input")
       }

@@ -63,9 +63,14 @@ case class SquaredDistance(left: Expression, right: Expression)
       // null element -> null result, matching the HOF fold's propagation;
       // a null in a declared-non-nullable array is a schema violation and
       // fails loudly (returning null from a non-nullable expression would
-      // unbox to a silent 0.0 downstream)
+      // unbox to a silent 0.0 downstream). Gated on elemNullable — the
+      // SAME condition that emits the codegen guard — not on `nullable`,
+      // which is also true when merely the array COLUMNS are nullable
+      // (containsNull=false): there the codegen path has no guard, so the
+      // interpreted path must throw, not return null, to stay consistent.
       if (xa.isNullAt(i) || xb.isNullAt(i)) {
-        if (nullable) return null
+        if (SquaredDistance.elemNullable(left) || SquaredDistance.elemNullable(right))
+          return null
         throw new NullPointerException(
           "squared_distance: null element in containsNull=false input")
       }

@@ -69,7 +69,14 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types._
     df.schema(c).dataType match {
-      case LongType => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      case LongType =>
+        // Nanos encoding: the canonical column is now DERIVED, so plain
+        // time-range predicates on it no longer reach the parquet reader.
+        // NanosRangePushdown (installed here, idempotent) augments such
+        // filters with the equivalent raw-long bounds so row-group pruning
+        // survives the normalization — see ADVICE r8 / the rule's scaladoc.
+        graft.plans.NanosRangePushdown.install(df.sparkSession)
+        df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
       case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
       case TimestampType => df
       // date32: a day-granular producer (the TPC-H date columns are

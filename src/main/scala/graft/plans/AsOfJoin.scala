@@ -26,18 +26,22 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * Keys and event times are evaluated as longs (callers cast timestamps to
   * microseconds); tolerance is in the same unit.
   *
-  * Precondition: right-side (key, ts) pairs should be unique — the merge
-  * resolves an exact-ts tie by partition arrival order, which the sort
-  * does not pin. Both registry consumers satisfy this (event streams with
-  * per-user microsecond timestamps); a caller with tied timestamps must
-  * pre-aggregate to one row per (key, ts) first.
+  * Exact-ts ties on the right are resolved by `rightTieBreak` when given:
+  * it becomes a third ascending sort key, so among equal-ts rows the
+  * backward match (window BACK) is the MAX tie-break value and the
+  * forward match (window FRONT) is the MIN — exactly `ORDER BY ts DESC,
+  * tb DESC` / `ORDER BY ts ASC, tb ASC` row_number()=1 semantics. Without
+  * it the merge resolves a tie by partition arrival order, which the
+  * (key, ts) sort does not pin — callers without a tie-break column must
+  * guarantee unique (key, ts) pairs.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
     tolerance: Long,
-    direction: AsOfDirection = AsOfBackward)
+    direction: AsOfDirection = AsOfBackward,
+    rightTieBreak: Option[Expression] = None)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -56,15 +60,20 @@ case class AsOfJoinExec(
     leftTs: Expression, rightTs: Expression,
     tolerance: Long,
     direction: AsOfDirection,
+    rightTieBreak: Option[Expression],
     output: Seq[Attribute])
   extends BinaryExecNode {
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
+  // The tie-break (when present) is a THIRD right-side sort key: the merge
+  // logic itself never inspects it — deterministic tie resolution falls out
+  // of the ordering alone (window back = max (ts, tb), front = min).
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+      rightTieBreak.map(SortOrder(_, Ascending)))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val tol = tolerance
@@ -156,7 +165,7 @@ object AsOfJoinStrategy extends Strategy {
     case j: AsOfJoinPlan =>
       AsOfJoinExec(planLater(j.left), planLater(j.right),
         j.leftKey, j.rightKey, j.leftTs, j.rightTs, j.tolerance, j.direction,
-        j.output) :: Nil
+        j.rightTieBreak, j.output) :: Nil
     case _ => Nil
   }
 }
@@ -179,7 +188,8 @@ object AsOfJoin {
             leftKey: String, rightKey: String,
             leftTs: String, rightTs: String,
             tolerance: Long,
-            direction: AsOfDirection = AsOfBackward): DataFrame = {
+            direction: AsOfDirection = AsOfBackward,
+            rightTieBreak: Option[String] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -193,6 +203,6 @@ object AsOfJoin {
       AsOfJoinPlan(lPlan, rPlan,
         resolve(lPlan, leftKey), resolve(rPlan, rightKey),
         resolve(lPlan, leftTs), resolve(rPlan, rightTs),
-        tolerance, direction))
+        tolerance, direction, rightTieBreak.map(resolve(rPlan, _))))
   }
 }

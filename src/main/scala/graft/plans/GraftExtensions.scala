@@ -37,5 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expressions.BigramL1(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    e.injectOptimizerRule(_ => NanosRangePushdown)
   }
 }

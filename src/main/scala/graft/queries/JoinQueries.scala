@@ -148,7 +148,10 @@ object JoinQueries extends QueryPack {
         .withColumn("g_us", unix_micros(col("g_ts")))
       graft.plans.AsOfJoin(
         grid, ev, "g_user", "user_id", "g_us", "r_us",
-        tolerance = 6L * 3600L * 1000000L)
+        tolerance = 6L * 3600L * 1000000L,
+        // exact-ts ties pick max event_id, matching the oracle's
+        // ORDER BY ts DESC, event_id DESC — not partition arrival order
+        rightTieBreak = Some("event_id"))
         .select(
           col("g_user").as("user_id"), col("g_ts"),
           coalesce(col("value"), lit(0.0)).as("asof_value"),
@@ -174,7 +177,10 @@ object JoinQueries extends QueryPack {
       graft.plans.AsOfJoin(
         grid, ev, "g_user", "user_id", "g_us", "r_us",
         tolerance = 6L * 3600L * 1000000L,
-        direction = graft.plans.AsOfForward)
+        direction = graft.plans.AsOfForward,
+        // exact-ts ties pick min event_id, matching the oracle's
+        // ORDER BY ts ASC, event_id ASC — data-independent determinism
+        rightTieBreak = Some("event_id"))
         .select(
           col("g_user").as("user_id"), col("g_ts"),
           coalesce(col("value"), lit(0.0)).as("next_value"),

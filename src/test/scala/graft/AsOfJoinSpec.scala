@@ -83,6 +83,27 @@ class AsOfJoinSpec extends AnyFunSuite {
       (3L, 500L, None)))        // key has no right rows
   }
 
+  test("exact-ts ties resolve by the tie-break key, not arrival order") {
+    import graft.plans.AsOfForward
+    // three right rows TIED at ts=900 for key 1; event_id is the tie-break.
+    // Shuffle arrival order on purpose (ids out of order in the input).
+    val grid = Seq((1L, 1000L)).toDF("g_user", "g_us")
+    val ev = Seq(
+      (1L, 900L, 30.0, 302L), (1L, 900L, 10.0, 100L), (1L, 900L, 20.0, 201L))
+      .toDF("user_id", "r_us", "value", "event_id")
+    // backward: ORDER BY ts DESC, event_id DESC limit 1 -> id 302
+    val back = AsOfJoin(grid, ev, "g_user", "user_id", "g_us", "r_us",
+      tolerance = 600L, rightTieBreak = Some("event_id"))
+      .select($"value", $"event_id").collect().head
+    assert((back.getDouble(0), back.getLong(1)) == ((30.0, 302L)))
+    // forward: ORDER BY ts ASC, event_id ASC limit 1 -> id 100
+    val gridF = Seq((1L, 800L)).toDF("g_user", "g_us")
+    val fwd = AsOfJoin(gridF, ev, "g_user", "user_id", "g_us", "r_us",
+      tolerance = 600L, direction = AsOfForward, rightTieBreak = Some("event_id"))
+      .select($"value", $"event_id").collect().head
+    assert((fwd.getDouble(0), fwd.getLong(1)) == ((10.0, 100L)))
+  }
+
   test("forward: native matches the composed formulation on real data") {
     import org.apache.spark.sql.expressions.Window
     val sf = "/root/testdata/sf0.001"

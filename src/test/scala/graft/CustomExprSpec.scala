@@ -82,6 +82,33 @@ class CustomExprSpec extends AnyFunSuite {
     assert(rows(1).getDouble(2) == rows(1).getDouble(3))
   }
 
+  test("interpreted path throws (not null) on containsNull=false violations") {
+    // The ADVICE-r8 divergence: with array COLUMNS nullable but elements
+    // declared containsNull=false, the codegen path emits no per-element
+    // guard (it trusts the schema) while the interpreted path used to
+    // return NULL — same input, different result. Both natives must now
+    // THROW in the interpreted path for this schema-violating input.
+    import org.apache.spark.sql.catalyst.expressions.{If, Literal}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val at = ArrayType(DoubleType, containsNull = false)
+    // a literal whose DATA violates its declared containsNull=false
+    val dirty = Literal.create(new GenericArrayData(Array[Any](1.0, null)), at)
+    val clean = Literal.create(new GenericArrayData(Array[Any](1.0, 2.0)), at)
+    // wrap in If so the ARRAY side is nullable (nullable=true) while
+    // elements stay declared non-null (elemNullable=false) — the exact
+    // combination where the old `if (nullable) return null` diverged
+    def opt(e: Literal) = If(Literal(true), e, Literal(null, at))
+    val sq = graft.expressions.SquaredDistance(opt(dirty), opt(clean))
+    assert(sq.nullable) // array-level nullability is still reported
+    intercept[NullPointerException](sq.eval(null))
+    val cs = graft.expressions.CosineSimilarity(opt(dirty), opt(clean))
+    intercept[NullPointerException](cs.eval(null))
+    // and a clean input through the same nullable wrapper still computes
+    val ok = graft.expressions.SquaredDistance(opt(clean), opt(clean))
+    assert(ok.eval(null) == 0.0)
+  }
+
   test("JaccardSimilarity: bit-identical to the composed intersect formula") {
     import graft.expressions.JaccardSimilarity.jaccardSim
     val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")

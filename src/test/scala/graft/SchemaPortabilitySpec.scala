@@ -94,6 +94,21 @@ class SchemaPortabilitySpec extends AnyFunSuite {
     assert(filtered.count() == 7)
   }
 
+  test("time-range predicate reaches the parquet scan on the nanos encoding") {
+    // The ADVICE-r8 hole: normalizeTs rewrites a nanos long to
+    // timestamp_micros(ts div 1000), a DERIVED column the parquet source
+    // cannot push — NanosRangePushdown must augment the filter with the
+    // raw-long bounds so the scan still prunes row groups. Semantics must
+    // be unchanged: same 7 rows as the ntz encoding's window.
+    val filtered = graft.ops.FilterOps.timeWindowPushdown(
+      loaded("nanos"), "2024-01-10 00:00:00", "2024-01-12 00:00:00")
+    val stats = graft.tools.PlanAudit.scanStats(filtered.queryExecution.sparkPlan)
+    assert(stats.nonEmpty, "no parquet scan found in the filtered plan")
+    assert(stats.head.nPushed >= 1,
+      s"ts BETWEEN on a nanos source did not push to the parquet reader: $stats")
+    assert(filtered.count() == 7)
+  }
+
   test("date32 encoding normalizes to midnight-UTC TimestampType") {
     // a day-granular producer: same rows, ts truncated to its date —
     // loads to canonical TimestampType at midnight UTC

@@ -32,9 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // 166 registry queries × whole-stage codegen fills the default 240 MB
+  // 193 registry queries × whole-stage codegen fills the default 240 MB
   // JIT code cache; once it overflows, the JVM flushes compiled methods
   // and the Bench/Verify tail re-JITs inside timed regions — measured as
   // broad 2-3× elevation of late-suite queries with unchanged plans.
-  "-XX:ReservedCodeCacheSize=512m",
+  // 512m was sized at 166 queries (r6); the r8 driver bench showed the
+  // same late-suite signature again at 193 queries + new native
+  // expressions, so the reserve is doubled and Bench now reports the
+  // pools' peak usage in its detail line (code_cache_peak_mb) so the
+  // headroom is measured, not guessed.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -91,7 +91,28 @@ object Bench {
         System.err.println("[bench] bad SPARK_GRAFT_BENCH_REPS; using 1")
         1
       }.max(1)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Opt-in suite-order override (default: registry order, the driver
+    // contract) — the position-vs-query A/B for the r8 late-suite
+    // inflation: if per-query times follow POSITION when the order is
+    // reversed/shuffled, the inflation is a run-scoped environment effect
+    // (JIT churn, heap aging, box contention), not any query's plan.
+    //   SPARK_GRAFT_BENCH_ORDER = registry | reverse | shuffle:<seed>
+    val orderMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "registry").trim
+    val ordered: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+      val base = SparkEntry.queries.toSeq
+      orderMode match {
+        case "registry" | "" => base
+        case "reverse" => base.reverse
+        case s if s.startsWith("shuffle") =>
+          val seed = scala.util.Try(s.stripPrefix("shuffle").stripPrefix(":").toLong)
+            .getOrElse(0L)
+          new scala.util.Random(seed).shuffle(base)
+        case other =>
+          System.err.println(s"[bench] bad SPARK_GRAFT_BENCH_ORDER '$other'; using registry")
+          base
+      }
+    }
+    val results = ordered.map { case (name, fn) =>
       var best = Double.MaxValue
       var ok = true
       for (_ <- 1 to reps if ok) {
@@ -111,11 +132,38 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    // JIT telemetry for the late-suite-inflation diagnosis: peak CodeHeap
+    // occupancy vs reserve (is the code cache full? flushing evicts warm
+    // methods and the tail re-JITs inside timed regions) and cumulative
+    // JIT compile time (a run whose tail is recompilation-bound shows it
+    // here, not in any query's plan).
+    val mx = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+    val codePeakMb = {
+      var sum = 0L
+      mx.forEach(p => if (p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+        sum += p.getPeakUsage.getUsed)
+      sum / (1024 * 1024)
+    }
+    val jitMs = java.lang.management.ManagementFactory.getCompilationMXBean
+      .getTotalCompilationTime
+    val detail = s"""{"metric":"total_detail","value":$total,"unit":"sec","warmup_sec":$warmSecs,"order":"$orderMode","reps":$reps,"code_cache_peak_mb":$codePeakMb,"jit_total_ms":$jitMs,"queries":$qs,"n_errors":${errored.size},"errors":$errs,"sf":"$sfDir","cpus":$cpus}"""
+    // Full per-query artifact on disk: the driver keeps only a ~4 KB tail
+    // of stdout, which hid 139 of 193 per-query times in r8 — the file
+    // (repo cwd, committed with the round) carries the whole registry in
+    // RUN ORDER so any round's analysis can rank and position-correlate
+    // every query without tail archaeology.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(detailPath), "UTF-8")
+      try w.println(detail) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}")
+    }
     // Per-query detail first (a ~4 KB line), then a short total-only line
     // LAST: the driver's tail capture can truncate the head of long
     // output, so the parseable headline number must be the final line.
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","warmup_sec":$warmSecs,"queries":$qs,"n_errors":${errored.size},"errors":$errs,"sf":"$sfDir","cpus":$cpus}""")
+    println(detail)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errored.size},"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }

@@ -52,36 +52,108 @@ object Tables {
     perSession.getOrElseUpdate((dir, key), build)
   }
 
+  /** Epoch unit of a raw numeric time column, decided by the magnitude of
+    * its first non-null value — the driver has already shipped three
+    * different physical encodings across rounds, so the loader assumes
+    * none. The decades 1973–2260 (and mirrored pre-1967) separate the four
+    * units by clean factor-1000 bands:
+    *
+    *   |v| ≥ 1e17 → nanoseconds   (1e17 ns ≈ 1973-03)
+    *   |v| ≥ 1e14 → microseconds  (1e14 µs ≈ 1973-03)
+    *   |v| ≥ 1e11 → milliseconds  (1e11 ms ≈ 1973-03)
+    *   else       → seconds
+    *
+    * One row is read (a single-row-group, single-column parquet touch),
+    * once per (session, dir, table) thanks to the scan cache. An empty
+    * table defaults to nanos — the longest-lived observed encoding — and
+    * produces no rows either way. Batch-only by construction: the only
+    * caller is [[load]] (the streaming twins normalize inline with casts
+    * and never pass a raw numeric column here). */
+  private def epochUnit(df: DataFrame, c: String): String = {
+    import org.apache.spark.sql.functions.col
+    val row = df.select(col(c)).filter(col(c).isNotNull).limit(1).collect()
+    if (row.isEmpty || row.head.isNullAt(0)) "ns"
+    else {
+      val v = math.abs(row.head.get(0) match {
+        case l: java.lang.Long => l.toDouble
+        case i: java.lang.Integer => i.toDouble
+        case d: java.math.BigDecimal => d.doubleValue()
+        case other => throw new IllegalStateException(
+          s"unexpected raw time value for '$c': $other")
+      })
+      if (v >= 1e17) "ns" else if (v >= 1e14) "us" else if (v >= 1e11) "ms" else "s"
+    }
+  }
+
   /** Normalize one event-time column to the canonical `TimestampType`.
     *
-    *  - `LongType`: the legacy INT64(TIMESTAMP_NANOS) encoding read as raw
-    *    longs (`nanosAsLong`); truncate ns → µs, the same truncation DuckDB
-    *    applies, keeping the oracle bit-aligned.
+    *  - `LongType`: a raw INT64 epoch at whatever unit [[epochUnit]]
+    *    detects. Nanos (the r1-r6 TIMESTAMP(NANOS) encoding read via
+    *    `nanosAsLong`) truncate ns → µs, the same truncation DuckDB
+    *    applies, keeping the oracle bit-aligned; micros/millis/seconds
+    *    convert exactly.
+    *  - `IntegerType`: epoch seconds (fits int32 until 2038) or epoch
+    *    days, split at 1e8 (~1973 in seconds; no plausible day count).
+    *  - `DecimalType`: decimal-encoded epoch at a detected unit;
+    *    converted with exact decimal multiplies and truncating casts
+    *    (sub-microsecond fractions drop, matching the ns → µs rule).
     *  - `TimestampNTZType`: `timestamp[us]` without the UTC flag. Normally
     *    already read as LTZ via `inferTimestampNTZ.enabled=false` below;
     *    this branch covers sources loaded without that conf. The cast is
     *    wall-clock-preserving under the UTC session zone.
-    *  - `TimestampType`: already canonical.
+    *  - `TimestampType`: already canonical (covers INT96 legacy and
+    *    annotated TIMESTAMP_MILLIS/MICROS parquet, which Spark reads as
+    *    LTZ directly).
+    *  - `DateType` (date32): a day-granular producer (the TPC-H date
+    *    columns are midnight-aligned anyway); midnight-UTC cast under the
+    *    pinned session zone matches DuckDB's DATE → TIMESTAMP promotion.
     *
     * Anything else is a contract violation worth failing loudly on, not a
-    * silently-miscast column. */
+    * silently-miscast column. SchemaPortabilitySpec locks every branch. */
   private[graft] def normalizeTs(df: DataFrame, c: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types._
     df.schema(c).dataType match {
       case LongType =>
-        // Nanos encoding: the canonical column is now DERIVED, so plain
-        // time-range predicates on it no longer reach the parquet reader.
+        // The canonical column becomes DERIVED, so plain time-range
+        // predicates on it no longer reach the parquet reader.
         // NanosRangePushdown (installed here, idempotent) augments such
         // filters with the equivalent raw-long bounds so row-group pruning
         // survives the normalization — see ADVICE r8 / the rule's scaladoc.
         graft.plans.NanosRangePushdown.install(df.sparkSession)
-        df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        epochUnit(df, c) match {
+          case "ns" => df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+          case "us" => df.withColumn(c, expr(s"timestamp_micros($c)"))
+          case "ms" => df.withColumn(c, expr(s"timestamp_millis($c)"))
+          case _    => df.withColumn(c, expr(s"timestamp_seconds($c)"))
+        }
+      case IntegerType =>
+        // epoch seconds (1e8 s ≈ 1973; fits int32 until 2038) vs epoch
+        // DAYS in a plain unannotated int32 (no plausible day count
+        // reaches 1e8 — that would be the year 275760)
+        val v = df.select(col(c)).filter(col(c).isNotNull).limit(1).collect()
+          .headOption.map(r => math.abs(r.getInt(0).toLong)).getOrElse(100000000L)
+        if (v >= 100000000L)
+          df.withColumn(c, expr(s"timestamp_seconds(cast($c as bigint))"))
+        else
+          df.withColumn(c,
+            expr(s"cast(date_add(date '1970-01-01', $c) as timestamp)"))
+      case _: DecimalType =>
+        epochUnit(df, c) match {
+          // decimal nanos: exact long cast (epoch ns < 2^63), then the
+          // same truncating ÷1000 as the long path
+          case "ns" => df.withColumn(c,
+            expr(s"timestamp_micros(cast($c as bigint) div 1000)"))
+          case "us" => df.withColumn(c, expr(s"timestamp_micros(cast($c as bigint))"))
+          // exact decimal multiply to micros, truncating cast to long
+          // (decimal → integral casts drop the fraction)
+          case "ms" => df.withColumn(c,
+            expr(s"timestamp_micros(cast($c * 1000 as bigint))"))
+          case _ => df.withColumn(c,
+            expr(s"timestamp_micros(cast($c * 1000000 as bigint))"))
+        }
       case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
       case TimestampType => df
-      // date32: a day-granular producer (the TPC-H date columns are
-      // midnight-aligned anyway); midnight-UTC cast under the pinned
-      // session zone matches DuckDB's DATE -> TIMESTAMP promotion
       case DateType => df.withColumn(c, col(c).cast(TimestampType))
       case other => throw new IllegalStateException(
         s"unsupported physical encoding for time column '$c': $other")

@@ -124,6 +124,89 @@ class SchemaPortabilitySpec extends AnyFunSuite {
     assert(got.values.forall(_ % 86400000000L == 0))
   }
 
+  /** Re-encode the ntz fixture's rows through `mk`, write parquet under
+    * the standard `<dir>/events.parquet` layout, load through Tables, and
+    * return event_id → unix_micros. Asserts the canonical schema. */
+  private def loadEncoded(name: String)(mk: DataFrame => DataFrame): DataFrame = {
+    val dir = Files.createTempDirectory(s"graft-portability-$name")
+    dir.toFile.deleteOnExit()
+    mk(loaded("ntz")).write.parquet(dir.resolve("events.parquet").toString)
+    val df = Tables.load(spark, dir.toString, "events")
+    assert(df.schema("ts").dataType == TimestampType,
+      s"$name: ts loaded as ${df.schema("ts").dataType}")
+    df
+  }
+
+  private def roundTrip(name: String)(mk: DataFrame => DataFrame): Map[Long, Long] =
+    loadEncoded(name)(mk)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("plausible future encodings normalize to the canonical column (r9 hardening)") {
+    // Get ahead of the next driver regeneration: every encoding a
+    // plausible producer could ship — raw int64 epochs at any unit,
+    // int32 seconds, decimal-encoded epochs, INT96 legacy and annotated
+    // TIMESTAMP_MILLIS — must load to the same canonical values as the
+    // current ntz data. The fixture rows are hour-aligned, so every
+    // granularity down to seconds is lossless.
+    val ref = loaded("ntz").select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // raw int64 epochs, unit detected by magnitude
+    assert(roundTrip("i64us")(_.withColumn("ts", unix_micros(col("ts")))) == ref)
+    assert(roundTrip("i64ms")(_.withColumn("ts", unix_millis(col("ts")))) == ref)
+    assert(roundTrip("i64s")(_.withColumn("ts", col("ts").cast("long"))) == ref)
+    // int32 epoch seconds (fits until 2038)
+    assert(roundTrip("i32s")(_.withColumn("ts", col("ts").cast("long").cast("int"))) == ref)
+    // decimal-encoded epochs: integer micros, integer nanos, fractional seconds
+    assert(roundTrip("dec20us")(
+      _.withColumn("ts", unix_micros(col("ts")).cast("decimal(20,0)"))) == ref)
+    assert(roundTrip("dec22ns")(
+      _.withColumn("ts", (unix_micros(col("ts")) * 1000L).cast("decimal(22,0)"))) == ref)
+    assert(roundTrip("dec26s")(
+      _.withColumn("ts",
+        (unix_micros(col("ts")).cast("decimal(26,6)") / lit(1000000)))) == ref)
+    // INT96 legacy + annotated TIMESTAMP_MILLIS physical layouts
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "INT96")
+      assert(roundTrip("int96")(identity) == ref)
+      spark.conf.set(key, "TIMESTAMP_MILLIS")
+      assert(roundTrip("tsmillis")(identity) == ref)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("time-range predicate reaches the parquet scan on every raw int64 unit") {
+    // same contract as the nanos test, for the micros/millis/seconds
+    // decode shapes NanosRangePushdown also inverts
+    val encoded = Seq[(String, DataFrame => DataFrame)](
+      "pd_us" -> (_.withColumn("ts", unix_micros(col("ts")))),
+      "pd_ms" -> (_.withColumn("ts", unix_millis(col("ts")))),
+      "pd_s" -> (_.withColumn("ts", col("ts").cast("long"))))
+    encoded.foreach { case (name, mk) =>
+      val filtered = graft.ops.FilterOps.timeWindowPushdown(
+        loadEncoded(name)(mk), "2024-01-10 00:00:00", "2024-01-12 00:00:00")
+      val stats = graft.tools.PlanAudit.scanStats(filtered.queryExecution.sparkPlan)
+      assert(stats.nonEmpty, s"$name: no parquet scan found")
+      assert(stats.head.nPushed >= 1,
+        s"$name: ts BETWEEN did not push to the parquet reader: $stats")
+      assert(filtered.count() == 7, name)
+    }
+  }
+
+  test("int32 epoch-days encoding normalizes to midnight-UTC TimestampType") {
+    // an unannotated day-granular producer: plain int32 day counts (the
+    // annotated variant is the date32 test below)
+    val got = roundTrip("i32days")(
+      _.withColumn("ts", datediff(col("ts"), lit("1970-01-01")).cast("int")))
+    val refDays = loaded("ntz")
+      .select(col("event_id"),
+        (unix_micros(to_date(col("ts")).cast("timestamp"))).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refDays)
+    assert(got.values.forall(_ % 86400000000L == 0))
+  }
+
   test("normalizeTs rejects an un-normalizable encoding loudly") {
     import spark.implicits._
     val bogus = Seq(("a", "2024-01-01")).toDF("event_id", "ts")

@@ -253,10 +253,18 @@ object MiningQueries extends QueryPack {
     * deterministic total orders. A 100 TB corpus shuffles (hash, doc,
     * pos) triples, each 24 bytes. */
   private def substringSpans(s: SparkSession, dir: String): DataFrame = {
-    val g = docs(s, dir).select(
-      col("doc_id"),
-      posexplode(graft.expressions.TextHash.ngramHashes(col("text"), GRAM))
-        .as(Seq("pos0", "h")))
+    // Round-robin the doc scan first: a local small-file scan is ONE input
+    // partition, so the CPU-dense per-doc gram hashing + explode would run
+    // as a single task (profiled: 0.85 s of the query's ~2 s on one core).
+    // A negligible shuffle of bare (doc_id, text) rows restores the
+    // parallelism; on a real multi-split input the scan already provides
+    // it and this is a proportionally-free no-op.
+    val g = docs(s, dir)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(
+        col("doc_id"),
+        posexplode(graft.expressions.TextHash.ngramHashes(col("text"), GRAM))
+          .as(Seq("pos0", "h")))
     val hits = g
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("cnt") >= 2)
@@ -288,9 +296,13 @@ object MiningQueries extends QueryPack {
   private def tokensAfterCut(s: SparkSession, dir: String): DataFrame = {
     val spans = substringSpans(s, dir)
       .select(col("doc_id").as("sp_doc"), col("span_start"), col("span_end"))
-    docs(s, dir).select(
-      col("doc_id"),
-      posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "tok")))
+    // Same single-input-split spread as [[substringSpans]]: the tokenize
+    // explode is the query's other CPU-dense per-doc pass.
+    docs(s, dir)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(
+        col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
       .join(spans,
         col("doc_id") === col("sp_doc") &&

@@ -46,10 +46,20 @@ object ProfileQuery {
       }
     })
 
+    // Same inter-query hygiene as Bench.dropCachedBlocks: without it each
+    // query's caches/localCheckpoints accumulate across the whole run and
+    // later reps measure heap pressure, not the query.
+    def dropCachedBlocks(): Unit = {
+      try spark.catalog.clearCache() catch { case _: Throwable => }
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      catch { case _: Throwable => }
+    }
     graft.model.Tables.events(spark, sfDir).count() // session warmup
     for (r <- 1 to reps; qname <- qnames) {
       val fn = graft.SparkEntry.queries(qname)
       stages.clear()
+      dropCachedBlocks()
       val t0 = System.nanoTime()
       val cnt = fn(spark, sfDir).count()
       val secs = (System.nanoTime() - t0) / 1e9

@@ -355,6 +355,42 @@ object MiningQueries extends QueryPack {
         "n_tokens")
         .select("doc_id", "source", "n_tokens", "cum_tokens")),
 
+    // -- temperature-resampled mixing: the OTHER standard mixture sampler
+    //    (multilingual/multi-source pretraining's "temperature" rebalance:
+    //    mixture share ∝ n_src^α instead of ∝ n_src). α = 1/2 here: each
+    //    source keeps docs at rate sqrt(n_min/n_src), so the smallest
+    //    source keeps everything and a source 100× larger is downsampled
+    //    10× — post-sample counts ∝ sqrt(n_src). Membership is a
+    //    deterministic hash threshold, EXACT-integer on both engines
+    //    (h² · n_src < P² · n_min — DECIMAL(38) in Spark, HUGEINT in
+    //    DuckDB; ~1e29 max, no float compare anywhere near the boundary),
+    //    so the admitted set is stable across runs, engines and cluster
+    //    layouts. Source size is TOKEN MASS, not doc count (the measure
+    //    temperature mixing actually balances — and the testdata's doc
+    //    counts are uniform-by-construction, which would leave the reject
+    //    path untested). Scale shape: one map-side-combined sum per source
+    //    (|sources| rows) + a scalar min, broadcast back into a MAP-ONLY
+    //    admit over the corpus — the sampler never shuffles the corpus,
+    //    vs the budget sampler above whose running prefix-sum needs one
+    //    window shuffle. keep_rate is reporting only (r6-quantized; sqrt
+    //    and divide are IEEE-exact-rounded in both engines). --------------
+    "mix_temperature_sample" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val counts = d.groupBy(col("source")).agg(sum(col("n_tokens")).as("n_src"))
+      val rates = counts.crossJoin(
+        broadcast(counts.agg(min(col("n_src")).as("n_min"))))
+      val h = TextOps.sampleKey(col("doc_id"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      val p = lit(TextOps.P)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      d.join(broadcast(rates), Seq("source"))
+        .filter(h * h * col("n_src") < p * p * col("n_min"))
+        .select(col("doc_id"), col("source"), col("n_src"),
+          graft.ops.Num.r6(sqrt(col("n_min").cast("double") /
+            col("n_src").cast("double"))).as("keep_rate"))
+    }),
+
     // -- BM25: corpus stats (N, avgdl) are ONE scalar aggregate broadcast
     //    everywhere; tf is computed only for the query terms (the filter
     //    precedes the groupBy, so the shuffle carries query-term hits,
@@ -666,6 +702,18 @@ object MiningQueries extends QueryPack {
          |               ((doc_id % 1000000007) * (2654435761 % 1000000007)) % 1000000007 AS h
          |        FROM documents)
          |) WHERE cum_tokens <= $BUDGET""".stripMargin,
+
+    "mix_temperature_sample" -> {
+      val h = TextOps.SAMPLE_KEY_SQL("d.doc_id")
+      s"""WITH counts AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_src
+         |               FROM documents GROUP BY source),
+         |mn AS (SELECT min(n_src) AS n_min FROM counts)
+         |SELECT d.doc_id, d.source, c.n_src,
+         |       ${graft.ops.Num.R6_SQL("sqrt(CAST(mn.n_min AS DOUBLE) / CAST(c.n_src AS DOUBLE))")} AS keep_rate
+         |FROM documents d JOIN counts c ON d.source = c.source, mn
+         |WHERE CAST($h AS HUGEINT) * ($h) * c.n_src
+         |    < CAST(${TextOps.P} AS HUGEINT) * ${TextOps.P} * mn.n_min""".stripMargin
+    },
 
     "bm25_score" ->
       s"""WITH $BM25_CTES

@@ -65,6 +65,7 @@ object ScalingProbe {
     "join_bloom_runtime" -> "lineitem",
     "join_skew_salted" -> "lineitem",
     "chunk_sliding_window" -> "documents",
+    "mix_temperature_sample" -> "documents",
     "dedup_shingle_jaccard" -> "documents",
     "stats_chi2_independence" -> "events",
     "stats_ks_test" -> "events",

@@ -38,6 +38,28 @@ import java.io.File
   */
 object DerivedStore {
 
+  /** Compact-write a FLAT derived table (no partition columns): one
+    * materialized execution (localCheckpoint), then a measured row count
+    * sizes the output at `rowsPerFile` rows a file. Derived tables are
+    * fixed-width and ≪ corpus, but a build that inherits the session's
+    * full shuffle parallelism writes one near-empty file per partition —
+    * and every consumer scan then pays one task launch per file, because
+    * Spark's split packing can't bin tiny files together once
+    * bytesPerCore shrinks the target split below the per-file open cost
+    * (profiled: the 32-file pair store cost pagerank_canonical 64 scan
+    * tasks per run for 396 KB of data). 4M fixed-width rows ≈ 64 MB a
+    * file — the same sizing as GraphOps.LOOP_ROWS_PER_PARTITION — so a
+    * 100 TB corpus's pair store still fans out to many files while a
+    * test-SF store compacts to one. Partitioned stores (IVF index, RAG
+    * store) keep their own partitionBy layout — directory pruning is
+    * their read-path contract. */
+  def compactWrite(df: org.apache.spark.sql.DataFrame, tmp: String,
+                   rowsPerFile: Long = 4000000L): Unit = {
+    val out = df.localCheckpoint()
+    val files = math.max(1L, (out.count() + rowsPerFile - 1) / rowsPerFile)
+    out.coalesce(files.toInt).write.parquet(tmp)
+  }
+
   /** Max mtime over the source table directory (file writes inside the
     * dir may not bump the dir's own mtime on all filesystems). */
   private def sourceMtime(sourceTable: File): Long =

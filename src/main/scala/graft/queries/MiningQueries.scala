@@ -181,7 +181,7 @@ object MiningQueries extends QueryPack {
   private[graft] def bm25Store(s: SparkSession, dir: String): DataFrame = {
     val path = graft.ops.DerivedStore.serve(
       BM25_DIR, dir, "documents.parquet", BM25_FINGERPRINT) { tmp =>
-      bm25Scores(s, dir).write.parquet(tmp)
+      graft.ops.DerivedStore.compactWrite(bm25Scores(s, dir), tmp)
     }
     s.read.parquet(path)
   }

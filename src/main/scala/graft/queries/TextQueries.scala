@@ -160,7 +160,7 @@ object TextQueries extends QueryPack {
   private[graft] def clusterLabelsStore(s: SparkSession, dir: String): DataFrame = {
     val path = graft.ops.DerivedStore.serve(
       LABELS_DIR, dir, "documents.parquet", s"$PAIRS_FINGERPRINT|cc=minlabel-v1") {
-      tmp => clusterLabels(s, dir).write.parquet(tmp)
+      tmp => graft.ops.DerivedStore.compactWrite(clusterLabels(s, dir), tmp)
     }
     s.read.parquet(path)
   }
@@ -177,7 +177,8 @@ object TextQueries extends QueryPack {
   private[graft] def jaccardPairsStore(s: SparkSession, dir: String): DataFrame = {
     val path = graft.ops.DerivedStore.serve(
       PAIRS_DIR, dir, "documents.parquet", PAIRS_FINGERPRINT) { tmp =>
-      jaccardPairs(s, dir).select(col("a_id"), col("b_id")).write.parquet(tmp)
+      graft.ops.DerivedStore.compactWrite(
+        jaccardPairs(s, dir).select(col("a_id"), col("b_id")), tmp)
     }
     s.read.parquet(path)
   }
@@ -197,7 +198,8 @@ object TextQueries extends QueryPack {
   private[graft] def minhashPairsStore(s: SparkSession, dir: String): DataFrame = {
     val path = graft.ops.DerivedStore.serve(
       MINHASH_PAIRS_DIR, dir, "documents.parquet", MINHASH_FINGERPRINT) { tmp =>
-      minhashPairs(s, dir).select(col("a_id"), col("b_id")).write.parquet(tmp)
+      graft.ops.DerivedStore.compactWrite(
+        minhashPairs(s, dir).select(col("a_id"), col("b_id")), tmp)
     }
     s.read.parquet(path)
   }

@@ -784,6 +784,72 @@ object JoinQueries extends QueryPack {
           graft.ops.Num.dsum(col("c_acctbal")).as("total_bal"))
     }),
 
+    // -- native: TPC-H q4-style EXISTS → semi-join group count -------------
+    // "Orders of one quarter with at least one late-shipped line, counted
+    // by priority" (adapted: the testdata lineitem carries no commit/
+    // receipt dates, so late = l_shipdate AFTER the order date — the same
+    // correlated-EXISTS archetype on the columns that exist). The planner
+    // shape under test: the EXISTS compiles to ONE left-semi join keyed on
+    // orderkey whose probe side carries two columns — never a count/
+    // distinct materialization of the subquery, and the quarter filter
+    // prunes the orders scan BEFORE the join. The non-equi part of the
+    // correlation (l_shipdate > o_orderdate) rides the semi-join as a
+    // residual condition on the equi key, not a range-join explosion. ----
+    "tpch_q4_priority" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))),
+
+    // -- native: TPC-H q12-style conditional aggregation over a join -------
+    // Per line status, how many lines of one ship-year belong to
+    // critical-priority orders vs the rest (adapted from q12's shipmode to
+    // the columns that exist). The archetype: a fact-fact equi-join where
+    // the aggregate pivots on a CASE over the OTHER side's attribute —
+    // both counts come out of ONE pass over the joined rows (no
+    // per-priority re-scan), the ship-year filter prunes the lineitem
+    // scan, and the join carries only (orderkey, linestatus) against
+    // (orderkey, priority). -----------------------------------------------
+    "tpch_q12_latemix" -> ((s, dir) => {
+      val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!crit, 1L).otherwise(0L)).as("low_line_count"))
+    }),
+
+    // -- native: TPC-H q13-style outer-join count distribution -------------
+    // The customers-per-order-count histogram INCLUDING the zero bucket —
+    // the archetype an inner join silently gets wrong (customers with no
+    // qualifying orders vanish instead of landing in c_count = 0). LEFT
+    // OUTER keyed on custkey, count(o_custkey) so NULL probe misses count
+    // as zero, then a second (tiny) aggregation keyed by the count value.
+    // At scale: the first agg shuffles by custkey — same key as the join,
+    // so AQE plans them in one exchange — and the histogram agg moves
+    // |distinct counts| rows. The priority exclusion stands in for q13's
+    // o_comment NOT LIKE (no comment column in the testdata). -------------
+    "tpch_q13_custdist" -> ((s, dir) =>
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
+
     // -- native: TPC-H q3-style 3-way join + top-k -------------------------
     // Filters applied BEFORE the joins so they push to the parquet scans;
     // the filtered customer dim is broadcast; orderBy+limit plans as
@@ -1243,6 +1309,39 @@ object JoinQueries extends QueryPack {
          |                  WHERE o_custkey = c_custkey
          |                    AND o_orderpriority = '1-URGENT')
          |GROUP BY c_nationkey""".stripMargin,
+
+    "tpch_q4_priority" ->
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  AND EXISTS (SELECT 1 FROM lineitem
+         |              WHERE l_orderkey = o_orderkey
+         |                AND l_shipdate > o_orderdate)
+         |GROUP BY o_orderpriority""".stripMargin,
+
+    "tpch_q12_latemix" ->
+      s"""SELECT l_linestatus,
+         |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY l_linestatus""".stripMargin,
+
+    "tpch_q13_custdist" ->
+      s"""SELECT c_count, count(*) AS custdist
+         |FROM (
+         |  SELECT c_custkey, count(o_custkey) AS c_count
+         |  FROM customer
+         |  LEFT OUTER JOIN (SELECT o_custkey FROM orders
+         |                   WHERE o_orderpriority <> '1-URGENT') o
+         |    ON c_custkey = o_custkey
+         |  GROUP BY c_custkey
+         |)
+         |GROUP BY c_count""".stripMargin,
 
     "tpch_q3_shipping" ->
       s"""SELECT l_orderkey, o_orderdate, $REV_SQL AS revenue

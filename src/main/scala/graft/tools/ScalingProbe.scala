@@ -65,7 +65,6 @@ object ScalingProbe {
     "join_bloom_runtime" -> "lineitem",
     "join_skew_salted" -> "lineitem",
     "chunk_sliding_window" -> "documents",
-    "mix_temperature_sample" -> "documents",
     "dedup_shingle_jaccard" -> "documents",
     "stats_chi2_independence" -> "events",
     "stats_ks_test" -> "events",
@@ -78,7 +77,11 @@ object ScalingProbe {
     "ann_recall_at_k" -> "embeddings",
     "tpch_q10_returns" -> "lineitem",
     "tpch_q19_brackets" -> "lineitem",
-    "tpch_q22_untapped" -> "customer")
+    "tpch_q22_untapped" -> "customer",
+    "tpch_q4_priority" -> "lineitem",
+    "tpch_q12_latemix" -> "lineitem",
+    "tpch_q13_custdist" -> "orders",
+    "mix_temperature_sample" -> "documents")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

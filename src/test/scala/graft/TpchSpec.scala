@@ -66,6 +66,40 @@ class TpchSpec extends AnyFunSuite {
     assert(got == bare, s"envelope pre-filters changed the answer: $got vs $bare")
   }
 
+  test("tpch_q4_priority plan: EXISTS compiles to one semi-join, quarter filter pushes") {
+    val plan = SparkEntry.queries("tpch_q4_priority")(spark, sf)
+      .queryExecution.sparkPlan
+    val semis = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.toString == "LeftSemi" => j
+    }
+    assert(semis.size == 1, s"EXISTS must plan as exactly one LeftSemi join, got ${semis.size}")
+    // the probe side carries only the correlation columns, never the fact
+    assert(semis.head.right.output.map(_.name).toSet == Set("l_orderkey", "l_shipdate"),
+      s"semi side must project only (l_orderkey, l_shipdate), got ${semis.head.right.output}")
+    val ord = scanOf("tpch_q4_priority", "o_orderdate")
+    assert(ord.metadata.getOrElse("PushedFilters", "").contains("o_orderdate"),
+      "quarter window must reach the orders scan")
+  }
+
+  test("tpch_q13_custdist: zero-order customers land in the c_count = 0 bucket") {
+    import org.apache.spark.sql.functions._
+    import graft.model.Tables
+    val out = SparkEntry.queries("tpch_q13_custdist")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // invariant: the histogram must cover every customer exactly once
+    val nCust = Tables.customer(spark, sf).count()
+    assert(out.values.sum == nCust, s"histogram covers $nCust customers")
+    // an inner join would drop the zero bucket; assert it exists whenever
+    // some customer has no non-urgent order (true at every testdata SF)
+    val withOrders = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey")).distinct().count()
+    if (withOrders < nCust)
+      assert(out.getOrElse(0L, 0L) == nCust - withOrders,
+        "customers with no qualifying orders must appear at c_count = 0")
+  }
+
   test("tpch_q22_untapped plan: anti-join on a one-column right side") {
     val plan = SparkEntry.queries("tpch_q22_untapped")(spark, sf)
       .queryExecution.sparkPlan

@@ -88,4 +88,26 @@ class DerivedStoreSpec extends AnyFunSuite {
     assert(n(0) == 1)
     assert(new File(p, "_SUCCESS").exists())
   }
+
+  test("compactWrite: small table lands in one file, sizing follows the row count") {
+    val spark = SparkTest.session
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_compact_spec").toString
+    // a few thousand rows is far under one 4M-row file: exactly 1 part
+    DerivedStore.compactWrite(
+      (1L to 5000L).toDF("id"), s"$out/small")
+    val smallParts = new File(s"$out/small").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(smallParts == 1,
+      s"5000 rows must compact to one file, got $smallParts — every extra " +
+        "file costs each consumer scan a task launch")
+    // rowsPerFile = 100 over 250 rows → ceil = 3 files
+    DerivedStore.compactWrite(
+      (1L to 250L).toDF("id"), s"$out/three", rowsPerFile = 100L)
+    val threeParts = new File(s"$out/three").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(threeParts == 3, s"250 rows at 100/file must write 3 files, got $threeParts")
+    // round trip: compaction must not lose or duplicate rows
+    assert(spark.read.parquet(s"$out/small").count() == 5000L)
+  }
 }

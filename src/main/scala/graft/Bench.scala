@@ -1,21 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** Drop every cached/persisted block between queries: `clearCache`
-    * covers `.cache()`d plans, but `localCheckpoint` materializations
-    * (dedup_cluster_cc, semantic_dedup_ivf, join_bloom_runtime, …) are
-    * plain persisted RDDs that `clearCache` does NOT release — left
-    * alone they accumulate across the whole run and the resulting heap
-    * pressure bleeds into every later query's time. */
-  private def dropCachedBlocks(spark: SparkSession): Unit = {
-    try spark.catalog.clearCache() catch { case _: Throwable => }
-    // blocking = true: the release runs here, in the UNtimed gap, instead
-    // of asynchronously during the next query's timed region — async
-    // removals were one suspect for r5's phantom per-query regressions.
-    try spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
-    catch { case _: Throwable => }
-  }
+  /** Inter-query cache hygiene — one shared implementation
+    * (SessionOps.dropCachedBlocks) so Bench, ProfileQuery and
+    * ScalingProbe always measure under the same cache regime. */
+  private def dropCachedBlocks(spark: SparkSession): Unit =
+    graft.ops.SessionOps.dropCachedBlocks(spark)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,19 +87,25 @@ object Bench {
     // reversed/shuffled, the inflation is a run-scoped environment effect
     // (JIT churn, heap aging, box contention), not any query's plan.
     //   SPARK_GRAFT_BENCH_ORDER = registry | reverse | shuffle:<seed>
-    val orderMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "registry").trim
-    val ordered: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+    val orderEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "registry").trim
+    // Strict parse: only the exact forms are accepted; anything else —
+    // 'shuffled', 'shuffle-42', a typo'd seed — falls back LOUDLY to
+    // registry order, and the JSON 'order' field reports the EFFECTIVE
+    // order, never the invalid input (an A/B run against a silently
+    // different permutation would corrupt the position-vs-query
+    // diagnosis this feature exists for).
+    val ShuffleSeed = """shuffle:(-?\d+)""".r
+    val (orderMode, ordered): (String, Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) = {
       val base = SparkEntry.queries.toSeq
-      orderMode match {
-        case "registry" | "" => base
-        case "reverse" => base.reverse
-        case s if s.startsWith("shuffle") =>
-          val seed = scala.util.Try(s.stripPrefix("shuffle").stripPrefix(":").toLong)
-            .getOrElse(0L)
-          new scala.util.Random(seed).shuffle(base)
+      orderEnv match {
+        case "registry" | "" => ("registry", base)
+        case "reverse" => ("reverse", base.reverse)
+        case "shuffle" => ("shuffle:0", new scala.util.Random(0L).shuffle(base))
+        case ShuffleSeed(seed) =>
+          (s"shuffle:$seed", new scala.util.Random(seed.toLong).shuffle(base))
         case other =>
           System.err.println(s"[bench] bad SPARK_GRAFT_BENCH_ORDER '$other'; using registry")
-          base
+          ("registry", base)
       }
     }
     val results = ordered.map { case (name, fn) =>

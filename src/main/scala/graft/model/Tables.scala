@@ -52,38 +52,42 @@ object Tables {
     perSession.getOrElseUpdate((dir, key), build)
   }
 
-  /** Epoch unit of a raw numeric time column, decided by the magnitude of
-    * its first non-null value — the driver has already shipped three
-    * different physical encodings across rounds, so the loader assumes
-    * none. The decades 1973–2260 (and mirrored pre-1967) separate the four
-    * units by clean factor-1000 bands:
+  /** Maximum |value| of a numeric column as a double, None when the
+    * column holds no non-null rows. One column-pruned scan + MAX agg
+    * (parquet column statistics make this near-free), executed once per
+    * (session, dir, table) thanks to the scan cache. */
+  private def maxAbs(df: DataFrame, c: String): Option[Double] = {
+    import org.apache.spark.sql.functions.{abs, col, max}
+    val row = df.agg(max(abs(col(c).cast("double")))).collect()
+    if (row.isEmpty || row.head.isNullAt(0)) None else Some(row.head.getDouble(0))
+  }
+
+  /** Epoch unit of a raw numeric time column, decided by the column's
+    * MAXIMUM magnitude — the driver has already shipped three different
+    * physical encodings across rounds, so the loader assumes none. The
+    * decades 1973–2260 (and mirrored pre-1967) separate the four units by
+    * clean factor-1000 bands:
     *
-    *   |v| ≥ 1e17 → nanoseconds   (1e17 ns ≈ 1973-03)
-    *   |v| ≥ 1e14 → microseconds  (1e14 µs ≈ 1973-03)
-    *   |v| ≥ 1e11 → milliseconds  (1e11 ms ≈ 1973-03)
-    *   else       → seconds
+    *   max|v| ≥ 1e17 → nanoseconds   (1e17 ns ≈ 1973-03)
+    *   max|v| ≥ 1e14 → microseconds  (1e14 µs ≈ 1973-03)
+    *   max|v| ≥ 1e11 → milliseconds  (1e11 ms ≈ 1973-03)
+    *   else          → seconds
     *
-    * One row is read (a single-row-group, single-column parquet touch),
-    * once per (session, dir, table) thanks to the scan cache. An empty
-    * table defaults to nanos — the longest-lived observed encoding — and
+    * The max (not an arbitrary first row) makes the probe robust to
+    * sentinel values: a ts=0 or near-epoch placeholder in row one of a
+    * nanos column sits BELOW its unit's band and cannot drag the whole
+    * column into a smaller unit — only every row being small could, at
+    * which point the smaller unit is the right read. An empty table
+    * defaults to nanos — the longest-lived observed encoding — and
     * produces no rows either way. Batch-only by construction: the only
     * caller is [[load]] (the streaming twins normalize inline with casts
     * and never pass a raw numeric column here). */
-  private def epochUnit(df: DataFrame, c: String): String = {
-    import org.apache.spark.sql.functions.col
-    val row = df.select(col(c)).filter(col(c).isNotNull).limit(1).collect()
-    if (row.isEmpty || row.head.isNullAt(0)) "ns"
-    else {
-      val v = math.abs(row.head.get(0) match {
-        case l: java.lang.Long => l.toDouble
-        case i: java.lang.Integer => i.toDouble
-        case d: java.math.BigDecimal => d.doubleValue()
-        case other => throw new IllegalStateException(
-          s"unexpected raw time value for '$c': $other")
-      })
-      if (v >= 1e17) "ns" else if (v >= 1e14) "us" else if (v >= 1e11) "ms" else "s"
+  private def epochUnit(df: DataFrame, c: String): String =
+    maxAbs(df, c) match {
+      case None => "ns"
+      case Some(v) =>
+        if (v >= 1e17) "ns" else if (v >= 1e14) "us" else if (v >= 1e11) "ms" else "s"
     }
-  }
 
   /** Normalize one event-time column to the canonical `TimestampType`.
     *
@@ -130,10 +134,10 @@ object Tables {
       case IntegerType =>
         // epoch seconds (1e8 s ≈ 1973; fits int32 until 2038) vs epoch
         // DAYS in a plain unannotated int32 (no plausible day count
-        // reaches 1e8 — that would be the year 275760)
-        val v = df.select(col(c)).filter(col(c).isNotNull).limit(1).collect()
-          .headOption.map(r => math.abs(r.getInt(0).toLong)).getOrElse(100000000L)
-        if (v >= 100000000L)
+        // reaches 1e8 — that would be the year 275760). Max-magnitude
+        // probe for the same sentinel robustness as epochUnit.
+        val v = maxAbs(df, c).getOrElse(1e8)
+        if (v >= 1e8)
           df.withColumn(c, expr(s"timestamp_seconds(cast($c as bigint))"))
         else
           df.withColumn(c,

@@ -56,8 +56,18 @@ object DerivedStore {
   def compactWrite(df: org.apache.spark.sql.DataFrame, tmp: String,
                    rowsPerFile: Long = 4000000L): Unit = {
     val out = df.localCheckpoint()
-    val files = math.max(1L, (out.count() + rowsPerFile - 1) / rowsPerFile)
-    out.coalesce(files.toInt).write.parquet(tmp)
+    try {
+      val files = math.max(1L, (out.count() + rowsPerFile - 1) / rowsPerFile)
+      out.coalesce(files.toInt).write.parquet(tmp)
+    } finally {
+      // The checkpoint exists only to bridge count → write; left persisted
+      // it would pin the whole derived table in executor storage for the
+      // session's lifetime (the leaked-cache heap-pressure class Bench's
+      // dropCachedBlocks exists to clear — but Verify and ad hoc sessions
+      // never call that).
+      try out.unpersist(blocking = false)
+      catch { case _: Throwable => }
+    }
   }
 
   /** Max mtime over the source table directory (file writes inside the

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-level utilities shared by queries and the measurement tools —
+  * one implementation so a fix applies everywhere at once (Bench,
+  * ProfileQuery and ScalingProbe previously carried three identical
+  * copies of the cache-release logic, and the scan-spread sites each
+  * repeated an unconditional repartition).
+  */
+object SessionOps {
+
+  /** Round-robin `df` to the session's shuffle parallelism ONLY when its
+    * current plan yields fewer partitions — the single-split local-scan
+    * compensation used ahead of CPU-dense per-row work (gram hashing,
+    * tokenize explodes). On a production multi-split input the scan
+    * already meets the target and this is the no-op the call sites
+    * promise: no corpus-wide shuffle is ever added to an input that is
+    * already wide. (Partition count comes from the compiled plan — a
+    * file-listing, not a job.) */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
+  /** Drop every cached/persisted block: `clearCache` covers `.cache()`d
+    * plans, but `localCheckpoint` materializations are plain persisted
+    * RDDs that `clearCache` does NOT release — left alone they accumulate
+    * across a run and the heap pressure bleeds into every later query.
+    * blocking = true so the release lands HERE (in an untimed gap) rather
+    * than asynchronously inside the next measurement. */
+  def dropCachedBlocks(spark: SparkSession): Unit = {
+    try spark.catalog.clearCache() catch { case _: Throwable => }
+    try spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    catch { case _: Throwable => }
+  }
+}

@@ -73,7 +73,13 @@ case class AsOfJoinExec(
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
-      rightTieBreak.map(SortOrder(_, Ascending)))
+      // NullsLast, not the Ascending default (NullsFirst): the oracle's
+      // tie-break is ORDER BY tb ASC NULLS LAST, and a null-tie-break row
+      // sorted first would win every exact-ts tie the oracle gives to the
+      // smallest non-null value. Latent while event_id is non-null; load-
+      // bearing the day a nullable tie-break column is passed.
+      rightTieBreak.map(e => SortOrder(e, Ascending,
+        org.apache.spark.sql.catalyst.expressions.NullsLast, Seq.empty)))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val tol = tolerance

@@ -51,18 +51,25 @@ object NanosRangePushdown extends Rule[LogicalPlan] with PredicateHelper {
     * positive scales mean t(x) = scale · x micros exactly. */
   private val NS = -1000L
 
-  /** `<decode>(x)` over a raw long — the normalizeTs shapes after alias
-    * substitution. Returns the raw column and its decode scale. */
+  /** `<decode>(x)` over a raw long ATTRIBUTE — the normalizeTs LongType
+    * shapes after alias substitution. Returns the raw column and its
+    * decode scale. Requiring a bare Attribute (not any deterministic
+    * LongType expression) keeps the rule aligned with its contract: only
+    * bounds the parquet source can actually translate to PushedFilters
+    * are added. A decimal-encoded epoch decodes via `cast(c as bigint)`,
+    * which is NOT a pushable shape — matching it would append a redundant
+    * per-row compare that prunes nothing (the doc above already promises
+    * decimals are left alone). */
   private object Decoded {
-    def unapply(e: Expression): Option[(Expression, Long)] = e match {
-      case MicrosToTimestamp(IntegralDivide(x, Literal(1000L, LongType), _))
-          if x.dataType == LongType && x.deterministic => Some((x, NS))
-      case MicrosToTimestamp(x)
-          if x.dataType == LongType && x.deterministic => Some((x, 1L))
-      case MillisToTimestamp(x)
-          if x.dataType == LongType && x.deterministic => Some((x, 1000L))
-      case SecondsToTimestamp(x)
-          if x.dataType == LongType && x.deterministic => Some((x, 1000000L))
+    def unapply(e: Expression): Option[(Attribute, Long)] = e match {
+      case MicrosToTimestamp(IntegralDivide(x: Attribute, Literal(1000L, LongType), _))
+          if x.dataType == LongType => Some((x, NS))
+      case MicrosToTimestamp(x: Attribute)
+          if x.dataType == LongType => Some((x, 1L))
+      case MillisToTimestamp(x: Attribute)
+          if x.dataType == LongType => Some((x, 1000L))
+      case SecondsToTimestamp(x: Attribute)
+          if x.dataType == LongType => Some((x, 1000000L))
       case _ => None
     }
   }

@@ -253,14 +253,13 @@ object MiningQueries extends QueryPack {
     * deterministic total orders. A 100 TB corpus shuffles (hash, doc,
     * pos) triples, each 24 bytes. */
   private def substringSpans(s: SparkSession, dir: String): DataFrame = {
-    // Round-robin the doc scan first: a local small-file scan is ONE input
+    // Spread the doc scan first: a local small-file scan is ONE input
     // partition, so the CPU-dense per-doc gram hashing + explode would run
     // as a single task (profiled: 0.85 s of the query's ~2 s on one core).
-    // A negligible shuffle of bare (doc_id, text) rows restores the
-    // parallelism; on a real multi-split input the scan already provides
-    // it and this is a proportionally-free no-op.
-    val g = docs(s, dir)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    // spreadIfNarrow is GATED on the plan's partition count: a real
+    // multi-split input already meets the target and no corpus shuffle is
+    // added — only the one-file test scan pays the (negligible) spread.
+    val g = graft.ops.SessionOps.spreadIfNarrow(docs(s, dir))
       .select(
         col("doc_id"),
         posexplode(graft.expressions.TextHash.ngramHashes(col("text"), GRAM))
@@ -296,10 +295,9 @@ object MiningQueries extends QueryPack {
   private def tokensAfterCut(s: SparkSession, dir: String): DataFrame = {
     val spans = substringSpans(s, dir)
       .select(col("doc_id").as("sp_doc"), col("span_start"), col("span_end"))
-    // Same single-input-split spread as [[substringSpans]]: the tokenize
-    // explode is the query's other CPU-dense per-doc pass.
-    docs(s, dir)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    // Same gated single-input-split spread as [[substringSpans]]: the
+    // tokenize explode is the query's other CPU-dense per-doc pass.
+    graft.ops.SessionOps.spreadIfNarrow(docs(s, dir))
       .select(
         col("doc_id"),
         posexplode(TextOps.tokens(col("text"))).as(Seq("p0", "tok")))

@@ -46,15 +46,10 @@ object ProfileQuery {
       }
     })
 
-    // Same inter-query hygiene as Bench.dropCachedBlocks: without it each
+    // Same inter-query hygiene as Bench (shared impl): without it each
     // query's caches/localCheckpoints accumulate across the whole run and
     // later reps measure heap pressure, not the query.
-    def dropCachedBlocks(): Unit = {
-      try spark.catalog.clearCache() catch { case _: Throwable => }
-      try spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      catch { case _: Throwable => }
-    }
+    def dropCachedBlocks(): Unit = graft.ops.SessionOps.dropCachedBlocks(spark)
     graft.model.Tables.events(spark, sfDir).count() // session warmup
     for (r <- 1 to reps; qname <- qnames) {
       val fn = graft.SparkEntry.queries(qname)

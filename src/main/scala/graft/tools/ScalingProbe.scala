@@ -106,12 +106,7 @@ object ScalingProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def release(): Unit = {
-      try spark.catalog.clearCache() catch { case _: Throwable => }
-      try spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      catch { case _: Throwable => }
-    }
+    def release(): Unit = graft.ops.SessionOps.dropCachedBlocks(spark)
 
     def rows(dir: String, table: String): Long =
       graft.model.Tables.load(spark, dir, table).count()

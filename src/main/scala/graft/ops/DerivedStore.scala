@@ -70,6 +70,29 @@ object DerivedStore {
     }
   }
 
+  /** Partitioned-layout store writer with a zero-row fallback. A
+    * `partitionBy` write of an EMPTY DataFrame produces only `_SUCCESS` —
+    * no data file, so no parquet footer — and every later
+    * `read.parquet(path)` dies with UNABLE_TO_INFER_SCHEMA. Empty inputs
+    * are routine at scale (a filtered-out shard, a snapshot a source
+    * contributed nothing to), so the store must stay READABLE: when the
+    * partitioned write leaves no partition directory behind, rewrite the
+    * store as a single footer-only FLAT file. The partition columns then
+    * survive as ordinary columns in the footer schema, so consumers'
+    * partition-key filters still bind — they just have an empty, unpruned
+    * (and zero-cost) scan instead of a directory tree. The non-empty path
+    * is byte-identical to a plain partitionBy write. */
+  def writePartitioned(df: org.apache.spark.sql.DataFrame, path: String,
+                       partitionCols: Seq[String],
+                       overwrite: Boolean = false): Unit = {
+    val w = df.write.partitionBy(partitionCols: _*)
+    (if (overwrite) w.mode("overwrite") else w).parquet(path)
+    val wroteData = Option(new File(path).listFiles())
+      .getOrElse(Array.empty[File]).exists(_.isDirectory)
+    if (!wroteData)
+      df.limit(0).coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
   /** Max mtime over the source table directory (file writes inside the
     * dir may not bump the dir's own mtime on all filesystems). */
   private def sourceMtime(sourceTable: File): Long =

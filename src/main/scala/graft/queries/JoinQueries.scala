@@ -265,10 +265,11 @@ object JoinQueries extends QueryPack {
     "scan_partitioned_store" -> ((s, dir) => {
       val store = partsDir(dir)
       if (staleStage(new java.io.File(store, "_SUCCESS"), dir)) {
-        Tables.events(s, dir)
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("value"), col("event_type"))
-          .write.mode("overwrite").partitionBy("event_type").parquet(store)
+        graft.ops.DerivedStore.writePartitioned(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("ts"), col("user_id"),
+              col("value"), col("event_type")),
+          store, Seq("event_type"), overwrite = true)
       }
       s.read.parquet(store)
         .filter(col("event_type") === "click" && col("value") > 50.0)

@@ -215,15 +215,25 @@ object MiningQueries extends QueryPack {
         size(TextOps.tokens(col("text"))).cast("long").as("n_raw"))
       .repartition(32).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    for (step <- 1L to 3L) {
-      val top = corpus
+    var step = 1L
+    var exhausted = false
+    while (step <= 3L && !exhausted) {
+      // headOption, not (0): a corpus with no bigram at all (empty shard,
+      // or every document shorter than two tokens) simply has nothing
+      // left to merge — the trainer stops with the merges found so far
+      // instead of throwing off the driver loop. Real BPE trainers have
+      // the same termination condition (vocab exhausted before k merges).
+      val topOpt = corpus
         .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bg"))
         .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
         .select(
           split(col("bg"), " ").getItem(0).as("w1"),
           split(col("bg"), " ").getItem(1).as("w2"), col("cnt"))
         .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
-        .collect()(0)
+        .collect().headOption
+      if (topOpt.isEmpty) exhausted = true
+      else {
+      val top = topOpt.get
       val (w1, w2, cnt) =
         (top.getAs[String]("w1"), top.getAs[String]("w2"), top.getAs[Long]("cnt"))
       merges += ((step, w1, w2, cnt))
@@ -238,6 +248,8 @@ object MiningQueries extends QueryPack {
           lit("  "), lit(" "))).as("text"),
         col("n_raw"))
       if (step < 3L) corpus = corpus.localCheckpoint()
+      }
+      step += 1
     }
     (merges.toSeq.toDF("step", "w1", "w2", "cnt"), corpus)
   }

@@ -59,7 +59,8 @@ object PipelineQueries extends QueryPack {
   private[graft] def vectorStoreServed(s: SparkSession, dir: String): DataFrame = {
     val path = graft.ops.DerivedStore.serve(
       RAG_STORE_DIR, dir, "embeddings.parquet", RAG_STORE_FINGERPRINT) { tmp =>
-      vectorStore(s, dir).write.partitionBy("ticker").parquet(tmp)
+      graft.ops.DerivedStore.writePartitioned(
+        vectorStore(s, dir), tmp, Seq("ticker"))
     }
     s.read.parquet(path)
   }

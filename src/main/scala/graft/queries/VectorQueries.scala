@@ -570,7 +570,8 @@ object VectorQueries extends QueryPack {
                                    cells: Seq[Long] = Nil): DataFrame = {
     val path = graft.ops.DerivedStore.serve(
       INDEX_DIR, dir, "embeddings.parquet", INDEX_FINGERPRINT) { tmp =>
-      ivfPqIndex(s, dir).write.partitionBy("c_id").parquet(tmp)
+      graft.ops.DerivedStore.writePartitioned(
+        ivfPqIndex(s, dir), tmp, Seq("c_id"))
     }
     val raw = s.read.parquet(path)
     val pruned =
@@ -655,7 +656,11 @@ object VectorQueries extends QueryPack {
         count(lit(1)).as("cnt"))
       .select(col("j"), (col("sx") / col("cnt").cast("double")).as("mu"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val muLit = array((0 until d).map(j => lit(muRows(j))): _*)
+    // getOrElse 0.0: an EMPTY corpus (a filtered-out shard, a source that
+    // contributed nothing) produces no mean rows at all — mu of 0 keeps
+    // the build total instead of throwing, and the projection consumes it
+    // over zero rows so the value itself is never observed.
+    val muLit = array((0 until d).map(j => lit(muRows.getOrElse(j, 0.0))): _*)
     val cxArr = zip_with(col("embedding"), muLit, (x, m) => x.cast("double") - m)
     val nVec = e.count()
     // Single-file-scan compensation (same as ivfPqIndex): the d² cell

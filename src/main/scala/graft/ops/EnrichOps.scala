@@ -188,12 +188,21 @@ object EnrichOps {
       model: Seq[String] => Seq[Array[Double]] = embedBatch(_)): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Null-safe typed boundary: a null doc_id row is garbage (dropped —
+    // the tuple encoder's Long field cannot carry it anyway), and a null
+    // text yields a null embedding WITHOUT reaching the model — the
+    // batch still packs batchSize rows, the model just sees the batch's
+    // non-null texts, order preserved.
     df.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
+      .filter(col("doc_id").isNotNull)
+      .as[(Long, Option[String])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          val embs = model(batch.map(_._2))
-          batch.iterator.zip(embs.iterator).map { case ((id, _), e) => (id, e) }
+          val embs = model(batch.collect { case (_, Some(t)) => t }).iterator
+          batch.iterator.map {
+            case (id, Some(_)) => (id, embs.next())
+            case (id, None) => (id, null: Array[Double])
+          }
         }
       }
       .toDF("doc_id", "embedding")

@@ -125,6 +125,10 @@ object EnrichmentQueries extends QueryPack {
     "multimodal_frame_sample" -> ((s, dir) => {
       import s.implicits._
       val frames = docs(s, dir)
+        // A null payload has no frames (the oracle's range over a NULL
+        // length emits no rows either); a null doc_id row is garbage and
+        // cannot cross the tuple encoder's primitive Long field.
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           val nFrames = (text.length + 15) / 16

@@ -30,7 +30,7 @@ class EmptyInputSpec extends AnyFunSuite {
     val dst = "/tmp/graft_empty_sf"
     graft.tools.EmptyInputProbe.stageEmptyTwin(
       spark, "/root/testdata/sf0.001", dst)
-    val failed = graft.tools.EmptyInputProbe.sweep(spark, dst)
+    val failed = graft.tools.RegistrySweep.sweep(spark, dst)
     assert(failed.isEmpty,
       s"queries throwing on empty input:\n  " +
         failed.map { case (n, m) => s"$n: $m" }.mkString("\n  "))

@@ -22,7 +22,7 @@ class NullFuzzSpec extends AnyFunSuite {
     val dst = "/tmp/graft_nullfuzz_sf"
     graft.tools.NullFuzzProbe.stageNullTwin(
       spark, "/root/testdata/sf0.001", dst)
-    val failed = graft.tools.EmptyInputProbe.sweep(spark, dst)
+    val failed = graft.tools.RegistrySweep.sweep(spark, dst)
     assert(failed.isEmpty,
       s"queries throwing on nulled input:\n  " +
         failed.map { case (n, m) => s"$n: $m" }.mkString("\n  "))

@@ -23,7 +23,7 @@ class TextFuzzSpec extends AnyFunSuite {
     val dst = "/tmp/graft_textfuzz_sf"
     graft.tools.TextFuzzProbe.stageTextTwin(
       spark, "/root/testdata/sf0.001", dst)
-    val failed = graft.tools.EmptyInputProbe.sweep(spark, dst)
+    val failed = graft.tools.RegistrySweep.sweep(spark, dst)
     assert(failed.isEmpty,
       s"queries throwing on adversarial text:\n  " +
         failed.map { case (n, m) => s"$n: $m" }.mkString("\n  "))

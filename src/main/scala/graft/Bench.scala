@@ -101,7 +101,10 @@ object Bench {
         case "registry" | "" => ("registry", base)
         case "reverse" => ("reverse", base.reverse)
         case "shuffle" => ("shuffle:0", new scala.util.Random(0L).shuffle(base))
-        case ShuffleSeed(seed) =>
+        case ShuffleSeed(seed) if scala.util.Try(seed.toLong).isSuccess =>
+          // the guard keeps a Long-overflowing digit string (which the
+          // regex accepts) on the loud-fallback path below instead of
+          // crashing the run after the multi-minute warmup
           (s"shuffle:$seed", new scala.util.Random(seed.toLong).shuffle(base))
         case other =>
           System.err.println(s"[bench] bad SPARK_GRAFT_BENCH_ORDER '$other'; using registry")

@@ -52,19 +52,26 @@ object Tables {
     perSession.getOrElseUpdate((dir, key), build)
   }
 
-  /** Maximum |value| of a numeric column as a double, None when the
-    * column holds no non-null rows. One column-pruned scan + MAX agg
-    * (parquet column statistics make this near-free), executed once per
-    * (session, dir, table) thanks to the scan cache. */
+  /** Maximum |value| over a bounded SAMPLE of a numeric column (the first
+    * 1024 non-null values), None when the column holds no non-null rows.
+    * The limit keeps the probe a single-row-group touch at ANY table size
+    * — a whole-column MAX would be a full (column-pruned) scan at load
+    * time, since Spark cannot answer max(abs(cast(..))) from parquet
+    * footer statistics. 1024 values is sentinel-robust in practice: a
+    * ts=0 placeholder in row one cannot drag the unit down unless every
+    * sampled row is a sentinel, and the unit bands are 1000× apart.
+    * Executed once per (session, dir, table) thanks to the scan cache. */
   private def maxAbs(df: DataFrame, c: String): Option[Double] = {
     import org.apache.spark.sql.functions.{abs, col, max}
-    val row = df.agg(max(abs(col(c).cast("double")))).collect()
+    val row = df.select(col(c)).filter(col(c).isNotNull).limit(1024)
+      .agg(max(abs(col(c).cast("double")))).collect()
     if (row.isEmpty || row.head.isNullAt(0)) None else Some(row.head.getDouble(0))
   }
 
-  /** Epoch unit of a raw numeric time column, decided by the column's
-    * MAXIMUM magnitude — the driver has already shipped three different
-    * physical encodings across rounds, so the loader assumes none. The
+  /** Epoch unit of a raw numeric time column, decided by the maximum
+    * magnitude over a bounded sample ([[maxAbs]]) — the driver has
+    * already shipped three different physical encodings across rounds,
+    * so the loader assumes none. The
     * decades 1973–2260 (and mirrored pre-1967) separate the four units by
     * clean factor-1000 bands:
     *

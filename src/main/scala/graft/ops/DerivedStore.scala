@@ -95,7 +95,7 @@ object DerivedStore {
 
   /** Max mtime over the source table directory (file writes inside the
     * dir may not bump the dir's own mtime on all filesystems). */
-  private def sourceMtime(sourceTable: File): Long =
+  private[graft] def sourceMtime(sourceTable: File): Long =
     Option(sourceTable.listFiles())
       .map(_.map(_.lastModified()).foldLeft(sourceTable.lastModified())(math.max))
       .getOrElse(sourceTable.lastModified())

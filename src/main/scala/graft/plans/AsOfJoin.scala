@@ -73,13 +73,20 @@ case class AsOfJoinExec(
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
-      // NullsLast, not the Ascending default (NullsFirst): the oracle's
-      // tie-break is ORDER BY tb ASC NULLS LAST, and a null-tie-break row
-      // sorted first would win every exact-ts tie the oracle gives to the
-      // smallest non-null value. Latent while event_id is non-null; load-
-      // bearing the day a nullable tie-break column is passed.
+      // The tie-break's null ordering is DIRECTION-dependent, because the
+      // two directions read opposite ENDS of the equal-ts run: backward
+      // picks peekLast (the max tie-break must sit last → nulls FIRST,
+      // matching ORDER BY tb DESC's implicit NULLS LAST), forward picks
+      // peekFirst (the min tie-break must sit first → nulls LAST,
+      // matching ORDER BY tb ASC NULLS LAST). A single hard-coded null
+      // ordering gives one direction's exact-ts ties to the null row.
+      // Latent while event_id is non-null; load-bearing the day a
+      // nullable tie-break column is passed.
       rightTieBreak.map(e => SortOrder(e, Ascending,
-        org.apache.spark.sql.catalyst.expressions.NullsLast, Seq.empty)))
+        if (direction == AsOfForward)
+          org.apache.spark.sql.catalyst.expressions.NullsLast
+        else org.apache.spark.sql.catalyst.expressions.NullsFirst,
+        Seq.empty)))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val tol = tolerance

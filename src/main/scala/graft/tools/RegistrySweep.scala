@@ -18,7 +18,12 @@ object RegistrySweep {
                 markerPrefix: String)(transform: DataFrame => DataFrame): Unit = {
     val srcFiles = Option(new java.io.File(srcSf).listFiles())
       .getOrElse(Array.empty[java.io.File]).filter(_.getName.endsWith(".parquet"))
-    val srcMtime = srcFiles.map(_.lastModified()).foldLeft(0L)(math.max)
+    // DerivedStore.sourceMtime, not a bare lastModified fold: rewriting
+    // part-files in place under t.parquet/ may not bump the directory
+    // entry's own mtime, and a stale marker would silently serve a twin
+    // with the previous generation's schema.
+    val srcMtime = srcFiles
+      .map(graft.ops.DerivedStore.sourceMtime).foldLeft(0L)(math.max)
     val d = new java.io.File(dst)
     val marker = new java.io.File(d, s"${markerPrefix}_m$srcMtime")
     if (!marker.isFile) {
@@ -47,8 +52,12 @@ object RegistrySweep {
           val n = fn(spark, dir).count()
           if (verbose) println(f"ok   $name%-34s rows=$n")
         } catch { case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.next().take(140)
+          // nextOption: an exception whose message is the EMPTY string
+          // has an empty linesIterator, and a bare next() would throw
+          // from inside this handler, aborting the whole sweep.
+          val msg = Option(e.getMessage).getOrElse("")
+            .linesIterator.nextOption().filter(_.nonEmpty)
+            .getOrElse(e.getClass.getName).take(140)
           failed += ((name, msg))
           if (verbose) println(f"FAIL $name%-34s $msg")
         }
@@ -65,6 +74,10 @@ object RegistrySweep {
     val dst = if (args.length > 1) args(1) else defaultDst
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").toSet else Set.empty
+    // Fail fast on a typo'd query name: an unknown name matches nothing,
+    // runs nothing, and would otherwise be REPORTED as passing.
+    val unknown = only.diff(graft.SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)

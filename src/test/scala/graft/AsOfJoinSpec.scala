@@ -104,6 +104,31 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert((fwd.getDouble(0), fwd.getLong(1)) == ((10.0, 100L)))
   }
 
+  test("exact-ts ties with a NULL tie-break never beat a non-null one") {
+    import graft.plans.AsOfForward
+    // three right rows TIED at ts=900; one has a NULL tie-break. Oracle
+    // semantics: backward = ORDER BY ts DESC, tb DESC (nulls implicitly
+    // LAST) → max non-null wins; forward = ORDER BY ts ASC, tb ASC NULLS
+    // LAST → min non-null wins. A direction-blind null ordering hands one
+    // direction's tie to the null row (the exec reads opposite ends of
+    // the equal-ts run).
+    val ev = Seq(
+      (1L, 900L, 99.0, Option.empty[Long]),
+      (1L, 900L, 30.0, Some(302L)),
+      (1L, 900L, 10.0, Some(100L)))
+      .toDF("user_id", "r_us", "value", "event_id")
+    val grid = Seq((1L, 1000L)).toDF("g_user", "g_us")
+    val back = AsOfJoin(grid, ev, "g_user", "user_id", "g_us", "r_us",
+      tolerance = 600L, rightTieBreak = Some("event_id"))
+      .select($"value").collect().head
+    assert(back.getDouble(0) == 30.0, "backward tie must go to max non-null tb")
+    val gridF = Seq((1L, 800L)).toDF("g_user", "g_us")
+    val fwd = AsOfJoin(gridF, ev, "g_user", "user_id", "g_us", "r_us",
+      tolerance = 600L, direction = AsOfForward, rightTieBreak = Some("event_id"))
+      .select($"value").collect().head
+    assert(fwd.getDouble(0) == 10.0, "forward tie must go to min non-null tb")
+  }
+
   test("forward: native matches the composed formulation on real data") {
     import org.apache.spark.sql.expressions.Window
     val sf = "/root/testdata/sf0.001"

@@ -851,6 +851,121 @@ object JoinQueries extends QueryPack {
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))),
 
+    // -- native: TPC-H q17-style correlated scalar AVG ---------------------
+    // "Revenue lost to small orders": lines of one brand's small parts
+    // whose quantity is under 20% of that PART's average quantity — the
+    // correlated-scalar-subquery archetype (`l_quantity < 0.2 * (SELECT
+    // avg ... WHERE l2.l_partkey = p_partkey)`). The decorrelation IS the
+    // query's point: the per-part average is ONE groupBy over the lines
+    // of qualifying parts — computed once, joined back by partkey — never
+    // a per-row subquery re-scan. Both sides of the comparison are exact
+    // (decimal-accumulated avg → double; 0.2·avg is one IEEE multiply) so
+    // the threshold test is bit-deterministic cross-engine. At 100 TB:
+    // the filtered part list broadcasts into both fact passes (a bounded
+    // slice of the catalog), the avg table is |qualifying parts| rows,
+    // and the two lineitem passes shuffle nothing — both are scan-side
+    // joins against broadcast tables, the aggregate is map-side partial.
+    // (Adapted: p_size <= 10 stands in for q17's p_container, which the
+    // testdata part table doesn't carry.) ---------------------------------
+    "tpch_q17_smallqty" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#23" && col("p_size") <= 10)
+        .select(col("p_partkey"))
+      def lines = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      val partAvg = lines
+        .groupBy(col("l_partkey").as("a_partkey"))
+        .agg(graft.ops.Num.davg(col("l_quantity")).as("avg_qty"))
+      lines
+        .join(broadcast(partAvg), col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(
+          (graft.ops.Num.dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_small"))
+    }),
+
+    // -- native: TPC-H q21-style EXISTS + NOT EXISTS chain -----------------
+    // "Suppliers who kept orders waiting": late lines (q4's adaptation:
+    // shipped after the order date) of finished orders where ANOTHER
+    // supplier has a line in the same order (EXISTS) but NO other
+    // supplier's line is late (NOT EXISTS) — the double-correlated-
+    // subquery archetype. The scale rewrite: both subqueries collapse
+    // into ONE per-order aggregate — n_supp = distinct suppliers in the
+    // order, n_late_supp = distinct suppliers with a late line — and a
+    // late line qualifies iff n_supp >= 2 && n_late_supp == 1 (the only
+    // late supplier, with company present). That is one extra fact
+    // shuffle keyed o_orderkey instead of TWO lineitem self-joins — the
+    // decorrelation that makes q21 runnable at 100 TB. countDistinct over
+    // a `when` is the conditional-distinct idiom (nulls don't count).
+    // supplier is the classic broadcast dim; the top-100 is
+    // TakeOrderedAndProject with the s_name tiebreak. ---------------------
+    "tpch_q21_waiting" -> ((s, dir) => {
+      val lo = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late", col("l_shipdate") > col("o_orderdate"))
+      val perOrder = lo
+        .groupBy(col("l_orderkey").as("g_orderkey"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      lo.filter(col("late"))
+        .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
+    // -- native: TPC-H q2-style correlated MIN + dim chain -----------------
+    // "The cheapest source for each part in one region": the testdata has
+    // no partsupp, so the offer price is the observed unit price
+    // l_extendedprice / l_quantity of each shipment — the correlated-MIN
+    // archetype is unchanged (`cost = (SELECT min(...) WHERE l2.l_partkey
+    // = p_partkey)`). Decorrelated the same way as q17: per-part min over
+    // the region-restricted offers computed ONCE, joined back on
+    // (partkey, cost == min). The dim chain supplier⋈nation⋈region is
+    // broadcast end-to-end (region prunes first, so only one region's
+    // suppliers replicate); the filtered part list broadcasts into the
+    // fact scan. Unit price is one IEEE divide of raw doubles and min/
+    // equality over identical sets — bit-deterministic cross-engine with
+    // no quantization. Top-100 rides the full (acctbal desc, nation,
+    // supplier, part) tiebreak, which is total over distinct rows. ------
+    "tpch_q2_mincost" -> ((s, dir) => {
+      val eur = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val parts = Tables.part(s, dir)
+        .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_name"))
+      def offers = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+      val minCost = offers
+        .groupBy(col("p_partkey").as("m_partkey"))
+        .agg(min(col("unit_cost")).as("min_cost"))
+      offers
+        .join(broadcast(minCost),
+          col("p_partkey") === col("m_partkey") &&
+            col("unit_cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("min_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
     // -- native: TPC-H q3-style 3-way join + top-k -------------------------
     // Filters applied BEFORE the joins so they push to the parquet scans;
     // the filtered customer dim is broadcast; orderBy+limit plans as
@@ -1343,6 +1458,52 @@ object JoinQueries extends QueryPack {
          |  GROUP BY c_custkey
          |)
          |GROUP BY c_count""".stripMargin,
+
+    "tpch_q17_smallqty" ->
+      s"""SELECT ${graft.ops.Num.DSUM_SQL("l_extendedprice")} / 7.0 AS avg_yearly,
+         |       count(*) AS n_small
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#23' AND p_size <= 10
+         |  AND l_quantity < 0.2 * (
+         |    SELECT ${graft.ops.Num.DSUM_SQL("l2.l_quantity")} / count(l2.l_quantity)
+         |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "tpch_q21_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_shipdate > o_orderdate
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+
+    "tpch_q2_mincost" ->
+      """WITH eur AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |       l_extendedprice / l_quantity AS min_cost
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN eur ON l_suppkey = s_suppkey
+        |WHERE p_size <= 15 AND p_type = 'STANDARD'
+        |  AND l_extendedprice / l_quantity = (
+        |    SELECT min(l2.l_extendedprice / l2.l_quantity)
+        |    FROM lineitem l2 JOIN eur e2 ON l2.l_suppkey = e2.s_suppkey
+        |    WHERE l2.l_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
 
     "tpch_q3_shipping" ->
       s"""SELECT l_orderkey, o_orderdate, $REV_SQL AS revenue

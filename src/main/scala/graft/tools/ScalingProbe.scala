@@ -81,7 +81,10 @@ object ScalingProbe {
     "tpch_q4_priority" -> "lineitem",
     "tpch_q12_latemix" -> "lineitem",
     "tpch_q13_custdist" -> "orders",
-    "mix_temperature_sample" -> "documents")
+    "mix_temperature_sample" -> "documents",
+    "tpch_q17_smallqty" -> "lineitem",
+    "tpch_q21_waiting" -> "lineitem",
+    "tpch_q2_mincost" -> "lineitem")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -113,4 +113,92 @@ class TpchSpec extends AnyFunSuite {
     assert(antis.head.right.output.map(_.name) == Seq("o_custkey"),
       s"anti side must project only o_custkey, got ${antis.head.right.output}")
   }
+
+  test("tpch_q17_smallqty plan: part slice pushes, fact never shuffle-joins") {
+    val part = scanOf("tpch_q17_smallqty", "p_brand")
+    val pushed = part.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("p_brand") && pushed.contains("p_size"),
+      s"brand+size slice must reach the part scan, got: $pushed")
+    // decorrelation shape: the per-part avg joins BACK broadcast — every
+    // join in the plan is a broadcast join, so the lineitem passes are
+    // scan-side and the only exchange is the avg's own groupBy
+    val plan = SparkEntry.queries("tpch_q17_smallqty")(spark, sf)
+      .queryExecution.sparkPlan
+    val shuffled = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffled.isEmpty,
+      s"q17's joins must all be broadcast (got ${shuffled.size} shuffle joins)")
+  }
+
+  test("tpch_q21_waiting plan: aggregate decorrelation, no lineitem self-join") {
+    // The EXISTS/NOT-EXISTS pair must NOT plan as semi/anti self-joins of
+    // lineitem: the per-order supplier-count rewrite replaces both.
+    val plan = SparkEntry.queries("tpch_q21_waiting")(spark, sf)
+      .queryExecution.sparkPlan
+    val semiAnti = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.toString == "LeftSemi" ||
+            j.joinType.toString == "LeftAnti" => j
+    }
+    assert(semiAnti.isEmpty,
+      s"q21 must decorrelate to aggregates, not semi/anti self-joins (${semiAnti.size})")
+    val ord = scanOf("tpch_q21_waiting", "o_orderstatus")
+    assert(ord.metadata.getOrElse("PushedFilters", "").contains("o_orderstatus"),
+      "finished-orders filter must reach the orders scan")
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "top-100 must plan as TakeOrderedAndProject")
+  }
+
+  test("tpch_q21_waiting: aggregate rewrite equals the literal EXISTS chain") {
+    // Semantics lock: the n_supp/n_late_supp rewrite must equal the
+    // EXISTS(other line) AND NOT EXISTS(other late line) formulation.
+    import org.apache.spark.sql.functions._
+    import graft.model.Tables
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val lo = li.join(
+      Tables.orders(spark, sf).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+      col("l_orderkey") === col("o_orderkey"))
+    val late = lo.filter(col("l_shipdate") > col("o_orderdate"))
+    val other = li.select(col("l_orderkey").as("x_ok"), col("l_suppkey").as("x_sk"))
+    val literal = late
+      .join(other, col("l_orderkey") === col("x_ok") &&
+        col("l_suppkey") =!= col("x_sk"), "left_semi")
+      .join(
+        late.select(col("l_orderkey").as("y_ok"), col("l_suppkey").as("y_sk")),
+        col("l_orderkey") === col("y_ok") && col("l_suppkey") =!= col("y_sk"),
+        "left_anti")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+    val sup = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = literal.collect()
+      .map(r => sup(r.getLong(0)) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("tpch_q21_waiting")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"rewrite diverges from EXISTS chain: $got vs $want")
+  }
+
+  test("tpch_q2_mincost plan: dims push + broadcast, top-100 is TakeOrdered") {
+    val region = scanOf("tpch_q2_mincost", "r_name")
+    assert(region.metadata.getOrElse("PushedFilters", "").contains("r_name"),
+      "region filter must reach the region scan")
+    val part = scanOf("tpch_q2_mincost", "p_type")
+    val pushed = part.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("p_type") && pushed.contains("p_size"),
+      s"type+size slice must reach the part scan, got: $pushed")
+    val plan = SparkEntry.queries("tpch_q2_mincost")(spark, sf)
+      .queryExecution.sparkPlan
+    val shuffled = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffled.isEmpty,
+      s"q2's joins (dim chain + min join-back) must all be broadcast (${shuffled.size})")
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "top-100 must plan as TakeOrderedAndProject")
+  }
 }

@@ -966,6 +966,71 @@ object JoinQueries extends QueryPack {
         .limit(100)
     }),
 
+    // -- native: TPC-H q7-style nation-pair volume -------------------------
+    // Shipping volume between two nations, by direction and year — the
+    // self-aliased-dimension archetype (nation joins the query TWICE, as
+    // the supplier's and the customer's country) with a disjunctive pair
+    // predicate across the two aliases. The scale move: the nation filter
+    // is pushed INTO each dim before the fact joins — supplier and
+    // customer are pre-restricted to the two nations (a selective
+    // broadcast for supplier; customer keeps its key-shuffled join like
+    // q10 since it scales with SF), so the fact rows that survive to the
+    // pair test are already both-sided candidates and the OR evaluates on
+    // a tiny residue — never a 25×25 nation cross product on the full
+    // fact. Year extraction is one deterministic integer both engines
+    // agree on; revenue is the decimal-exact sum. ------------------------
+    "tpch_q7_volume" -> ((s, dir) => {
+      def natside(prefix: String) = Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_3", "NATION_7"))
+        .select(col("n_nationkey").as(s"${prefix}_nk"),
+          col("n_name").as(s"${prefix}_nation"))
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(natside("supp")), col("s_nationkey") === col("supp_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(natside("cust")), col("c_nationkey") === col("cust_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(
+          (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(revenue.as("revenue"))
+    }),
+
+    // -- native: TPC-H q15-style top supplier (max-of-aggregate) -----------
+    // The aggregate-over-aggregate scalar-subquery archetype (q15's view +
+    // `WHERE total = (SELECT max(total) FROM view)`): per-supplier quarter
+    // revenue is ONE decimal-exact groupBy; the max is a 1-row reduction
+    // of that |suppliers|-sized table broadcast back into the equality
+    // filter — the aggregate builds once, never per probe row. All ties
+    // return (no LIMIT), so the result is deterministic without a
+    // tiebreak; the revenue double comes from the same exact decimal in
+    // both engines, so the max-equality test is bit-safe. At 100 TB the
+    // quarter filter prunes the fact scan and the per-supplier table is
+    // dimension-sized. ---------------------------------------------------
+    "tpch_q15_topsupp" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(revenue.as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+      rev
+        .join(broadcast(maxRev))
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
     // -- native: TPC-H q3-style 3-way join + top-k -------------------------
     // Filters applied BEFORE the joins so they push to the parquet scans;
     // the filtered customer dim is broadcast; orderBy+limit plans as
@@ -1504,6 +1569,33 @@ object JoinQueries extends QueryPack {
         |    WHERE l2.l_partkey = p_partkey)
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin,
+
+    "tpch_q7_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |       year(l_shipdate) AS l_year, $REV_SQL AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin,
+
+    "tpch_q15_topsupp" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, $REV_SQL AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey
+         |)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
 
     "tpch_q3_shipping" ->
       s"""SELECT l_orderkey, o_orderdate, $REV_SQL AS revenue

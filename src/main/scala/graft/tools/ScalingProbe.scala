@@ -84,7 +84,9 @@ object ScalingProbe {
     "mix_temperature_sample" -> "documents",
     "tpch_q17_smallqty" -> "lineitem",
     "tpch_q21_waiting" -> "lineitem",
-    "tpch_q2_mincost" -> "lineitem")
+    "tpch_q2_mincost" -> "lineitem",
+    "tpch_q7_volume" -> "lineitem",
+    "tpch_q15_topsupp" -> "lineitem")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

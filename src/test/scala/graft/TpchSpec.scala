@@ -201,4 +201,55 @@ class TpchSpec extends AnyFunSuite {
     assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
       "top-100 must plan as TakeOrderedAndProject")
   }
+
+  test("tpch_q7_volume plan: nation slice pushes to BOTH aliases, window to the fact") {
+    // The self-aliased dim must appear as two nation scans, each with the
+    // two-nation filter pushed — the pre-restriction that keeps the pair
+    // OR off the full fact.
+    val natScans = scans("tpch_q7_volume")
+      .filter(_.schema.fieldNames.contains("n_name"))
+    assert(natScans.size == 2,
+      s"nation must scan twice (supplier + customer alias), got ${natScans.size}")
+    natScans.foreach { sc =>
+      val pushed = sc.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("n_name"),
+        s"two-nation filter must reach each nation scan, got: $pushed")
+    }
+    val li = scanOf("tpch_q7_volume", "l_shipdate")
+    assert(li.metadata.getOrElse("PushedFilters", "").contains("l_shipdate"),
+      "two-year window must reach the lineitem scan")
+  }
+
+  test("tpch_q15_topsupp: quarter pushes, max joins back broadcast, ties kept") {
+    val plan = SparkEntry.queries("tpch_q15_topsupp")(spark, sf)
+      .queryExecution.sparkPlan
+    scans("tpch_q15_topsupp")
+      .filter(_.schema.fieldNames.contains("l_shipdate"))
+      .foreach { sc =>
+        assert(sc.metadata.getOrElse("PushedFilters", "").contains("l_shipdate"),
+          "quarter filter must reach every lineitem pass")
+      }
+    val shuffled = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffled.isEmpty,
+      s"q15's max + supplier join-backs must be broadcast (${shuffled.size} shuffle joins)")
+    // semantics lock: result = ALL argmax suppliers (ties kept, no limit)
+    import org.apache.spark.sql.functions._
+    import graft.model.Tables
+    val rev = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(9, 2)) *
+        (lit(1.0) - col("l_discount")).cast(org.apache.spark.sql.types.DecimalType(3, 2)))
+        .cast("double").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val mx = rev.map(_._2).max
+    val want = rev.filter(_._2 == mx).map(_._1).toSet
+    val got = SparkEntry.queries("tpch_q15_topsupp")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want, s"argmax supplier set diverges: $got vs $want")
+  }
 }

@@ -1031,6 +1031,175 @@ object JoinQueries extends QueryPack {
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
     }),
 
+    // -- native: TPC-H q8-style market share -------------------------------
+    // One supplier-nation's share of a region's import revenue, by order
+    // year — the conditional-ratio-over-a-deep-join archetype: the share
+    // numerator is a CASE over the SUPPLIER side's nation while the row
+    // population is defined by the CUSTOMER side's region, so both dim
+    // chains must survive into one aggregate. Scale shape: the part
+    // slice and the region-restricted customer list prune the fact
+    // before the wide join; supplier⋈nation broadcasts as the marker
+    // column; numerator and denominator come out of ONE pass (two
+    // decimal-exact sums), and the share is a single IEEE divide. ------
+    "tpch_q8_marketshare" -> ((s, dir) => {
+      val suppNat = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("sn_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val asiaCust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("cn_nk"), col("n_regionkey"))),
+          col("c_nationkey") === col("cn_nk"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val amt = col("l_extendedprice").cast(DecimalType(9, 2)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(3, 2))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_type") === "STANDARD").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", amt)).cast("double").as("nation_rev"),
+          sum(amt).cast("double").as("total_rev"))
+        .select(col("o_year"), col("nation_rev"), col("total_rev"),
+          (coalesce(col("nation_rev"), lit(0.0)) / col("total_rev")).as("mkt_share"))
+    }),
+
+    // -- native: TPC-H q9-style product-type profit ------------------------
+    // Profit by supplier nation and order year over a part-name slice —
+    // the derived-measure-over-the-widest-join archetype (q9 joins six
+    // tables and aggregates an expression mixing three of them). The
+    // testdata has no partsupp, so supply cost is adapted to half the
+    // part's retail price — the measure keeps q9's exact shape:
+    // revenue(lineitem) − cost(part)·quantity(lineitem), every term
+    // decimal-cast so the per-row amount and the sum are exact in both
+    // engines, with ONE double conversion at the end. Scale shape: the
+    // name-slice broadcast prunes the fact first, supplier⋈nation rides
+    // broadcast, and only the orders join (for the year) shuffles the
+    // fact — grouped output is |nations|×|years|. --------------------
+    "tpch_q9_profit" -> ((s, dir) => {
+      val amount =
+        col("l_extendedprice").cast(DecimalType(9, 2)) *
+          (lit(1.0) - col("l_discount")).cast(DecimalType(3, 2)) -
+          col("p_retailprice").cast(DecimalType(9, 2)) *
+            col("l_quantity").cast(DecimalType(4, 0)) *
+            lit(0.5).cast(DecimalType(2, 1))
+      val suppNat = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("sn_nk"), col("n_name"))),
+          col("s_nationkey") === col("sn_nk"))
+        .select(col("s_suppkey"), col("n_name"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").like("%red%"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+    }),
+
+    // -- native: TPC-H q11-style group-vs-global-fraction ------------------
+    // Parts whose shipped value exceeds a fixed fraction of ALL shipped
+    // value — the HAVING-against-a-scalar-subquery archetype (q11's
+    // important-stock filter; adapted from partsupp, which the testdata
+    // lacks, to lineitem shipped value). Scale shape: BOTH sums come out
+    // of one fact scan family (the per-part groupBy and the 1-row global
+    // reduce), the global total broadcasts back into the HAVING as a
+    // scalar, and the threshold multiply is one IEEE op on the
+    // decimal-exact total — never a per-group re-aggregation. The
+    // fraction is 1.2 / |parts| — q11's own convention (its spec scales
+    // the fraction by 1/SF) expressed intrinsically, so the query keeps
+    // ~the same selectivity (parts above 1.2× the mean share) at every
+    // scale instead of emptying as the catalog grows. --------------------
+    "tpch_q11_important" -> ((s, dir) => {
+      val perPart = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(graft.ops.Num.dsum(col("l_extendedprice")).as("part_value"))
+      val total = Tables.lineitem(s, dir)
+        .agg((graft.ops.Num.dsum(col("l_extendedprice")) * lit(1.2) /
+          countDistinct(col("l_partkey"))).as("threshold"))
+      perPart
+        .join(broadcast(total))
+        .filter(col("part_value") > col("threshold"))
+        .select(col("l_partkey"), col("part_value"))
+    }),
+
+    // -- native: TPC-H q16-style distinct-count with exclusion -------------
+    // How many DISTINCT suppliers ship each (brand, type, size) slice,
+    // excluding a denylist — the count-distinct-over-join-minus-anti
+    // archetype. The denylist (q16's complaint suppliers; adapted to
+    // negative account balance, the column that exists) is a LEFT ANTI
+    // join whose right side carries only the key — the same one-column
+    // anti shape as q22. The distinct count keys the shuffle on the
+    // group attrs; the part slice is broadcast and its negated brand
+    // predicate still pushes to the part scan. ---------------------------
+    "tpch_q16_suppcnt" -> ((s, dir) => {
+      val excl = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0.0)
+        .select(col("s_suppkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#45" && col("p_size") <= 20)
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // -- native: TPC-H q20-style nested semi-join with correlated agg ------
+    // Suppliers who shipped, of some part in one name-slice and one
+    // year, more than 2× that part's average per-supplier volume —
+    // q20's excess-stock chain (supplier IN (... WHERE qty > correlated
+    // agg)) with the availqty term adapted to shipped quantity. The
+    // correlated aggregate decorrelates exactly like q17: the per-part
+    // average builds ONCE from the same sliced fact pass and joins back
+    // broadcast; qualifying (supplier, part) rows then collapse to a
+    // supplier list that SEMI-joins the supplier dim — the dim is never
+    // widened, mirroring q20's IN-chain. The 2× threshold is one IEEE
+    // multiply by a power of two on exact inputs — bit-safe. -------------
+    "tpch_q20_excess" -> ((s, dir) => {
+      // null supplier keys can never qualify (the closing semi-join is an
+      // equi-match) — drop them AT the slice, so the per-part average
+      // divides by the count of real suppliers and a part whose only
+      // lines carry null keys simply vanishes instead of feeding the
+      // ANSI divide a zero count (null-fuzz-sweep-proven).
+      def sliced = Tables.lineitem(s, dir)
+        .filter(col("l_suppkey").isNotNull &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").like("%red%")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(graft.ops.Num.dsum(col("l_quantity")).as("supp_qty"))
+      val perPartAvg = sliced
+        .groupBy(col("l_partkey").as("a_partkey"))
+        .agg((graft.ops.Num.dsum(col("supp_qty")) /
+          count(col("l_suppkey"))).as("avg_qty"))
+      val qualifying = sliced
+        .join(broadcast(perPartAvg), col("l_partkey") === col("a_partkey"))
+        .filter(col("supp_qty") > lit(2.0) * col("avg_qty"))
+        .select(col("l_suppkey"))
+      Tables.supplier(s, dir)
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    }),
+
     // -- native: TPC-H q3-style 3-way join + top-k -------------------------
     // Filters applied BEFORE the joins so they push to the parquet scans;
     // the filtered customer dim is broadcast; orderBy+limit plans as
@@ -1596,6 +1765,84 @@ object JoinQueries extends QueryPack {
          |SELECT s_suppkey, s_name, total_revenue
          |FROM rev JOIN supplier ON s_suppkey = l_suppkey
          |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+
+    "tpch_q8_marketshare" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN amt END) AS DOUBLE) AS nation_rev,
+        |       CAST(sum(amt) AS DOUBLE) AS total_rev,
+        |       coalesce(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN amt END) AS DOUBLE), 0.0)
+        |         / CAST(sum(amt) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT o_orderdate, n1.n_name AS supp_nation,
+        |         CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(1 - l_discount AS DECIMAL(3,2)) AS amt
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |)
+        |GROUP BY year(o_orderdate)""".stripMargin,
+
+    "tpch_q9_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(1 - l_discount AS DECIMAL(3,2))
+        |              - CAST(p_retailprice AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(4,0))
+        |                * CAST(0.5 AS DECIMAL(2,1))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+
+    "tpch_q11_important" ->
+      s"""WITH pp AS (
+         |  SELECT l_partkey, ${graft.ops.Num.DSUM_SQL("l_extendedprice")} AS part_value
+         |  FROM lineitem GROUP BY l_partkey
+         |),
+         |th AS (
+         |  SELECT ${graft.ops.Num.DSUM_SQL("l_extendedprice")} * 1.2
+         |           / count(DISTINCT l_partkey) AS threshold
+         |  FROM lineitem
+         |)
+         |SELECT l_partkey, part_value
+         |FROM pp, th
+         |WHERE part_value > threshold""".stripMargin,
+
+    "tpch_q16_suppcnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_size <= 20
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+
+    "tpch_q20_excess" ->
+      s"""WITH sliced AS (
+         |  SELECT l_partkey, l_suppkey, ${graft.ops.Num.DSUM_SQL("l_quantity")} AS supp_qty
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_name LIKE '%red%' AND l_suppkey IS NOT NULL
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  GROUP BY l_partkey, l_suppkey
+         |),
+         |avg_q AS (
+         |  SELECT l_partkey, ${graft.ops.Num.DSUM_SQL("supp_qty")} / count(l_suppkey) AS avg_qty
+         |  FROM sliced GROUP BY l_partkey
+         |)
+         |SELECT s_suppkey, s_name, s_acctbal
+         |FROM supplier
+         |WHERE s_suppkey IN (
+         |  SELECT l_suppkey FROM sliced JOIN avg_q USING (l_partkey)
+         |  WHERE supp_qty > 2.0 * avg_qty)""".stripMargin,
 
     "tpch_q3_shipping" ->
       s"""SELECT l_orderkey, o_orderdate, $REV_SQL AS revenue

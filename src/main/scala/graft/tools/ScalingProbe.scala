@@ -86,7 +86,12 @@ object ScalingProbe {
     "tpch_q21_waiting" -> "lineitem",
     "tpch_q2_mincost" -> "lineitem",
     "tpch_q7_volume" -> "lineitem",
-    "tpch_q15_topsupp" -> "lineitem")
+    "tpch_q15_topsupp" -> "lineitem",
+    "tpch_q8_marketshare" -> "lineitem",
+    "tpch_q9_profit" -> "lineitem",
+    "tpch_q11_important" -> "lineitem",
+    "tpch_q16_suppcnt" -> "lineitem",
+    "tpch_q20_excess" -> "lineitem")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

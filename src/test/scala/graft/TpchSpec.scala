@@ -257,4 +257,117 @@ class TpchSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got == want, s"argmax supplier set diverges: $got vs $want")
   }
+
+  test("tpch_q8_marketshare plan: region+part slices push, share bounded") {
+    val region = scanOf("tpch_q8_marketshare", "r_name")
+    assert(region.metadata.getOrElse("PushedFilters", "").contains("r_name"),
+      "region filter must reach the region scan")
+    val part = scanOf("tpch_q8_marketshare", "p_type")
+    assert(part.metadata.getOrElse("PushedFilters", "").contains("p_type"),
+      "part-type slice must reach the part scan")
+    // numerator/denominator from ONE pass: share must land in [0, 1]
+    val rows = SparkEntry.queries("tpch_q8_marketshare")(spark, sf).collect()
+    rows.foreach { r =>
+      val share = r.getDouble(3)
+      assert(share >= 0.0 && share <= 1.0, s"share out of range: $share")
+    }
+  }
+
+  test("tpch_q9_profit: measure equals revenue minus adapted supply cost") {
+    // The derived measure must decompose: sum_profit(group) =
+    // revenue(group) - 0.5 * retail * qty(group), each term exact.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    import graft.model.Tables
+    val base = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_name").like("%red%")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")))
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(9, 2)) *
+          (lit(1.0) - col("l_discount")).cast(DecimalType(3, 2))).as("rev"),
+        sum(col("p_retailprice").cast(DecimalType(9, 2)) *
+          col("l_quantity").cast(DecimalType(4, 0)) *
+          lit(0.5).cast(DecimalType(2, 1))).as("cost"))
+      .select(col("n_name"), col("rev").minus(col("cost")).cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val got = SparkEntry.queries("tpch_q9_profit")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    got.foreach { case (nation, profit) =>
+      assert(math.abs(profit - base(nation)) < 1e-6,
+        s"profit decomposition diverges for $nation: $profit vs ${base(nation)}")
+    }
+  }
+
+  test("tpch_q11_important: fraction threshold is one scalar, rows exceed it") {
+    import org.apache.spark.sql.functions._
+    import graft.model.Tables
+    val total = Tables.lineitem(spark, sf)
+      .agg(graft.ops.Num.dsum(col("l_extendedprice"))).collect().head.getDouble(0)
+    val nParts = Tables.lineitem(spark, sf)
+      .select(col("l_partkey")).distinct().count()
+    val threshold = total * 1.2 / nParts
+    val rows = SparkEntry.queries("tpch_q11_important")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) > threshold,
+        s"part ${r.getLong(0)} below the global-fraction threshold")
+    }
+    // and no qualifying part is missed
+    val nAbove = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"))
+      .agg(graft.ops.Num.dsum(col("l_extendedprice")).as("v"))
+      .filter(col("v") > threshold).count()
+    assert(rows.length == nAbove, s"${rows.length} returned, $nAbove qualify")
+  }
+
+  test("tpch_q16_suppcnt plan: one-column anti exclusion, negated brand pushes") {
+    val plan = SparkEntry.queries("tpch_q16_suppcnt")(spark, sf)
+      .queryExecution.sparkPlan
+    val antis = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.toString == "LeftAnti" => j
+    }
+    assert(antis.nonEmpty, "the supplier denylist must plan as a LEFT ANTI join")
+    assert(antis.head.right.output.map(_.name) == Seq("s_suppkey"),
+      s"anti side must project only s_suppkey, got ${antis.head.right.output}")
+    val part = scanOf("tpch_q16_suppcnt", "p_brand")
+    val pushed = part.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("p_brand") && pushed.contains("p_size"),
+      s"negated brand + size slice must reach the part scan, got: $pushed")
+  }
+
+  test("tpch_q20_excess: semi-join into supplier, threshold is per-part") {
+    val plan = SparkEntry.queries("tpch_q20_excess")(spark, sf)
+      .queryExecution.sparkPlan
+    val semis = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.toString == "LeftSemi" => j
+    }
+    assert(semis.nonEmpty, "the qualifying-supplier list must SEMI-join supplier")
+    assert(semis.head.right.output.map(_.name) == Seq("l_suppkey"),
+      s"semi side must project only the supplier key, got ${semis.head.right.output}")
+    // every returned supplier really has a >2x-average part in the slice
+    import org.apache.spark.sql.functions._
+    import graft.model.Tables
+    val sliced = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.part(spark, sf).filter(col("p_name").like("%red%")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(graft.ops.Num.dsum(col("l_quantity")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val avg = sliced.groupBy(_._1).view
+      .mapValues(v => v.map(_._3).sum / v.size).toMap
+    val want = sliced.filter { case (pk, _, q) => q > 2.0 * avg(pk) }
+      .map(_._2).toSet
+    val got = SparkEntry.queries("tpch_q20_excess")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want, s"qualifying supplier set diverges: $got vs $want")
+  }
 }

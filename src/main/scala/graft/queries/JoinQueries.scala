@@ -1128,9 +1128,13 @@ object JoinQueries extends QueryPack {
       val perPart = Tables.lineitem(s, dir)
         .groupBy(col("l_partkey"))
         .agg(graft.ops.Num.dsum(col("l_extendedprice")).as("part_value"))
+      // nullif on the divisor: a degraded input with every part key
+      // nulled must yield a null threshold (empty result), not an ANSI
+      // DIVIDE_BY_ZERO — the q20 null-fuzz lesson applied at authoring
+      // time.
       val total = Tables.lineitem(s, dir)
         .agg((graft.ops.Num.dsum(col("l_extendedprice")) * lit(1.2) /
-          countDistinct(col("l_partkey"))).as("threshold"))
+          nullif(countDistinct(col("l_partkey")), lit(0))).as("threshold"))
       perPart
         .join(broadcast(total))
         .filter(col("part_value") > col("threshold"))
@@ -1809,7 +1813,7 @@ object JoinQueries extends QueryPack {
          |),
          |th AS (
          |  SELECT ${graft.ops.Num.DSUM_SQL("l_extendedprice")} * 1.2
-         |           / count(DISTINCT l_partkey) AS threshold
+         |           / nullif(count(DISTINCT l_partkey), 0) AS threshold
          |  FROM lineitem
          |)
          |SELECT l_partkey, part_value
@@ -1821,8 +1825,9 @@ object JoinQueries extends QueryPack {
         |       count(DISTINCT l_suppkey) AS supplier_cnt
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand <> 'Brand#45' AND p_size <= 20
-        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-        |                        WHERE s_acctbal < 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |                  WHERE s_suppkey = l_suppkey
+        |                    AND s_acctbal < 0.0)
         |GROUP BY p_brand, p_type, p_size""".stripMargin,
 
     "tpch_q20_excess" ->

@@ -267,6 +267,7 @@ class TpchSpec extends AnyFunSuite {
       "part-type slice must reach the part scan")
     // numerator/denominator from ONE pass: share must land in [0, 1]
     val rows = SparkEntry.queries("tpch_q8_marketshare")(spark, sf).collect()
+    assert(rows.nonEmpty, "q8 must return year rows — a drifted literal would empty it")
     rows.foreach { r =>
       val share = r.getDouble(3)
       assert(share >= 0.0 && share <= 1.0, s"share out of range: $share")
@@ -298,6 +299,7 @@ class TpchSpec extends AnyFunSuite {
     val got = SparkEntry.queries("tpch_q9_profit")(spark, sf)
       .collect().map(r => (r.getString(0), r.getDouble(2))).groupBy(_._1)
       .view.mapValues(_.map(_._2).sum).toMap
+    assert(got.nonEmpty, "q9 must return nation-year rows — a drifted literal would empty it")
     got.foreach { case (nation, profit) =>
       assert(math.abs(profit - base(nation)) < 1e-6,
         s"profit decomposition diverges for $nation: $profit vs ${base(nation)}")
@@ -355,7 +357,8 @@ class TpchSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import graft.model.Tables
     val sliced = Tables.lineitem(spark, sf)
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+      .filter(col("l_suppkey").isNotNull &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
       .join(Tables.part(spark, sf).filter(col("p_name").like("%red%")),
         col("l_partkey") === col("p_partkey"))

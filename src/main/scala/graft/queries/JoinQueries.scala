@@ -891,16 +891,17 @@ object JoinQueries extends QueryPack {
     // supplier has a line in the same order (EXISTS) but NO other
     // supplier's line is late (NOT EXISTS) — the double-correlated-
     // subquery archetype. The scale rewrite: both subqueries collapse
-    // into ONE per-order aggregate — n_supp = distinct suppliers in the
+    // into per-order window stats — n_supp = distinct suppliers in the
     // order, n_late_supp = distinct suppliers with a late line — and a
     // late line qualifies iff n_supp >= 2 && n_late_supp == 1 (the only
-    // late supplier, with company present). That is one extra fact
-    // shuffle keyed o_orderkey instead of TWO lineitem self-joins — the
-    // decorrelation that makes q21 runnable at 100 TB. countDistinct over
-    // a `when` is the conditional-distinct idiom (nulls don't count).
+    // late supplier, with company present). The window form computes
+    // both on the SAME orderkey shuffle the fact already pays, in one
+    // pass — where the textbook semi/anti plan self-joins lineitem
+    // twice — the decorrelation that makes q21 runnable at 100 TB.
     // supplier is the classic broadcast dim; the top-100 is
     // TakeOrderedAndProject with the s_name tiebreak. ---------------------
     "tpch_q21_waiting" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val lo = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
         .join(Tables.orders(s, dir)
@@ -908,13 +909,18 @@ object JoinQueries extends QueryPack {
           .select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .withColumn("late", col("l_shipdate") > col("o_orderdate"))
-      val perOrder = lo
-        .groupBy(col("l_orderkey").as("g_orderkey"))
-        .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
-      lo.filter(col("late"))
-        .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+      // Both per-order distinct-supplier counts ride ONE unbounded window
+      // over the orderkey partition (Spark evaluates an unbounded window
+      // aggregate once per partition, not per row) — a single fact pass
+      // and a single orderkey shuffle, where a groupBy + join-back shape
+      // would scan the joined fact twice and shuffle it a second time
+      // for the join. collect_set drops nulls, so the conditional
+      // distinct count is the same `when` idiom as the aggregate form.
+      val w = Window.partitionBy(col("l_orderkey"))
+      lo.withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("n_late_supp",
+          size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+        .filter(col("late"))
         .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
         .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))

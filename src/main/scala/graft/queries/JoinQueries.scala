@@ -865,6 +865,10 @@ object JoinQueries extends QueryPack {
     // slice of the catalog), the avg table is |qualifying parts| rows,
     // and the two lineitem passes shuffle nothing — both are scan-side
     // joins against broadcast tables, the aggregate is map-side partial.
+    // (Deliberately the agg + join-back decorrelation flavor — zero fact
+    // shuffle, two scans; q21 shows the windowed one-pass flavor, which
+    // trades one fact shuffle for one scan. Both are right shapes; which
+    // wins at 100 TB depends on scan cost vs shuffle cost.)
     // (Adapted: p_size <= 10 stands in for q17's p_container, which the
     // testdata part table doesn't carry.) ---------------------------------
     "tpch_q17_smallqty" -> ((s, dir) => {

@@ -905,7 +905,6 @@ object JoinQueries extends QueryPack {
     // supplier is the classic broadcast dim; the top-100 is
     // TakeOrderedAndProject with the s_name tiebreak. ---------------------
     "tpch_q21_waiting" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val lo = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
         .join(Tables.orders(s, dir)

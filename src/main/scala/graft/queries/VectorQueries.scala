@@ -618,7 +618,7 @@ object VectorQueries extends QueryPack {
   private val PCA_DIR = "/tmp/graft_pca_basis"
   private val PCA_FP =
     s"pcaBasis:d=$DIMS:mu=r6+dsum6:cov=r6+dsum6:eig=3xpower-e0:" +
-      "deflate=rayleigh:u=3xpower-e1:v1"
+      "deflate=rayleigh:u=3xpower-e1:n=countstar:v2"
 
   private def pcaBasisStore(s: SparkSession, dir: String): DataFrame = {
     val path = graft.ops.DerivedStore.serve(
@@ -681,13 +681,15 @@ object VectorQueries extends QueryPack {
   }
 
   /** The two corpus passes + first eigensolve: per-dim DECIMAL-exact
-    * means (d rows to the driver — the corpus count rides the same
-    * aggregate, cnt per dim IS the row count, so the build is exactly
-    * two jobs), covariance cells via generator fan-out with map-side
-    * combine (d² rows to the driver — state bounded by dimensionality,
-    * never corpus), and 3 power rounds from e_0. Returns (mu, v1, cov).
-    * One repartition shared by both passes: the one-split testdata scan
-    * would otherwise run the means pass on a single task. */
+    * means (d rows to the driver), covariance cells via generator
+    * fan-out with map-side combine (d² rows to the driver — state
+    * bounded by dimensionality, never corpus), and 3 power rounds from
+    * e_0. Returns (mu, v1, cov). One repartition shared by both passes:
+    * the one-split testdata scan would otherwise run the means pass on
+    * a single task. nVec is a real count(*) — a per-dim posexplode
+    * count would silently diverge from the oracle's count(*) on
+    * null/empty embedding arrays (posexplode emits nothing for them),
+    * baking a wrong covariance denominator into the persisted basis. */
   private def pcaMomentsBuild(s: SparkSession, dir: String)
       : (Array[Double], Array[Double], Array[Array[Double]]) = {
     val e = emb(s, dir).repartition(32)
@@ -697,16 +699,16 @@ object VectorQueries extends QueryPack {
       .groupBy(col("j"))
       .agg(graft.ops.Num.dsum6(graft.ops.Num.r6(col("x").cast("double"))).as("sx"),
         count(lit(1)).as("cnt"))
-      .select(col("j"), (col("sx") / col("cnt").cast("double")).as("mu"), col("cnt"))
-      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      .select(col("j"), (col("sx") / col("cnt").cast("double")).as("mu"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     // getOrElse 0.0: an EMPTY corpus (a filtered-out shard, a source that
     // contributed nothing) produces no mean rows at all — mu of 0 keeps
     // the build total instead of throwing, and the projection consumes it
     // over zero rows so the value itself is never observed.
-    val muArr = Array.tabulate(d)(j => muRows.get(j).map(_._1).getOrElse(0.0))
+    val muArr = Array.tabulate(d)(j => muRows.getOrElse(j, 0.0))
     val muLit = array((0 until d).map(j => lit(muArr(j))): _*)
     val cxArr = zip_with(col("embedding"), muLit, (x, m) => x.cast("double") - m)
-    val nVec = muRows.headOption.map(_._2._2).getOrElse(0L)
+    val nVec = e.count()
     // Single-file-scan compensation (same as ivfPqIndex): the d² cell
     // fan-out is the query's only heavy pass — profiled 5 s as ONE task
     // off the one-split testdata scan. Unlike ivfPqIndex (where per-task

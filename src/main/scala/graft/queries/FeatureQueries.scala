@@ -114,14 +114,16 @@ object FeatureQueries extends QueryPack {
     }),
 
     // -- funnel latency: microseconds from each user's FIRST view to the
-    //    first purchase at-or-after it. Two tiny per-user min-reductions
-    //    and one broadcast-joined filter; the exact integer microsecond
-    //    difference needs no float discipline at all. --------------------
+    //    first purchase at-or-after it. Two per-user min-reductions and
+    //    one joined filter; the per-user first-view table scales with
+    //    the user population, so its join is hint-free (AQE broadcasts
+    //    it at fixture scale, key-shuffles it at 100 TB). The exact
+    //    integer microsecond difference needs no float discipline at all.
     "funnel_time_to_convert" -> ((s, dir) => {
       val v = events(s, dir).filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
       events(s, dir).filter(col("event_type") === "purchase")
-        .join(broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(col("ts") >= col("first_view"))
         .groupBy(col("user_id"), col("first_view"))
         .agg(min(col("ts")).as("first_purchase"))

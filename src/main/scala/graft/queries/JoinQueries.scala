@@ -14,7 +14,13 @@ import graft.model.Tables
   * inventories: broadcast join, shuffle (sort-merge) join, semi/anti joins,
   * rollup/cube/grouping-sets, distinct counts, and TPC-H-q1-style pricing.
   *
-  * Scale notes: the dimension side of every star join is broadcast; fact
+  * Scale notes: only TRUE dims — frames whose cardinality is bounded
+  * independent of SF (nation, region, scalar/bounded-group aggregates) —
+  * carry explicit broadcast() hints; every SF-proportional side
+  * (supplier, part, customer, per-key aggregates) joins hint-free so AQE
+  * broadcasts it while it fits and key-shuffles it when it doesn't (a
+  * forced hint never degrades — it ODs the driver at 100 TB; PlanAudit's
+  * broadcast-bound check enforces the distinction registry-wide). Fact
   * aggregations are decimal-accumulated partial aggs (map-side combine
   * before the shuffle); the as-of join is a bounded range join + per-key
   * top-1 — no unbounded state, no cross product.
@@ -666,11 +672,13 @@ object JoinQueries extends QueryPack {
 
     // -- native: TPC-H q14-style promo-revenue ratio -----------------------
     // The conditional-aggregate-over-join archetype: one month of lineitem
-    // (predicate at the scan) joins the part dim BROADCAST, then a single
+    // (predicate at the scan) joins the part dim, then a single
     // aggregate produces both the promo-filtered and total decimal-exact
     // revenues — the ratio is one IEEE division of two exact doubles, so
-    // no quantization is needed. At 100 TB: part is the classic
-    // broadcast-able dimension; the fact side never shuffles. ------------
+    // no quantization is needed. part is NOT broadcast-forced: it scales
+    // with SF (20 M rows at TPC-H SF100), so the hint stays off and AQE
+    // broadcasts it while it fits, downgrading to a key shuffle when it
+    // doesn't — a forced hint would OD the driver at 100 TB. -------------
     "tpch_q14_promo" -> ((s, dir) => {
       val promoRev = sum(when(col("p_type") === "PROMO",
         col("l_extendedprice").cast(DecimalType(9, 2)) *
@@ -678,7 +686,7 @@ object JoinQueries extends QueryPack {
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
         .agg(promoRev.as("promo_rev"), revenue.as("total_rev"))
         .select(col("promo_rev"), col("total_rev"),
           (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_pct"))
@@ -689,9 +697,11 @@ object JoinQueries extends QueryPack {
     // sum lineitem quantity per order FIRST (map-side partial combine
     // collapses each order's lines before the shuffle), keep the rare
     // orders above the threshold, and only then touch the orders/customer
-    // dims — the selective agg result broadcasts into both joins, so the
-    // fact table shuffles once (keyed l_orderkey) and the dims never
-    // shuffle at all. Quantity sums are DECIMAL-accumulated (order-free,
+    // dims. The selective agg result is order-proportional (it merely
+    // FILTERS the per-order sums), so it carries no broadcast hint — AQE
+    // sees its true post-filter size at runtime and broadcasts it while
+    // small; the fact table shuffles once (keyed l_orderkey) either
+    // way. Quantity sums are DECIMAL-accumulated (order-free,
     // Num.dsum) and the top-100 is TakeOrderedAndProject with a full
     // tiebreak. The wrong plan — join first, aggregate after — would
     // shuffle orders×lineitem; the explicit agg-first shape is what q18
@@ -702,7 +712,7 @@ object JoinQueries extends QueryPack {
         .agg(graft.ops.Num.dsum(col("l_quantity")).as("sum_qty"))
         .filter(col("sum_qty") > 300.0)
       Tables.orders(s, dir)
-        .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
@@ -740,9 +750,10 @@ object JoinQueries extends QueryPack {
     // part, l_quantity BETWEEN 1 AND 30 on lineitem) are planted as
     // explicit pre-join filters, the CNF residue Spark itself cannot
     // extract from an OR-of-ANDs — so both scans prune before the join
-    // and the exact bracket predicate evaluates on the survivors. part is
-    // broadcast: it is the small side of this query by construction
-    // (three brands of a bounded catalog). ------------------------------
+    // and the exact bracket predicate evaluates on the survivors. The
+    // three-brand part slice is small RELATIVE to part but still scales
+    // with SF (~12% of the catalog), so no broadcast hint — AQE
+    // broadcasts the runtime-sized slice while it fits. -----------------
     "tpch_q19_brackets" -> ((s, dir) => {
       val bracket =
         (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
@@ -753,9 +764,9 @@ object JoinQueries extends QueryPack {
           col("l_quantity").between(20, 30))
       Tables.lineitem(s, dir)
         .filter(col("l_quantity").between(1, 30))
-        .join(broadcast(Tables.part(s, dir)
+        .join(Tables.part(s, dir)
           .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
-            col("p_size").between(1, 15))),
+            col("p_size").between(1, 15)),
           col("l_partkey") === col("p_partkey"))
         .filter(bracket)
         .agg(count(lit(1)).as("n"), revenue.as("revenue"))
@@ -861,10 +872,11 @@ object JoinQueries extends QueryPack {
     // a per-row subquery re-scan. Both sides of the comparison are exact
     // (decimal-accumulated avg → double; 0.2·avg is one IEEE multiply) so
     // the threshold test is bit-deterministic cross-engine. At 100 TB:
-    // the filtered part list broadcasts into both fact passes (a bounded
-    // slice of the catalog), the avg table is |qualifying parts| rows,
-    // and the two lineitem passes shuffle nothing — both are scan-side
-    // joins against broadcast tables, the aggregate is map-side partial.
+    // the filtered part list and the |qualifying parts|-row avg table
+    // both GROW with SF, so neither carries a broadcast hint — AQE
+    // broadcasts them into the fact passes while they fit (the bench
+    // shape) and falls back to partkey-shuffled joins when they don't;
+    // the aggregate stays map-side partial either way.
     // (Deliberately the agg + join-back decorrelation flavor — zero fact
     // shuffle, two scans; q21 shows the windowed one-pass flavor, which
     // trades one fact shuffle for one scan. Both are right shapes; which
@@ -877,12 +889,12 @@ object JoinQueries extends QueryPack {
         .select(col("p_partkey"))
       def lines = Tables.lineitem(s, dir)
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
       val partAvg = lines
         .groupBy(col("l_partkey").as("a_partkey"))
         .agg(graft.ops.Num.davg(col("l_quantity")).as("avg_qty"))
       lines
-        .join(broadcast(partAvg), col("l_partkey") === col("a_partkey"))
+        .join(partAvg, col("l_partkey") === col("a_partkey"))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
         .agg(
           (graft.ops.Num.dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
@@ -902,7 +914,8 @@ object JoinQueries extends QueryPack {
     // both on the SAME orderkey shuffle the fact already pays, in one
     // pass — where the textbook semi/anti plan self-joins lineitem
     // twice — the decorrelation that makes q21 runnable at 100 TB.
-    // supplier is the classic broadcast dim; the top-100 is
+    // supplier scales with SF, so its name lookup is hint-free (AQE
+    // size-decides); the top-100 is
     // TakeOrderedAndProject with the s_name tiebreak. ---------------------
     "tpch_q21_waiting" -> ((s, dir) => {
       val lo = Tables.lineitem(s, dir)
@@ -925,7 +938,8 @@ object JoinQueries extends QueryPack {
           size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
         .filter(col("late"))
         .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+        // supplier scales with SF — no hint; AQE sizes the name lookup.
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
@@ -940,10 +954,11 @@ object JoinQueries extends QueryPack {
     // archetype is unchanged (`cost = (SELECT min(...) WHERE l2.l_partkey
     // = p_partkey)`). Decorrelated the same way as q17: per-part min over
     // the region-restricted offers computed ONCE, joined back on
-    // (partkey, cost == min). The dim chain supplier⋈nation⋈region is
-    // broadcast end-to-end (region prunes first, so only one region's
-    // suppliers replicate); the filtered part list broadcasts into the
-    // fact scan. Unit price is one IEEE divide of raw doubles and min/
+    // (partkey, cost == min). Only the true dims (nation, region) carry
+    // broadcast hints; the one-region supplier list, the filtered part
+    // list, and the per-partkey min table all grow with SF, so those
+    // joins are left to AQE — broadcast while they fit, key-shuffled
+    // when they don't. Unit price is one IEEE divide of raw doubles and min/
     // equality over identical sets — bit-deterministic cross-engine with
     // no quantization. Top-100 rides the full (acctbal desc, nation,
     // supplier, part) tiebreak, which is total over distinct rows. ------
@@ -960,13 +975,13 @@ object JoinQueries extends QueryPack {
       def offers = Tables.lineitem(s, dir)
         .select(col("l_partkey"), col("l_suppkey"),
           (col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(eur, col("l_suppkey") === col("s_suppkey"))
       val minCost = offers
         .groupBy(col("p_partkey").as("m_partkey"))
         .agg(min(col("unit_cost")).as("min_cost"))
       offers
-        .join(broadcast(minCost),
+        .join(minCost,
           col("p_partkey") === col("m_partkey") &&
             col("unit_cost") === col("min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
@@ -981,9 +996,10 @@ object JoinQueries extends QueryPack {
     // the supplier's and the customer's country) with a disjunctive pair
     // predicate across the two aliases. The scale move: the nation filter
     // is pushed INTO each dim before the fact joins — supplier and
-    // customer are pre-restricted to the two nations (a selective
-    // broadcast for supplier; customer keeps its key-shuffled join like
-    // q10 since it scales with SF), so the fact rows that survive to the
+    // customer are pre-restricted to the two nations (both scale with
+    // SF, so BOTH keep hint-free joins like q10 and AQE size-decides;
+    // only the 25-row nation lookups are hint-broadcast), so the fact
+    // rows that survive to the
     // pair test are already both-sided candidates and the OR evaluates on
     // a tiny residue — never a 25×25 nation cross product on the full
     // fact. Year extraction is one deterministic integer both engines
@@ -1002,7 +1018,7 @@ object JoinQueries extends QueryPack {
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
         .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
@@ -1019,7 +1035,10 @@ object JoinQueries extends QueryPack {
     // `WHERE total = (SELECT max(total) FROM view)`): per-supplier quarter
     // revenue is ONE decimal-exact groupBy; the max is a 1-row reduction
     // of that |suppliers|-sized table broadcast back into the equality
-    // filter — the aggregate builds once, never per probe row. All ties
+    // filter — never recomputed per probe row (the uncached `rev`
+    // lineage does run twice, once per consumer: the scalar max and the
+    // probe side — two aggregate passes total, each over the
+    // quarter-pruned scan). All ties
     // return (no LIMIT), so the result is deterministic without a
     // tiebreak; the revenue double comes from the same exact decimal in
     // both engines, so the max-equality test is bit-safe. At 100 TB the
@@ -1035,7 +1054,8 @@ object JoinQueries extends QueryPack {
       rev
         .join(broadcast(maxRev))
         .filter(col("total_revenue") === col("max_rev"))
-        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+        // supplier scales with SF — hint-free; AQE sizes the name lookup.
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
     }),
@@ -1047,8 +1067,9 @@ object JoinQueries extends QueryPack {
     // population is defined by the CUSTOMER side's region, so both dim
     // chains must survive into one aggregate. Scale shape: the part
     // slice and the region-restricted customer list prune the fact
-    // before the wide join; supplier⋈nation broadcasts as the marker
-    // column; numerator and denominator come out of ONE pass (two
+    // before the wide join; supplier⋈nation rides hint-free as the
+    // marker column (SF-proportional — AQE broadcasts it while it
+    // fits); numerator and denominator come out of ONE pass (two
     // decimal-exact sums), and the share is a single IEEE divide. ------
     "tpch_q8_marketshare" -> ((s, dir) => {
       val suppNat = Tables.supplier(s, dir)
@@ -1066,10 +1087,11 @@ object JoinQueries extends QueryPack {
       val amt = col("l_extendedprice").cast(DecimalType(9, 2)) *
         (lit(1.0) - col("l_discount")).cast(DecimalType(3, 2))
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)
-          .filter(col("p_type") === "STANDARD").select(col("p_partkey"))),
+        // part slice and supplier⋈nation both scale with SF — hint-free.
+        .join(Tables.part(s, dir)
+          .filter(col("p_type") === "STANDARD").select(col("p_partkey")),
           col("l_partkey") === col("p_partkey"))
-        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .join(suppNat, col("l_suppkey") === col("s_suppkey"))
         .join(Tables.orders(s, dir)
           .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
             col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
@@ -1093,9 +1115,10 @@ object JoinQueries extends QueryPack {
     // revenue(lineitem) − cost(part)·quantity(lineitem), every term
     // decimal-cast so the per-row amount and the sum are exact in both
     // engines, with ONE double conversion at the end. Scale shape: the
-    // name-slice broadcast prunes the fact first, supplier⋈nation rides
-    // broadcast, and only the orders join (for the year) shuffles the
-    // fact — grouped output is |nations|×|years|. --------------------
+    // name-slice prunes the fact first and supplier⋈nation rides the
+    // same hint-free pattern (both are SF-proportional; AQE
+    // size-decides), and only the orders join (for the year) shuffles
+    // the fact — grouped output is |nations|×|years|. --------------------
     "tpch_q9_profit" -> ((s, dir) => {
       val amount =
         col("l_extendedprice").cast(DecimalType(9, 2)) *
@@ -1109,11 +1132,12 @@ object JoinQueries extends QueryPack {
           col("s_nationkey") === col("sn_nk"))
         .select(col("s_suppkey"), col("n_name"))
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)
+        // part slice and supplier⋈nation both scale with SF — hint-free.
+        .join(Tables.part(s, dir)
           .filter(col("p_name").like("%red%"))
-          .select(col("p_partkey"), col("p_retailprice"))),
+          .select(col("p_partkey"), col("p_retailprice")),
           col("l_partkey") === col("p_partkey"))
-        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .join(suppNat, col("l_suppkey") === col("s_suppkey"))
         .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
@@ -1157,17 +1181,18 @@ object JoinQueries extends QueryPack {
     // negative account balance, the column that exists) is a LEFT ANTI
     // join whose right side carries only the key — the same one-column
     // anti shape as q22. The distinct count keys the shuffle on the
-    // group attrs; the part slice is broadcast and its negated brand
-    // predicate still pushes to the part scan. ---------------------------
+    // group attrs; the part slice joins hint-free (SF-proportional) and
+    // its negated brand predicate still pushes to the part scan. --------
     "tpch_q16_suppcnt" -> ((s, dir) => {
       val excl = Tables.supplier(s, dir)
         .filter(col("s_acctbal") < 0.0)
         .select(col("s_suppkey"))
       Tables.lineitem(s, dir)
         .select(col("l_partkey"), col("l_suppkey"))
-        .join(broadcast(Tables.part(s, dir)
+        // the part slice scales with SF — hint-free; AQE size-decides.
+        .join(Tables.part(s, dir)
           .filter(col("p_brand") =!= "Brand#45" && col("p_size") <= 20)
-          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")),
           col("l_partkey") === col("p_partkey"))
         .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
@@ -1181,7 +1206,8 @@ object JoinQueries extends QueryPack {
     // agg)) with the availqty term adapted to shipped quantity. The
     // correlated aggregate decorrelates exactly like q17: the per-part
     // average builds ONCE from the same sliced fact pass and joins back
-    // broadcast; qualifying (supplier, part) rows then collapse to a
+    // hint-free (it scales with the part slice — AQE broadcasts it
+    // while it fits); qualifying (supplier, part) rows then collapse to a
     // supplier list that SEMI-joins the supplier dim — the dim is never
     // widened, mirroring q20's IN-chain. The 2× threshold is one IEEE
     // multiply by a power of two on exact inputs — bit-safe. -------------
@@ -1195,8 +1221,9 @@ object JoinQueries extends QueryPack {
         .filter(col("l_suppkey").isNotNull &&
           col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .join(broadcast(Tables.part(s, dir)
-          .filter(col("p_name").like("%red%")).select(col("p_partkey"))),
+        // part slice and per-part avg both scale with SF — hint-free.
+        .join(Tables.part(s, dir)
+          .filter(col("p_name").like("%red%")).select(col("p_partkey")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(graft.ops.Num.dsum(col("l_quantity")).as("supp_qty"))
@@ -1205,7 +1232,7 @@ object JoinQueries extends QueryPack {
         .agg((graft.ops.Num.dsum(col("supp_qty")) /
           count(col("l_suppkey"))).as("avg_qty"))
       val qualifying = sliced
-        .join(broadcast(perPartAvg), col("l_partkey") === col("a_partkey"))
+        .join(perPartAvg, col("l_partkey") === col("a_partkey"))
         .filter(col("supp_qty") > lit(2.0) * col("avg_qty"))
         .select(col("l_suppkey"))
       Tables.supplier(s, dir)
@@ -1215,7 +1242,8 @@ object JoinQueries extends QueryPack {
 
     // -- native: TPC-H q3-style 3-way join + top-k -------------------------
     // Filters applied BEFORE the joins so they push to the parquet scans;
-    // the filtered customer dim is broadcast; orderBy+limit plans as
+    // the segment-filtered customer list scales with SF, so it joins
+    // hint-free (AQE broadcasts it while it fits); orderBy+limit plans as
     // TakeOrderedAndProject (no global sort materialization). Tiebreak on
     // (o_orderdate, l_orderkey) makes the top-10 deterministic.
     "tpch_q3_shipping" -> ((s, dir) => {
@@ -1226,7 +1254,7 @@ object JoinQueries extends QueryPack {
         .filter(col("l_shipdate") > cutoff)
         .join(Tables.orders(s, dir).filter(col("o_orderdate") < cutoff),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(building), col("o_custkey") === col("c_custkey"))
+        .join(building, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(revenue.as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
@@ -1286,9 +1314,10 @@ object JoinQueries extends QueryPack {
     }),
 
     // -- native: TPC-H q5-style 6-way star join ----------------------------
-    // The region→nation chain and supplier are broadcast (dim-sized at any
-    // SF); lineitem⨝orders is the one genuine shuffle; customer is left to
-    // AQE, which broadcasts it at bench scale and shuffles it at cluster
+    // Only the region→nation chain is hint-broadcast (25/5 rows at any
+    // SF); lineitem⨝orders is the one genuine shuffle; supplier and
+    // customer both scale with SF so both are left to AQE, which
+    // broadcasts them at bench scale and shuffles them at cluster
     // scale. The c_nationkey = s_nationkey "local supplier" predicate rides
     // the customer join, not a separate join.
     "tpch_q5_local_supplier" -> ((s, dir) => {
@@ -1300,7 +1329,7 @@ object JoinQueries extends QueryPack {
           col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
             col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.supplier(s, dir)),
+        .join(Tables.supplier(s, dir),
           col("l_suppkey") === col("s_suppkey"))
         .join(Tables.customer(s, dir),
           col("o_custkey") === col("c_custkey") &&

@@ -80,11 +80,12 @@ object CurationQueries extends QueryPack {
     s"CASE WHEN sqrt(${dotSql(a, a)}) = 0.0 OR sqrt(${dotSql(b, b)}) = 0.0 THEN 0.0 " +
       s"ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END"
 
-  /** Nearest-centroid cell assignment over the deterministic vec_id%50
-    * codebook — identical formulation to ann_ivf_probe's assign CTE. */
+  /** Nearest-centroid cell assignment over the deterministic, bounded
+    * vec_id%50 codebook (capped at VectorQueries.IVF_SEED_CAP) —
+    * identical formulation to ann_ivf_probe's assign CTE. */
   private val ASSIGN_CTE =
     s"""cents AS (
-       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < ${VectorQueries.IVF_SEED_CAP}
        |), assign AS (
        |  SELECT vec_id, embedding, c_id FROM (
        |    SELECT e.vec_id, e.embedding, c.c_id,
@@ -271,7 +272,7 @@ object CurationQueries extends QueryPack {
     //    dedup_embedding_cosine, is the correctness baseline). ------------
     "semantic_dedup_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") % 50 === 0)
+      val cents = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < VectorQueries.IVF_SEED_CAP)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       // assign feeds three consumers (both self-join sides + the verdict
       // join); materialize it once so the vectors×centroids assignment

@@ -21,6 +21,19 @@ object VectorQueries extends QueryPack {
   private val DIMS = 64
   private val PLANES = 8
 
+  /** Codebook-seed caps. The stride filters (vec_id % 50 for IVF
+    * centroids, % 31 for PQ codes) pick deterministic seeds, but a bare
+    * stride is a RATE: the codebook would grow with the corpus, and a
+    * corpus-proportional codebook broadcast dies on the driver at
+    * 100 TB. The id caps bound the seed sets by construction — ≤128 IVF
+    * centroids, ≤256 PQ codes per subspace — independent of SF, which
+    * is also what a real trainer does (k is a model constant, not a
+    * corpus fraction). Both caps are vacuous at every fixture scale
+    * (max vec_id = 1999 at sf0.1), so results are bit-identical; the
+    * oracles carry the same conjunct. */
+  private[queries] val IVF_SEED_CAP = 6400L
+  private[queries] val PQ_SEED_CAP = 7936L
+
   // ---- shared Spark fragments -----------------------------------------
 
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -228,14 +241,15 @@ object VectorQueries extends QueryPack {
           graft.ops.Num.r6(col("neg_dist") - col("pos_dist")).as("margin"))
     }),
 
-    // -- superset: IVF-style ANN — deterministic codebook (vec_id % 50),
+    // -- superset: IVF-style ANN — deterministic bounded codebook
+    //    (vec_id % 50, capped at IVF_SEED_CAP — see the cap scaladoc),
     //    assign each vector to its nearest centroid cell, probe the 2
     //    nearest cells per query, exact-search only inside them. At scale
     //    the cell id becomes the partition key: the probe is an equi-join
     //    on cell, never a full scan. -----------------------------------------
     "ann_ivf_probe" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") % 50 === 0)
+      val cents = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < IVF_SEED_CAP)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       val assign = VectorOps.topKPerQuery(
         e.crossJoin(broadcast(cents))
@@ -270,7 +284,7 @@ object VectorQueries extends QueryPack {
     // assignment, not the codebook. ----------------------------------------
     "ivf_recluster" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") % 50 === 0)
+      val cents = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < IVF_SEED_CAP)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       val assign = VectorOps.topKPerQuery(
         e.crossJoin(broadcast(cents))
@@ -336,7 +350,7 @@ object VectorQueries extends QueryPack {
           .agg(count(lit(1)).as("n"), graft.ops.Num.dsum6(col("v")).as("sv"))
           .select(col("c_id"), col("pos"), col("n"),
             graft.ops.Num.r6(col("sv") / col("n").cast("double")).as("mean"))
-      val cents0 = e.filter(col("vec_id") % 50 === 0)
+      val cents0 = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < IVF_SEED_CAP)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       val g1 = update(assign(cents0))
       val cents1 = g1.groupBy(col("c_id"))
@@ -454,7 +468,7 @@ object VectorQueries extends QueryPack {
       val vsub = e.select(col("vec_id"), sIdx.as("s"), col("embedding"))
         .withColumn("sub", subvec(col("embedding")))
         .select("vec_id", "s", "sub")
-      val csub = e.filter(col("vec_id") % 31 === 0)
+      val csub = e.filter(col("vec_id") % 31 === 0 && col("vec_id") < PQ_SEED_CAP)
         .select(col("vec_id").as("c_id"), sIdx.as("s"), col("embedding").as("c_emb"))
         .withColumn("csub", subvec(col("c_emb")))
         .select("c_id", "s", "csub")
@@ -551,7 +565,7 @@ object VectorQueries extends QueryPack {
   /** Every constant [[ivfPqIndex]] depends on — a change invalidates
     * the persisted index even with unchanged embeddings. */
   private val INDEX_FINGERPRINT =
-    s"ivfpq:dims=$DIMS:subs=$SUBS:cents=mod50:codebook=mod31:assign=top1-cos"
+    s"ivfpq:dims=$DIMS:subs=$SUBS:cents=mod50cap6400:codebook=mod31cap7936:assign=top1-cos"
   /** The cell-partitioned persisted index, built on miss. Reading back:
     * partition-column type inference yields c_id as int — recast (AFTER
     * the optional cell filter, so the predicate sits directly on the
@@ -742,10 +756,10 @@ object VectorQueries extends QueryPack {
     graft.expressions.SquaredDistance.squaredDist(a, b)
   private def sIdx = explode(sequence(lit(0), lit(SUBS - 1)))
   private def centsOf(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % 50 === 0)
+    e.filter(col("vec_id") % 50 === 0 && col("vec_id") < IVF_SEED_CAP)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
   private def csubOf(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % 31 === 0)
+    e.filter(col("vec_id") % 31 === 0 && col("vec_id") < PQ_SEED_CAP)
       .select(col("vec_id").as("code"), sIdx.as("s"), col("embedding").as("cb"))
       .withColumn("csub", subvec(col("cb"))).select("code", "s", "csub")
 
@@ -833,7 +847,7 @@ object VectorQueries extends QueryPack {
          |vsub AS (SELECT vec_id, s, embedding[s * 16 + 1 : s * 16 + 16] AS sub
          |         FROM embeddings, ss),
          |csub AS (SELECT vec_id AS c_id, s, embedding[s * 16 + 1 : s * 16 + 16] AS csub
-         |         FROM embeddings, ss WHERE vec_id % 31 = 0),
+         |         FROM embeddings, ss WHERE vec_id % 31 = 0 AND vec_id < $PQ_SEED_CAP),
          |d AS (SELECT vec_id, vsub.s, c_id, $d2 AS d2
          |      FROM vsub JOIN csub USING (s)),
          |a AS (SELECT vec_id, s, c_id, d2,
@@ -886,7 +900,7 @@ object VectorQueries extends QueryPack {
     val adc = (0 until 4).map(i => s"max(CASE WHEN c.s = $i THEN t.qd2 END)").mkString(" + ")
     s"""ss AS (SELECT unnest(range(0, 4)) AS s),
        |cents AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < $IVF_SEED_CAP
          |), assign AS (
          |  SELECT vec_id, c_id FROM (
          |    SELECT e.vec_id, c.c_id,
@@ -896,7 +910,7 @@ object VectorQueries extends QueryPack {
          |  ) WHERE rn = 1
          |), csub AS (
          |  SELECT vec_id AS code, s, embedding[s * 16 + 1 : s * 16 + 16] AS csub
-         |  FROM embeddings, ss WHERE vec_id % 31 = 0
+         |  FROM embeddings, ss WHERE vec_id % 31 = 0 AND vec_id < $PQ_SEED_CAP
          |), codes AS (
          |  SELECT vec_id, s, code FROM (
          |    SELECT vec_id, s, code,
@@ -1012,7 +1026,7 @@ object VectorQueries extends QueryPack {
       val meanSql = "sv / CAST(n AS DOUBLE)"
       s"""WITH ps AS (SELECT unnest(range(0, $DIMS)) AS pos),
          |cents AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < $IVF_SEED_CAP
          |), assign AS (
          |  SELECT vec_id, c_id FROM (
          |    SELECT e.vec_id, c.c_id,
@@ -1055,7 +1069,7 @@ object VectorQueries extends QueryPack {
            |)""".stripMargin
       s"""WITH ps AS (SELECT unnest(range(0, $DIMS)) AS pos),
          |cents0 AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < $IVF_SEED_CAP
          |), ${round("cents0", "a1", "g1")},
          |cents1 AS (
          |  SELECT c_id, list(mean ORDER BY pos) AS c_emb FROM g1 GROUP BY c_id
@@ -1103,7 +1117,7 @@ object VectorQueries extends QueryPack {
 
     "ann_ivf_probe" ->
       s"""WITH cents AS (
-         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0
+         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < $IVF_SEED_CAP
          |), assign AS (
          |  SELECT vec_id, embedding, c_id FROM (
          |    SELECT e.vec_id, e.embedding, c.c_id,

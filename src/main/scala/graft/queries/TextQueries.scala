@@ -26,6 +26,13 @@ object TextQueries extends QueryPack {
   private val MINHASH_B = TextOps.MINHASH_B
   private val JACCARD_T = 0.95
   private val MINHASH_VERIFY_T = 0.8
+  /** lsh_recall_eval's anchor budget: a fixed COUNT (the ANCHOR_N
+    * smallest (sampleKey, doc_id) hash ranks), never a fixed rate — a
+    * rate-sampled anchor set grows with the corpus and its broadcast
+    * would be corpus-proportional at 100 TB. At fixture scale
+    * N ≥ |documents|, so every document anchors and the recall estimate
+    * is exact. */
+  private val ANCHOR_N = 1024
   /** Fixed PageRank round count — the cross-engine contract for
     * pagerank_canonical (the oracle unrolls exactly this many). */
   private val PR_ITERS = 3
@@ -646,36 +653,46 @@ object TextQueries extends QueryPack {
     // committing band parameters.
     //
     // The STANDARD recall protocol, and the one that scales: exact truth
-    // is computed only for a deterministic ~5% ANCHOR sample of documents
-    // (sampleKey % 20 — the same hash every sampler in the engine uses),
-    // not for all pairs. Truth per anchor is one broadcast probe of the
-    // corpus — O(k·n) with a FIXED anchor budget, so the eval costs one
-    // corpus scan at any corpus size, where the old per-language
-    // exhaustive join was O(n²) within each band and could never run at
-    // 100 TB. An anchor pair (both endpoints sampled) is emitted once,
-    // from its smaller endpoint; anchor/non-anchor pairs always emit from
-    // the anchor, normalized to (min,max) id order to meet minhashPairs'
-    // a_id < b_id convention. The measured path is the SHIPPED pair
-    // table ([[minhashPairsStore]]) — the materialization the dedup
-    // pipeline published, never rebuilt differently for the eval.
-    // Precision needs no measurement: candidates are exact-verified, so
-    // it is 1 by construction. Recall over a hash sample is an unbiased
-    // estimate of corpus recall (anchors are chosen independently of
-    // content). The size-ratio prune on the truth join is jac-implied
-    // (jac ≥ 0.8 forces |A|,|B| within 4/5), so the simpler oracle
-    // without it agrees exactly. -------------------------------------------
+    // is computed only for a FIXED-COUNT anchor set — the ANCHOR_N
+    // documents with the smallest (sampleKey, doc_id) hash rank, a
+    // deterministic uniform sample whose SIZE does not grow with the
+    // corpus (a fixed-RATE sample like "sampleKey % 20" would make the
+    // anchor broadcast corpus-proportional and kill the driver at
+    // 100 TB; rank ≤ N plans as TakeOrderedAndProject, constant driver
+    // state, constant eval cost at any corpus size). Truth per anchor is
+    // one broadcast probe of the corpus — O(N·n) where the old
+    // per-language exhaustive join was O(n²) within each band. An anchor
+    // pair (both endpoints anchored) is emitted once, from its smaller
+    // endpoint — the b side carries an anchor flag from a broadcast
+    // left-join against the same rank set; anchor/non-anchor pairs
+    // always emit from the anchor, normalized to (min,max) id order to
+    // meet minhashPairs' a_id < b_id convention. The measured path is
+    // the SHIPPED pair table ([[minhashPairsStore]]) — the
+    // materialization the dedup pipeline published, never rebuilt
+    // differently for the eval. Precision needs no measurement:
+    // candidates are exact-verified, so it is 1 by construction. Recall
+    // over a hash-rank sample is an unbiased estimate of corpus recall
+    // (anchors are chosen independently of content; at fixture scale
+    // N ≥ |docs| so the estimate is exact). The size-ratio prune on the
+    // truth join is jac-implied (jac ≥ 0.8 forces |A|,|B| within 4/5),
+    // so the simpler oracle without it agrees exactly. ---------------------
     "lsh_recall_eval" -> ((s, dir) => {
-      def anchor(id: Column) = TextOps.sampleKey(id) % 20 === 0
       val t = tokenSets(s, dir).cache()
-      val anchors = t.filter(anchor(col("doc_id")))
+      val anchors = t
         .select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
           col("th").as("a_th"), col("n").as("a_n"))
+        .orderBy(TextOps.sampleKey(col("a_id")), col("a_id"))
+        .limit(ANCHOR_N)
+      val bFlag = anchors.select(col("a_id").as("b_id"))
+        .withColumn("b_anchor", lit(true))
       val corpus = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
         col("th").as("b_th"), col("n").as("b_n"))
         .repartition(s.sessionState.conf.numShufflePartitions)
+        .join(broadcast(bFlag), Seq("b_id"), "left_outer")
+        .withColumn("b_anchor", coalesce(col("b_anchor"), lit(false)))
       val truth = corpus.join(broadcast(anchors),
         col("a_lang") === col("b_lang") && col("a_id") =!= col("b_id") &&
-          (col("a_id") < col("b_id") || !anchor(col("b_id"))) &&
+          (col("a_id") < col("b_id") || !col("b_anchor")) &&
           col("a_n") * 5 >= col("b_n") * 4 && col("b_n") * 5 >= col("a_n") * 4)
         .filter(graft.expressions.JaccardSimilarity.jaccardSimSorted(
           col("a_th"), col("b_th")) >= MINHASH_VERIFY_T)
@@ -1155,14 +1172,19 @@ object TextQueries extends QueryPack {
          |  JOIN hashed ta ON ta.doc_id = c.a_id
          |  JOIN hashed tb ON tb.doc_id = c.b_id
          |  WHERE ${jacSql("ta.hs", "tb.hs")} >= $MINHASH_VERIFY_T
+         |), aset AS (
+         |  SELECT doc_id FROM hashed
+         |  ORDER BY (${TextOps.SAMPLE_KEY_SQL("doc_id")}), doc_id
+         |  LIMIT $ANCHOR_N
          |), truth AS (
          |  SELECT least(a.doc_id, b.doc_id) AS a_id,
          |         greatest(a.doc_id, b.doc_id) AS b_id
-         |  FROM hashed a JOIN hashed b
+         |  FROM hashed a
+         |  JOIN aset s ON a.doc_id = s.doc_id
+         |  JOIN hashed b
          |    ON a.lang = b.lang AND a.doc_id <> b.doc_id
-         |    AND (${TextOps.SAMPLE_KEY_SQL("a.doc_id")}) % 20 = 0
          |    AND (a.doc_id < b.doc_id
-         |         OR (${TextOps.SAMPLE_KEY_SQL("b.doc_id")}) % 20 <> 0)
+         |         OR b.doc_id NOT IN (SELECT doc_id FROM aset))
          |  WHERE ${jacSql("a.hs", "b.hs")} >= $MINHASH_VERIFY_T
          |), n AS (SELECT count(*) AS n_truth FROM truth),
          |h AS (

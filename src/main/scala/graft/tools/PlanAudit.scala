@@ -93,6 +93,31 @@ object PlanAudit {
     "filter_latest_metric", "filter_time_window", "limit_head_n",
     "retention_delete", "retention_ttl")
 
+  /** Queries whose broadcast hints are REVIEWED exceptions to the
+    * bounded-hint rule ([[BroadcastBound]]) — each with the reason the
+    * hint is safe despite an SF-proportional subtree. Same fail-closed
+    * discipline as [[UNPUSHED_OK]]: a new unbounded hint fails the
+    * audit until reviewed and waived here.
+    *
+    *  - LshJoin consumers: `LshJoin.candidateJoin`/`verifyJoin` choose
+    *    broadcast ONLY when the optimizer's size estimate of the banded
+    *    table fits the session broadcast threshold
+    *    (`LshJoin.fitsBroadcast`); above it the plan switches to the
+    *    salted shuffle. The hint the audit sees at test SF is the
+    *    small-side branch of a runtime size gate, not a forced shape.
+    *  - join_broadcast: the broadcast-hash-join demonstration query —
+    *    its PURPOSE is the hinted plan (the shuffle twin is
+    *    join_shuffle), mirroring join_skew_salted's deliberate skew
+    *    shapes. */
+  private[graft] def broadcastOk(name: String): Boolean =
+    BROADCAST_OK.contains(name)
+
+  private val BROADCAST_OK: Map[String, String] = Map(
+    "join_broadcast" -> "deliberate BHJ physical-plan demo",
+    "dedup_minhash_lsh" -> "LshJoin size-gated (salted-shuffle fallback)",
+    "dedup_shingle_jaccard" -> "LshJoin size-gated (salted-shuffle fallback)",
+    "multimodal_phash_neardup" -> "LshJoin size-gated (salted-shuffle fallback)")
+
   /** Asserted read widths: query -> table -> max columns the scan may
     * read. Populated for the headline/asserted paths; the audit fails
     * if the scan's ReadSchema exceeds the expectation. */
@@ -159,9 +184,17 @@ object PlanAudit {
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
       .flatMap { case (name, fn) =>
         try {
+          val qe = fn(spark, sfDir).queryExecution
+          // Bounded-hint rule: every broadcast hint in the ANALYZED plan
+          // must sit on a subtree provably bounded independent of SF.
+          if (!BROADCAST_OK.contains(name))
+            BroadcastBound.audit(qe.analyzed).foreach { case (_, offense) =>
+              if (offense.nonEmpty)
+                violations += f"$name%-28s ${"<hint>"}%-12s BROADCAST: $offense"
+            }
           // sparkPlan (pre-AQE): AdaptiveSparkPlanExec hides children from
           // collect, and the audit wants the statically-planned shapes.
-          val plan = fn(spark, sfDir).queryExecution.sparkPlan
+          val plan = qe.sparkPlan
           // No codegen-span column: WholeStageCodegen collapse happens
           // per-stage under AQE at runtime, so the static plan can't
           // report it honestly.

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.BroadcastBound
+
+/** The bounded-hint rule itself (tools.BroadcastBound): the PlanAudit
+  * extension must FLAG a broadcast hint on anything that grows with SF
+  * and ACCEPT the bounded shapes the registry legitimately hints. Both
+  * directions matter — a detector that never fires would let the next
+  * forced-broadcast regression through silently (the r9 verdict's top
+  * finding), so the positive cases here are the proof it bites.
+  */
+class BroadcastBoundSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def offenses(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    BroadcastBound.audit(df.queryExecution.analyzed).map(_._2).filter(_.nonEmpty)
+
+  private def docs = graft.model.Tables.documents(spark, sf)
+  private def emb = graft.model.Tables.embeddings(spark, sf)
+
+  test("flags a hint on a raw corpus scan") {
+    val df = docs.join(broadcast(docs.select(col("doc_id"))), "doc_id")
+    assert(offenses(df).exists(_.contains("UNBOUNDED")),
+      "a broadcast of a corpus-proportional scan must be flagged")
+  }
+
+  test("flags a hint on a per-unique-key aggregate (the q17 shape)") {
+    val perDoc = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val df = docs.join(broadcast(perDoc), "doc_id")
+    assert(offenses(df).exists(_.contains("UNBOUNDED")),
+      "a per-doc aggregate grows with the corpus; its hint must be flagged")
+  }
+
+  test("flags a hint on a rate-sampled slice (the old anchor/codebook shape)") {
+    val rate = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val df = emb.crossJoin(broadcast(rate.select(col("embedding").as("c"))))
+    assert(offenses(df).exists(_.contains("UNBOUNDED")),
+      "a modulo-rate sample is a fixed FRACTION of the corpus — unbounded")
+  }
+
+  test("accepts a scalar reduction") {
+    val total = docs.agg(count(lit(1)).as("n"))
+    assert(offenses(docs.crossJoin(broadcast(total))).isEmpty)
+  }
+
+  test("accepts a bounded-domain group aggregate") {
+    val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    assert(offenses(docs.join(broadcast(bySrc), "source")).isEmpty)
+  }
+
+  test("accepts a top-N (the fixed-count anchor shape)") {
+    val top = docs.orderBy(col("doc_id")).limit(1024).select(col("doc_id"))
+    assert(offenses(docs.join(broadcast(top), "doc_id")).isEmpty)
+  }
+
+  test("accepts a capped unique-key slice (the codebook-seed shape)") {
+    val seeds = emb
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < 6400L)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    assert(offenses(emb.crossJoin(broadcast(seeds))).isEmpty)
+  }
+
+  test("accepts the true dims (nation/region leaves)") {
+    val nat = graft.model.Tables.nation(spark, sf)
+    val reg = graft.model.Tables.region(spark, sf)
+    val df = nat.join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(nat.select(col("n_nationkey").as("k2"))),
+        col("n_nationkey") === col("k2"))
+    assert(offenses(df).isEmpty)
+  }
+
+  test("a grouped aggregate whose column is pinned by an IN filter is bounded") {
+    val tf = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").isin("alpha", "beta", "gamma"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    assert(offenses(docs.crossJoin(broadcast(tf))).isEmpty,
+      "bm25's fixed-query-term dfreq shape must pass")
+  }
+
+  test("the registry itself is hint-clean (the PlanAudit gate, in-suite)") {
+    // The same walk PlanAudit.main does, minus its process exit: every
+    // registered query's analyzed plan must carry no unbounded hint
+    // outside the reviewed allowlist.
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => tools.PlanAudit.broadcastOk(n) }
+      .flatMap { case (name, fn) =>
+        val off =
+          try offenses(fn(spark, sf)) catch { case _: Throwable => Nil }
+        off.map(o => s"$name: $o")
+      }
+    assert(bad.isEmpty, s"unbounded broadcast hints:\n${bad.mkString("\n")}")
+  }
+}

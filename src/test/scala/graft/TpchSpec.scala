@@ -52,7 +52,7 @@ class TpchSpec extends AnyFunSuite {
   private def broadcastHints(name: String) =
     SparkEntry.queries(name)(spark, sf).queryExecution.analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-          if h.hints.strategy.exists(_.toString.contains("BROADCAST")) => h
+          if h.hints.strategy.exists(_.toString.toUpperCase.contains("BROADCAST")) => h
     }
 
   test("tpch_q10_returns plan: both filters push pre-join, top-20 is TakeOrdered") {

@@ -3,29 +3,57 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Scaling-curve probe (dev tool, not part of the driver contract): runs
-  * the historically slowest registry queries at two scale factors and
-  * checks that wall time grows no worse than ~linearly in the size of the
-  * query's driving table. A query whose time ratio exceeds the data ratio
-  * by more than SLACK is flagged SUPERLINEAR — the early-warning signal
-  * for the next corpus_curation_pipeline-style blowup (that one went
-  * quadratic silently and cost a full round to find).
+  * registry queries at two scale factors and checks that wall time grows
+  * no worse than ~linearly in the size of the query's driving tables. A
+  * query whose time ratio exceeds the data ratio by more than SLACK is
+  * flagged SUPERLINEAR — the early-warning signal for the next
+  * corpus_curation_pipeline-style blowup (that one went quadratic
+  * silently and cost a full round to find).
   *
-  * Method: per query, one untimed warm pass at the SMALL sf (codegen +
-  * JIT), then `reps` timed runs at each sf keeping the MINIMUM (the
+  * r10: the probe covers the FULL registry by default. Driving tables
+  * are no longer a hand-kept list — each query's analyzed plan is
+  * walked for its parquet/CSV leaves, store scans are attributed to
+  * their source table via [[StoreSource]], and the query's data ratio
+  * is the MAX ratio over its inputs (a linear query driven by its
+  * fastest-growing input scales at that input's rate; max is the
+  * lenient bound, so a flag means genuinely superlinear). The legacy
+  * hand mappings are kept only as a fallback for plans whose
+  * construction fails before analysis.
+  *
+  * Method: per query, one untimed warm pass at sf0.001 (codegen + JIT),
+  * then `reps` timed runs at each sf keeping the MINIMUM (the
   * stable-floor estimator — min is far less noisy than mean under GC /
   * scheduling jitter at these sub-second magnitudes). Queries faster than
   * MIN_SECS at the big sf are reported but never flagged: at that
   * magnitude task-launch overhead dominates and a ratio is meaningless.
   *
   * Usage: runMain graft.tools.ScalingProbe [smallDir bigDir [q1,q2,...]]
+  * Env:   SCALING_JSON_OUT=<path> additionally writes the full row set
+  *        as a JSON artifact (the SCALING_r{N}.json the judge reads).
   */
 object ScalingProbe {
 
+  /** Derived-store roots → the source table whose cardinality drives
+    * them (store row counts are build outputs of that table). */
+  private val StoreSource: Map[String, String] = Map(
+    "graft_ann_index" -> "embeddings",
+    "graft_pca_basis" -> "embeddings",
+    "graft_rag_store" -> "documents",
+    "graft_bm25_scores" -> "documents",
+    "graft_cluster_labels" -> "documents",
+    "graft_minhash_pairs" -> "documents",
+    "graft_neardup_pairs" -> "documents",
+    "graft_entropy_corpus" -> "documents",
+    "graft_pmi_corpus" -> "documents",
+    "graft_temp_mix_corpus" -> "documents",
+    "graft_scan_history" -> "events",
+    "graft_store_parts" -> "events",
+    "graft_bucketed" -> "lineitem")
+
   /** The r8 warm-median top-cost queries, each with the table whose
-    * cardinality drives its cost — the probe computes the actual row
-    * ratio per driving table (embeddings historically scaled 4× where
-    * documents/events scaled 10×; one global ratio would mis-flag every
-    * vector query). */
+    * cardinality drives its cost — retained as the fallback mapping for
+    * queries whose plan construction fails (the probe then still uses a
+    * sensible ratio instead of crashing). */
   private val DefaultQueries: Seq[(String, String)] = Seq(
     "dedup_cluster_cc" -> "documents",
     "kmeans_lloyd_train" -> "embeddings",
@@ -93,28 +121,45 @@ object ScalingProbe {
     "tpch_q16_suppcnt" -> "lineitem",
     "tpch_q20_excess" -> "lineitem")
 
+  /** Canonical testdata tables (ratio denominators). */
+  private val Tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Input tables of one query, from its analyzed plan's file-source
+    * leaves: testdata scans by table name, store scans via
+    * [[StoreSource]]. */
+  private def inputTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          val root = h.location.rootPaths.headOption.map(_.toString).getOrElse("?")
+          val seg = root.split('/').reverse
+            .find(s => !s.startsWith("v_") && !s.contains("=") &&
+              !s.matches("sf[0-9.]+") && !s.matches("v\\d+"))
+            .getOrElse("?").stripSuffix(".parquet").stripSuffix(".csv")
+          StoreSource.get(seg).orElse(Some(seg).filter(Tables.contains))
+        case _ => None
+      }
+    }.flatten.toSet
+  }
+
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val big = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val tableOf = DefaultQueries.toMap ++ ExtraTables
-    val queries: Seq[(String, String)] =
-      if (args.length > 2)
-        args(2).split(",").toSeq.map { q =>
-          val t = tableOf.getOrElse(q, {
-            System.err.println(
-              s"[probe] WARNING: no driving-table mapping for '$q'; assuming documents")
-            "documents"
-          })
-          q -> t
-        }
-      else DefaultQueries
+    val fallback = DefaultQueries.toMap ++ ExtraTables
+    val names: Seq[String] =
+      if (args.length > 2) args(2).split(",").toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
     val reps = 2
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     def release(): Unit = graft.ops.SessionOps.dropCachedBlocks(spark)
 
@@ -133,32 +178,62 @@ object ScalingProbe {
     }
 
     val sizeRatio: Map[String, Double] =
-      queries.map(_._2).distinct.map { t =>
-        t -> rows(big, t).toDouble / rows(small, t).toDouble
-      }.toMap
+      Tables.map(t => t -> rows(big, t).toDouble / rows(small, t).toDouble).toMap
+    val maxRatio = sizeRatio.values.max
 
-    println(f"${"query"}%-24s ${"t_small"}%8s ${"t_big"}%8s ${"t_ratio"}%8s ${"d_ratio"}%8s  verdict")
+    println(f"${"query"}%-28s ${"t_small"}%8s ${"t_big"}%8s ${"t_ratio"}%8s ${"d_ratio"}%8s  verdict")
     var flagged = List.empty[String]
-    queries.foreach { case (q, table) =>
+    val jsonRows = scala.collection.mutable.ArrayBuffer[String]()
+    names.foreach { q =>
       try {
+        // warm pass at the tiniest SF: codegen + JIT off the clock
         graft.SparkEntry.queries(q)(spark, small.replaceAll("sf[0-9.]+/?$", "sf0.001")).count()
         release()
+        // driving ratio = max over the query's actual inputs at the BIG
+        // sf (store builds exist after the warm pass); unknown → the
+        // global max ratio (lenient: only flags the unambiguous).
+        val inputs =
+          try inputTables(graft.SparkEntry.queries(q)(spark, big))
+          catch { case _: Throwable => Set.empty[String] }
+        val dr =
+          if (inputs.nonEmpty) inputs.map(sizeRatio).max
+          else fallback.get(q).map(sizeRatio).getOrElse(maxRatio)
         val ts = time(q, small)
         val tb = time(q, big)
         val tr = tb / ts
-        val dr = sizeRatio(table)
         val verdict =
           if (tb < MIN_SECS) "ok (below noise floor)"
           else if (tr > SLACK * dr) { flagged ::= q; "SUPERLINEAR" }
           else "ok"
-        println(f"$q%-24s $ts%8.2f $tb%8.2f $tr%8.2f $dr%8.1f  $verdict")
+        println(f"$q%-28s $ts%8.2f $tb%8.2f $tr%8.2f $dr%8.1f  $verdict")
+        jsonRows += s"""{"query":"$q","t_small":${f"$ts%.3f"},"t_big":${f"$tb%.3f"},""" +
+          s""""t_ratio":${f"$tr%.2f"},"d_ratio":${f"$dr%.1f"},""" +
+          s""""inputs":[${inputs.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""verdict":"${if (verdict.startsWith("SUPER")) "SUPERLINEAR"
+            else if (tb < MIN_SECS) "noise_floor" else "ok"}"}"""
       } catch {
-        case e: Throwable => println(f"$q%-24s ERROR ${e.getMessage.take(60)}")
+        case e: Throwable =>
+          println(f"$q%-28s ERROR ${String.valueOf(e.getMessage).take(60)}")
+          jsonRows += s"""{"query":"$q","error":${ujsonStr(String.valueOf(e.getMessage).take(200))}}"""
       }
     }
     if (flagged.nonEmpty)
       println(s"SUPERLINEAR: ${flagged.reverse.mkString(", ")}")
     else println("SUPERLINEAR: none")
+    sys.env.get("SCALING_JSON_OUT").foreach { out =>
+      val body = s"""{"small":"$small","big":"$big","slack":$SLACK,""" +
+        s""""min_secs":$MIN_SECS,"n":${jsonRows.size},""" +
+        s""""superlinear":[${flagged.reverse.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""rows":[${jsonRows.mkString(",")}]}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        body.getBytes("UTF-8"))
+      println(s"[probe] wrote $out")
+    }
     spark.stop()
+    if (flagged.nonEmpty) sys.exit(1)
   }
+
+  private def ujsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
 }

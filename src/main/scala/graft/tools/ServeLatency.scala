@@ -60,13 +60,15 @@ object ServeLatency {
       " compile + execution in THIS forked JVM = cold serve)")
 
     val sf = sfDir.split('/').last
+    val warmReps = 20
+    val jsonRows = scala.collection.mutable.ArrayBuffer[String]()
     for (q <- Seq("ann_serve_from_store", "rag_query_spec")) {
       val storeRoot = q match {
         case "ann_serve_from_store" => s"/tmp/graft_ann_index/$sf"
         case _ => s"/tmp/graft_rag_store/$sf"
       }
       var lastPlan: SparkPlan = null
-      val times = (1 to 3).map { _ =>
+      val times = (1 to (1 + warmReps)).map { _ =>
         val t0 = System.nanoTime()
         val df = graft.SparkEntry.queries(q)(spark, sfDir)
         df.collect()
@@ -75,9 +77,14 @@ object ServeLatency {
         spark.catalog.clearCache()
         secs
       }
+      val cold = times.head
+      val warm = times.drop(1).sorted
+      def pct(p: Double) = warm((p * (warm.size - 1)).round.toInt)
+      val (p50, p95) = (pct(0.50), pct(0.95))
       val onDisk = filesOnDisk(storeRoot)
       val scans = scanMetrics(lastPlan, storeRoot.split('/')(2))
-      println(f"[serve] $q%-22s cold=${times.head}%6.2f s warm=${times.drop(1).min}%6.2f s " +
+      println(f"[serve] $q%-22s cold=$cold%6.2f s warm_p50=$p50%6.3f s " +
+        f"warm_p95=$p95%6.3f s warm_min=${warm.head}%6.3f s " +
         s"store_files_read=${scans.map(_._1).sum} of $onDisk on disk " +
         s"(bytes=${scans.map(_._2).sum})")
       allNodes(lastPlan).collect {
@@ -86,6 +93,15 @@ object ServeLatency {
           println(s"[serve]   scan partitionFilters=${s.partitionFilters.mkString(";").take(200)}")
           println(s"[serve]   metrics=${s.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(" ").take(300)}")
       }
+      jsonRows += f"""{"query":"$q","cold_s":$cold%.3f,"warm_p50_s":$p50%.3f,""" +
+        f""""warm_p95_s":$p95%.3f,"warm_min_s":${warm.head}%.3f,"warm_reps":$warmReps,""" +
+        s""""store_files_read":${scans.map(_._1).sum},"store_files_on_disk":$onDisk,""" +
+        s""""store_bytes_read":${scans.map(_._2).sum}}"""
+    }
+    sys.env.get("SERVE_JSON_OUT").foreach { out =>
+      val body = s"""{"sf_dir":"$sfDir","note":"cold = first plan-compile+execute in a fresh forked JVM against the published on-disk store; warm percentiles over $warmReps reps in the same session","rows":[${jsonRows.mkString(",")}]}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(out), body.getBytes("UTF-8"))
+      println(s"[serve] wrote $out")
     }
     spark.stop()
   }

@@ -129,23 +129,31 @@ object BroadcastBound {
     bounds.minOption
   }
 
-  /** Value-domain cap a filter in `plan` pins onto column `name`
+  /** Value-domain cap a filter in `plan` pins onto attribute `attr`
     * (IN-list / equality over ANY column, not just unique keys — a
-    * grouping column filtered to literals has that many groups). */
-  private def filterDomain(name: String, plan: LogicalPlan): Option[Long] =
-    plan.collect { case f: Filter => conjuncts(f.condition) }.flatten.collectFirst {
-      case In(a, list) if attrName(a).contains(name) &&
-          list.forall(_.isInstanceOf[Literal]) => list.size.toLong
-      case EqualTo(a, l: Literal) if attrName(a).contains(name) => 1L
-      case EqualTo(l: Literal, a) if attrName(a).contains(name) => 1L
+    * grouping column filtered to literals has that many groups).
+    * Matched by exprId, not name: a same-named column from another join
+    * side must not leak its filter's bound onto this attribute. */
+  private def filterDomain(attr: AttributeReference,
+                           plan: LogicalPlan): Option[Long] = {
+    def sameRef(e: Expression): Boolean = stripCast(e) match {
+      case a: AttributeReference => a.exprId == attr.exprId
+      case _ => false
     }
+    plan.collect { case f: Filter => conjuncts(f.condition) }.flatten.collectFirst {
+      case In(a, list) if sameRef(a) &&
+          list.forall(_.isInstanceOf[Literal]) => list.size.toLong
+      case EqualTo(a, l: Literal) if sameRef(a) => 1L
+      case EqualTo(l: Literal, a) if sameRef(a) => 1L
+    }
+  }
 
   /** Domain size of one grouping expression over `child`. */
   private def domainOf(e: Expression, child: LogicalPlan): Option[Long] =
     stripCast(e) match {
       case a: AttributeReference =>
         BOUNDED_COLS.get(a.name)
-          .orElse(filterDomain(a.name, child))
+          .orElse(filterDomain(a, child))
           .orElse(if (a.dataType == BooleanType) Some(2L) else None)
       case _: Year => Some(200L) // bounded calendar range
       case _: Month => Some(12L)

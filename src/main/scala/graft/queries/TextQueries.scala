@@ -29,9 +29,10 @@ object TextQueries extends QueryPack {
   /** lsh_recall_eval's anchor budget: a fixed COUNT (the ANCHOR_N
     * smallest (sampleKey, doc_id) hash ranks), never a fixed rate — a
     * rate-sampled anchor set grows with the corpus and its broadcast
-    * would be corpus-proportional at 100 TB. At fixture scale
-    * N ≥ |documents|, so every document anchors and the recall estimate
-    * is exact. */
+    * would be corpus-proportional at 100 TB. At the ORACLE fixture
+    * (sf0.01, 500 docs) N ≥ |documents| so every document anchors and
+    * the recall estimate is exact; at sf0.1 (5000 docs) and beyond it
+    * is a 1024-anchor unbiased sample. */
   private val ANCHOR_N = 1024
   /** Fixed PageRank round count — the cross-engine contract for
     * pagerank_canonical (the oracle unrolls exactly this many). */
@@ -672,8 +673,9 @@ object TextQueries extends QueryPack {
     // differently for the eval. Precision needs no measurement:
     // candidates are exact-verified, so it is 1 by construction. Recall
     // over a hash-rank sample is an unbiased estimate of corpus recall
-    // (anchors are chosen independently of content; at fixture scale
-    // N ≥ |docs| so the estimate is exact). The size-ratio prune on the
+    // (anchors are chosen independently of content; at the sf0.01
+    // oracle fixture N ≥ |docs| so the estimate is exact there). The
+    // size-ratio prune on the
     // truth join is jac-implied (jac ≥ 0.8 forces |A|,|B| within 4/5),
     // so the simpler oracle without it agrees exactly. ---------------------
     "lsh_recall_eval" -> ((s, dir) => {

@@ -42,6 +42,14 @@ import org.apache.spark.sql.types.BooleanType
   * audit until it is either expressible in a provable shape or
   * explicitly waived in [[PlanAudit.BROADCAST_OK]] with a reason (the
   * UNPUSHED_OK review discipline applied to hints).
+  *
+  * Blind spot and its patch: `localCheckpoint()` during query
+  * CONSTRUCTION truncates lineage to a LogicalRDD, hiding any hint in
+  * the checkpointed segment from the final analyzed plan. The
+  * [[ExecutionAuditListener]] closes that hole by auditing the analyzed
+  * plan of every query the session EXECUTES (checkpoint segments run as
+  * their own executions) — PlanAudit and BroadcastBoundSpec both
+  * register it alongside the top-level walk.
   */
 object BroadcastBound {
 
@@ -54,7 +62,16 @@ object BroadcastBound {
   /** Columns whose value domain is bounded by the WORLD, not the
     * corpus: more data means more rows per value, never more values.
     * Domain sizes are generous caps, only multiplied against each
-    * other, so slack is harmless under [[CAP]]. */
+    * other, so slack is harmless under [[CAP]].
+    *
+    * This is a NAME convention, deliberately: the engine reserves these
+    * names for bounded domains (c_id/code descend from the capped seed
+    * filters, s is the subspace index, event_type/source/lang are fixed
+    * vocabularies). A query that aliased an UNBOUNDED key onto one of
+    * these names would false-pass — the residual risk of any name-based
+    * rule — so additions here require the same review as a
+    * BROADCAST_OK waiver, and the generic single-letter entries stay
+    * minimal. */
   private val BOUNDED_COLS: Map[String, Long] = Map(
     "event_type" -> 16L, // fixed product event vocabulary
     "source" -> 16L, // fixed source-system list
@@ -204,11 +221,21 @@ object BroadcastBound {
         case (Some(a), Some(b)) => Some(math.min(a, b))
         case (a, b) => a.orElse(b)
       }
-    case j: Join => j.joinType match {
-      case org.apache.spark.sql.catalyst.plans.LeftSemi |
-          org.apache.spark.sql.catalyst.plans.LeftAnti => boundOf(j.left)
-      case _ => product(Seq(boundOf(j.left), boundOf(j.right)))
-    }
+    case j: Join =>
+      import org.apache.spark.sql.catalyst.plans._
+      val (l, r) = (boundOf(j.left), boundOf(j.right))
+      j.joinType match {
+        case LeftSemi | LeftAnti => l
+        // Outer joins emit unmatched rows BEYOND the match product, so
+        // the true upper bound adds the unmatched side(s) — an inner
+        // product alone would under-bound (e.g. full outer of disjoint
+        // 1-row sides emits 2, not 1).
+        case LeftOuter => product(Seq(l, r)).flatMap(p => l.map(p + _))
+        case RightOuter => product(Seq(l, r)).flatMap(p => r.map(p + _))
+        case FullOuter =>
+          for (p <- product(Seq(l, r)); a <- l; b <- r) yield p + a + b
+        case _ => product(Seq(l, r))
+      }
     case u: Union =>
       u.children.map(boundOf).foldLeft(Option(0L)) {
         case (Some(a), Some(b)) => Some(a + b)
@@ -225,15 +252,22 @@ object BroadcastBound {
     case lr: LogicalRelation => lr.relation match {
       case h: HadoopFsRelation =>
         val root = h.location.rootPaths.headOption.map(_.toString).getOrElse("?")
-        val table = root.split('/').reverse
-          .find(seg => !seg.startsWith("v_") && !seg.contains("=") &&
-            !seg.matches("sf[0-9.]+"))
-          .getOrElse("?").stripSuffix(".parquet")
-        TABLE_BOUNDS.get(table)
+        TABLE_BOUNDS.get(tableFromRoot(root))
       case _ => None
     }
     case _ => None
   }
+
+  /** Canonical table name from a file-scan root path — ONE parser shared
+    * by every tool that attributes scans to tables (this estimator,
+    * [[ScalingProbe]]'s driving-table derivation, [[PlanAudit.scanStats]]):
+    * skip version dirs (`v_<fp>_m<mtime>`, `v3`-style), partition dirs
+    * (`k=v`), and SF suffix dirs; strip the format extension. */
+  private[tools] def tableFromRoot(root: String): String =
+    root.split('/').reverse
+      .find(seg => !seg.startsWith("v_") && !seg.contains("=") &&
+        !seg.matches("sf[0-9.]+") && !seg.matches("v\\d+"))
+      .getOrElse("?").stripSuffix(".parquet").stripSuffix(".csv")
 
   /** Broadcast-hinted subtrees of an analyzed plan with their bound
     * verdicts: (bound, description-of-offense) per hint; empty seq =
@@ -258,4 +292,44 @@ object BroadcastBound {
             s"UNBOUNDED hint (leaves: ${leaves.mkString(",").take(80)})"
         })
     }
+
+  /** Sub-execution capture: `localCheckpoint()` (and any other eager
+    * action taken DURING query construction — store builds, driver-side
+    * probe collects) truncates lineage to a LogicalRDD, so a hint inside
+    * the checkpointed segment is INVISIBLE in the final analyzed plan —
+    * the one blind spot of [[audit]]. This listener closes it: every
+    * query Spark executes on the session gets its OWN analyzed plan
+    * audited at execution time, checkpoint segments included. The
+    * listener bus is asynchronous, so labels are best-effort (set the
+    * label before constructing each query; a violation reported under a
+    * neighboring label still fails the gate) and callers must allow the
+    * bus to drain (see [[drainWait]]) before reading [[hits]]. */
+  final class ExecutionAuditListener
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    private val labelRef = new java.util.concurrent.atomic.AtomicReference[String]("?")
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    def setLabel(l: String): Unit = labelRef.set(l)
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      try audit(qe.analyzed).foreach { case (_, off) =>
+        if (off.nonEmpty) hits.add((labelRef.get(), off))
+      } catch { case _: Throwable => () }
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        error: Exception): Unit = ()
+  }
+
+  /** Crude-but-sufficient bus drain for a dev tool / spec: sleep in
+    * slices until `stable` consecutive polls of the hit count agree. */
+  def drainWait(l: ExecutionAuditListener, millis: Long = 3000L): Unit = {
+    var last = -1
+    var stable = 0
+    val deadline = System.currentTimeMillis() + millis
+    while (stable < 3 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      val n = l.hits.size
+      if (n == last) stable += 1 else { stable = 0; last = n }
+    }
+  }
 }

@@ -93,30 +93,33 @@ object PlanAudit {
     "filter_latest_metric", "filter_time_window", "limit_head_n",
     "retention_delete", "retention_ttl")
 
-  /** Queries whose broadcast hints are REVIEWED exceptions to the
-    * bounded-hint rule ([[BroadcastBound]]) — each with the reason the
-    * hint is safe despite an SF-proportional subtree. Same fail-closed
-    * discipline as [[UNPUSHED_OK]]: a new unbounded hint fails the
-    * audit until reviewed and waived here.
+  /** Queries with REVIEWED exceptions to the bounded-hint rule
+    * ([[BroadcastBound]]) — each entry is (max waived unbounded hints,
+    * reason). The waiver is COUNTED, not blanket: a listed query may
+    * carry at most that many unbounded hints (the specific reviewed
+    * sites); one more — a new forced broadcast added later — still
+    * fails the audit. Same fail-closed discipline as [[UNPUSHED_OK]].
     *
     *  - LshJoin consumers: `LshJoin.candidateJoin`/`verifyJoin` choose
     *    broadcast ONLY when the optimizer's size estimate of the banded
     *    table fits the session broadcast threshold
     *    (`LshJoin.fitsBroadcast`); above it the plan switches to the
-    *    salted shuffle. The hint the audit sees at test SF is the
-    *    small-side branch of a runtime size gate, not a forced shape.
+    *    salted shuffle. The hints the audit sees at test SF are the
+    *    small-side branch of a runtime size gate, not forced shapes —
+    *    up to 3 per consumer (banded self-join build + the two verify
+    *    token-set lookups).
     *  - join_broadcast: the broadcast-hash-join demonstration query —
     *    its PURPOSE is the hinted plan (the shuffle twin is
     *    join_shuffle), mirroring join_skew_salted's deliberate skew
-    *    shapes. */
-  private[graft] def broadcastOk(name: String): Boolean =
-    BROADCAST_OK.contains(name)
+    *    shapes. One hint. */
+  private[graft] def maxWaivedHints(name: String): Int =
+    BROADCAST_OK.get(name).map(_._1).getOrElse(0)
 
-  private val BROADCAST_OK: Map[String, String] = Map(
-    "join_broadcast" -> "deliberate BHJ physical-plan demo",
-    "dedup_minhash_lsh" -> "LshJoin size-gated (salted-shuffle fallback)",
-    "dedup_shingle_jaccard" -> "LshJoin size-gated (salted-shuffle fallback)",
-    "multimodal_phash_neardup" -> "LshJoin size-gated (salted-shuffle fallback)")
+  private val BROADCAST_OK: Map[String, (Int, String)] = Map(
+    "join_broadcast" -> (1, "deliberate BHJ physical-plan demo"),
+    "dedup_minhash_lsh" -> (3, "LshJoin size-gated (salted-shuffle fallback)"),
+    "dedup_shingle_jaccard" -> (3, "LshJoin size-gated (salted-shuffle fallback)"),
+    "multimodal_phash_neardup" -> (3, "LshJoin size-gated (salted-shuffle fallback)"))
 
   /** Asserted read widths: query -> table -> max columns the scan may
     * read. Populated for the headline/asserted paths; the audit fails
@@ -145,10 +148,7 @@ object PlanAudit {
           if s.relation.fileFormat.toString.contains("Parquet") =>
         val root = s.relation.location.rootPaths.headOption
           .map(_.toString).getOrElse("?")
-        val table = root.split('/').reverse
-          .find(seg => !seg.startsWith("v_") && !seg.contains("=") &&
-            !seg.matches("sf[0-9.]+"))
-          .getOrElse("?").stripSuffix(".parquet")
+        val table = BroadcastBound.tableFromRoot(root)
         val pushed = s.metadata.getOrElse("PushedFilters", "[]")
         // Count TOP-LEVEL commas only: a single filter's rendering can
         // itself contain commas — Not(EqualTo(event_type,error)) is one
@@ -180,17 +180,34 @@ object PlanAudit {
     val only = if (args.nonEmpty) args.flatMap(_.split(',')).toSet else Set.empty[String]
     var cartesians = 0
     val violations = scala.collection.mutable.ArrayBuffer[String]()
-    val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
+    // Prewarm pass, UN-audited: first construction triggers one-time
+    // derived-store builds (whose LshJoin broadcasts are the reviewed
+    // size-gated pattern); warming them first makes the audited pass
+    // deterministic cold-vs-warm. localCheckpoint segments re-execute
+    // on every construction, so the audited pass still sees them.
+    selected.foreach { case (_, fn) =>
+      try { fn(spark, sfDir); () } catch { case _: Throwable => () }
+    }
+    // Sub-execution audit (the localCheckpoint blind spot): every query
+    // the session executes during construction gets its analyzed plan
+    // audited too — see BroadcastBound.ExecutionAuditListener.
+    val listener = new BroadcastBound.ExecutionAuditListener
+    spark.listenerManager.register(listener)
+    val rows = selected
       .flatMap { case (name, fn) =>
         try {
+          listener.setLabel(name)
           val qe = fn(spark, sfDir).queryExecution
           // Bounded-hint rule: every broadcast hint in the ANALYZED plan
-          // must sit on a subtree provably bounded independent of SF.
-          if (!BROADCAST_OK.contains(name))
-            BroadcastBound.audit(qe.analyzed).foreach { case (_, offense) =>
-              if (offense.nonEmpty)
-                violations += f"$name%-28s ${"<hint>"}%-12s BROADCAST: $offense"
+          // must sit on a subtree provably bounded independent of SF —
+          // at most the reviewed count of waived hints per query.
+          val offenses = BroadcastBound.audit(qe.analyzed)
+            .map(_._2).filter(_.nonEmpty)
+          if (offenses.size > maxWaivedHints(name))
+            offenses.foreach { offense =>
+              violations += f"$name%-28s ${"<hint>"}%-12s BROADCAST: $offense"
             }
           // sparkPlan (pre-AQE): AdaptiveSparkPlanExec hides children from
           // collect, and the audit wants the statically-planned shapes.
@@ -227,6 +244,19 @@ object PlanAudit {
             None
         }
       }
+    // Fold in the sub-execution (checkpoint-segment) hint findings,
+    // honoring each label's waived-hint budget the same way; the
+    // prewarmed store builds never re-fire here, so the count is the
+    // checkpoint segments' own hints.
+    BroadcastBound.drainWait(listener)
+    spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    listener.hits.asScala.toSeq.groupBy(_._1).foreach { case (label, hs) =>
+      if (hs.size > maxWaivedHints(label))
+        hs.foreach { case (_, off) =>
+          violations += f"$label%-28s ${"<sub-exec>"}%-12s BROADCAST: $off"
+        }
+    }
     println(f"${"query"}%-28s ${"cart"}%5s ${"bnlj"}%5s ${"shuf"}%5s")
     rows.foreach { case (n, c, b, e) =>
       if (c > 0 || b > 0 || e >= 6)

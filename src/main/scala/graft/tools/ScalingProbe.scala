@@ -134,10 +134,7 @@ object ScalingProbe {
       case lr: LogicalRelation => lr.relation match {
         case h: HadoopFsRelation =>
           val root = h.location.rootPaths.headOption.map(_.toString).getOrElse("?")
-          val seg = root.split('/').reverse
-            .find(s => !s.startsWith("v_") && !s.contains("=") &&
-              !s.matches("sf[0-9.]+") && !s.matches("v\\d+"))
-            .getOrElse("?").stripSuffix(".parquet").stripSuffix(".csv")
+          val seg = BroadcastBound.tableFromRoot(root)
           StoreSource.get(seg).orElse(Some(seg).filter(Tables.contains))
         case _ => None
       }

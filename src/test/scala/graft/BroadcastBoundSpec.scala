@@ -82,17 +82,49 @@ class BroadcastBoundSpec extends AnyFunSuite {
       "bm25's fixed-query-term dfreq shape must pass")
   }
 
+  test("listener audit catches a hint hidden behind localCheckpoint") {
+    // localCheckpoint truncates lineage, so the TOP-LEVEL analyzed plan
+    // of the checkpointed frame carries no hint — the blind spot. The
+    // ExecutionAuditListener must still flag it, because the checkpoint
+    // segment executes as its own query with its own analyzed plan.
+    val l = new BroadcastBound.ExecutionAuditListener
+    l.setLabel("checkpoint-hidden")
+    spark.listenerManager.register(l)
+    try {
+      val hidden = docs
+        .join(broadcast(docs.select(col("doc_id"))), "doc_id")
+        .localCheckpoint()
+      assert(offenses(hidden).isEmpty,
+        "top-level plan must be blind to the checkpointed hint (the premise)")
+      BroadcastBound.drainWait(l, 10000L)
+      import scala.jdk.CollectionConverters._
+      assert(l.hits.asScala.exists(_._2.contains("UNBOUNDED")),
+        "the listener must see the hint inside the checkpoint's own execution")
+      hidden.unpersist(blocking = false)
+      ()
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("the registry itself is hint-clean (the PlanAudit gate, in-suite)") {
     // The same walk PlanAudit.main does, minus its process exit: every
     // registered query's analyzed plan must carry no unbounded hint
-    // outside the reviewed allowlist.
+    // beyond its reviewed waived-hint budget — and a query that fails
+    // to CONSTRUCT is a failure, not a vacuous pass.
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (n, _) => tools.PlanAudit.broadcastOk(n) }
       .flatMap { case (name, fn) =>
         val off =
-          try offenses(fn(spark, sf)) catch { case _: Throwable => Nil }
-        off.map(o => s"$name: $o")
+          try offenses(fn(spark, sf))
+          catch { case e: Throwable =>
+            errors += s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}"
+            Nil
+          }
+        if (off.size > tools.PlanAudit.maxWaivedHints(name))
+          off.map(o => s"$name: $o")
+        else Nil
       }
+    assert(errors.isEmpty,
+      s"queries failed to construct (never audited):\n${errors.mkString("\n")}")
     assert(bad.isEmpty, s"unbounded broadcast hints:\n${bad.mkString("\n")}")
   }
 }

@@ -242,7 +242,11 @@ object BroadcastBound {
         case _ => None
       }
     case g: Generate =>
-      product(Seq(boundOf(g.child), generatorBound(g.generator)))
+      // outer generate emits the input row even when the generator is
+      // empty, so its multiplier never drops below 1.
+      val gb = generatorBound(g.generator)
+        .map(n => if (g.outer) math.max(1L, n) else n)
+      product(Seq(boundOf(g.child), gb))
     case h: ResolvedHint => boundOf(h.child)
     case pr: Project => boundOf(pr.child)
     case s: SubqueryAlias => boundOf(s.child)

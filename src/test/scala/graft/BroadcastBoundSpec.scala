@@ -82,6 +82,26 @@ class BroadcastBoundSpec extends AnyFunSuite {
       "bm25's fixed-query-term dfreq shape must pass")
   }
 
+  test("boundOf soundness edges: outer joins add unmatched rows, explodes multiply") {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    def bound(df: org.apache.spark.sql.DataFrame): Option[Long] =
+      BroadcastBound.boundOf(df.queryExecution.analyzed: LogicalPlan)
+    val a = emb.filter(col("vec_id") < 3).select(col("vec_id").as("k"))
+    val b = emb.filter(col("vec_id") < 5).select(col("vec_id").as("k2"))
+    // full outer upper bound must cover all-unmatched: 3*5 + 3 + 5
+    val fo = bound(a.join(b, col("k") === col("k2"), "full_outer"))
+    assert(fo.exists(_ >= 8), s"full-outer bound must include unmatched rows, got $fo")
+    // explode of a literal sequence multiplies the child bound
+    val ex = bound(a.select(col("k"),
+      explode(org.apache.spark.sql.functions.sequence(lit(0), lit(3))).as("s")))
+    assert(ex.contains(12L), s"explode(0..3) over 3 rows must bound 12, got $ex")
+    // a non-literal limit cannot prove a bound -> unbounded (safe side):
+    // the analyzed plan of limit(n) always carries a literal, so instead
+    // pin the conservative default on an unrecognized shape — a raw
+    // corpus scan has no bound at all.
+    assert(bound(docs).isEmpty, "a corpus scan must be unbounded")
+  }
+
   test("listener audit catches a hint hidden behind localCheckpoint") {
     // localCheckpoint truncates lineage, so the TOP-LEVEL analyzed plan
     // of the checkpointed frame carries no hint — the blind spot. The

@@ -129,10 +129,23 @@ class BroadcastBoundSpec extends AnyFunSuite {
     // The same walk PlanAudit.main does, minus its process exit: every
     // registered query's analyzed plan must carry no unbounded hint
     // beyond its reviewed waived-hint budget — and a query that fails
-    // to CONSTRUCT is a failure, not a vacuous pass.
+    // to CONSTRUCT is a failure, not a vacuous pass. Two passes, like
+    // PlanAudit.main: an un-audited prewarm (one-time store builds run
+    // their reviewed LshJoin broadcasts there, keeping the audited pass
+    // deterministic cold-vs-warm), then the audited pass with the
+    // sub-execution listener registered so checkpoint-hidden hints are
+    // covered in-suite too, not only by the dev tool.
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    sorted.foreach { case (_, fn) =>
+      try { fn(spark, sf); () } catch { case _: Throwable => () }
+    }
+    val listener = new BroadcastBound.ExecutionAuditListener
+    spark.listenerManager.register(listener)
     val errors = scala.collection.mutable.ArrayBuffer[String]()
-    val bad = SparkEntry.queries.toSeq.sortBy(_._1)
-      .flatMap { case (name, fn) =>
+    val bad = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      sorted.foreach { case (name, fn) =>
+        listener.setLabel(name)
         val off =
           try offenses(fn(spark, sf))
           catch { case e: Throwable =>
@@ -140,9 +153,15 @@ class BroadcastBoundSpec extends AnyFunSuite {
             Nil
           }
         if (off.size > tools.PlanAudit.maxWaivedHints(name))
-          off.map(o => s"$name: $o")
-        else Nil
+          off.foreach(o => bad += s"$name: $o")
       }
+      BroadcastBound.drainWait(listener)
+      import scala.jdk.CollectionConverters._
+      listener.hits.asScala.toSeq.groupBy(_._1).foreach { case (label, hs) =>
+        if (hs.size > tools.PlanAudit.maxWaivedHints(label))
+          hs.foreach { case (_, o) => bad += s"$label (sub-exec): $o" }
+      }
+    } finally spark.listenerManager.unregister(listener)
     assert(errors.isEmpty,
       s"queries failed to construct (never audited):\n${errors.mkString("\n")}")
     assert(bad.isEmpty, s"unbounded broadcast hints:\n${bad.mkString("\n")}")

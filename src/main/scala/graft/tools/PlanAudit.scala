@@ -130,6 +130,33 @@ object PlanAudit {
     "tpch_q14_promo" -> Map("lineitem" -> 5, "part" -> 2),
     "tpch_q3_shipping" -> Map("lineitem" -> 4, "orders" -> 4, "customer" -> 2),
     "tpch_q5_local_supplier" -> Map("lineitem" -> 4),
+    // r10: pinned for the whole remaining TPC-H archetype set after the
+    // hint purge (max observed width per table across the query's scans
+    // — ScanWidths prints them). A future edit that widens any of these
+    // scans fails the audit instead of silently paying full-width I/O.
+    // (supplier has only 4 columns; q2/q20 legitimately need 3-4.)
+    "tpch_q2_mincost" -> Map("lineitem" -> 4, "part" -> 4, "supplier" -> 4,
+      "nation" -> 3, "region" -> 2),
+    "tpch_q4_priority" -> Map("orders" -> 3, "lineitem" -> 2),
+    "tpch_q7_volume" -> Map("lineitem" -> 5, "supplier" -> 2, "orders" -> 2,
+      "customer" -> 2, "nation" -> 2),
+    "tpch_q8_marketshare" -> Map("lineitem" -> 5, "part" -> 2, "supplier" -> 2,
+      "orders" -> 3, "customer" -> 2, "nation" -> 2, "region" -> 2),
+    "tpch_q9_profit" -> Map("lineitem" -> 6, "part" -> 3, "supplier" -> 2,
+      "orders" -> 2, "nation" -> 2),
+    "tpch_q10_returns" -> Map("lineitem" -> 4, "orders" -> 3, "customer" -> 3),
+    "tpch_q11_important" -> Map("lineitem" -> 2),
+    "tpch_q12_latemix" -> Map("lineitem" -> 3, "orders" -> 2),
+    "tpch_q13_custdist" -> Map("customer" -> 1, "orders" -> 2),
+    "tpch_q15_topsupp" -> Map("lineitem" -> 4, "supplier" -> 2),
+    "tpch_q16_suppcnt" -> Map("lineitem" -> 2, "supplier" -> 2, "part" -> 4),
+    "tpch_q17_smallqty" -> Map("lineitem" -> 3, "part" -> 3),
+    "tpch_q18_large_orders" -> Map("orders" -> 4, "lineitem" -> 2, "customer" -> 2),
+    "tpch_q19_brackets" -> Map("lineitem" -> 4, "part" -> 3),
+    "tpch_q20_excess" -> Map("lineitem" -> 4, "part" -> 2, "supplier" -> 3),
+    "tpch_q21_waiting" -> Map("lineitem" -> 3, "orders" -> 3, "supplier" -> 2),
+    "tpch_q22_untapped" -> Map("customer" -> 3, "orders" -> 2),
+    "funnel_time_to_convert" -> Map("events" -> 3),
     "knn_filtered_search" -> Map("embeddings" -> 3),
     "ann_serve_from_store" -> Map("embeddings" -> 2),
     "filter_ticker_eq" -> Map("events" -> 6),

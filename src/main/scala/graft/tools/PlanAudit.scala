@@ -157,6 +157,18 @@ object PlanAudit {
     "tpch_q21_waiting" -> Map("lineitem" -> 3, "orders" -> 3, "supplier" -> 2),
     "tpch_q22_untapped" -> Map("customer" -> 3, "orders" -> 2),
     "funnel_time_to_convert" -> Map("events" -> 3),
+    // heavy document/vector family (scans visible in the static plan —
+    // the dedup/BPE builders read documents only through cached or
+    // checkpointed segments, which scanStats cannot see):
+    "lsh_recall_eval" -> Map("graft_minhash_pairs" -> 2),
+    "text_tfidf_top_terms" -> Map("documents" -> 2),
+    "quality_lm_score" -> Map("documents" -> 1),
+    "dedup_cluster_cc" -> Map("documents" -> 1),
+    "corpus_curation_pipeline" -> Map("documents" -> 4),
+    "mining_pipeline" -> Map("documents" -> 2),
+    "kmeans_lloyd_train" -> Map("embeddings" -> 3),
+    "ann_ivf_pq_search" -> Map("embeddings" -> 3),
+    "embedding_pca_project" -> Map("embeddings" -> 2),
     "knn_filtered_search" -> Map("embeddings" -> 3),
     "ann_serve_from_store" -> Map("embeddings" -> 2),
     "filter_ticker_eq" -> Map("events" -> 6),

@@ -83,7 +83,15 @@ object PlanAudit {
     // the marginal joins on the DERIVED cohort key infer a null guard on
     // `user_id % 2 = 0` — modulo arithmetic, untranslatable, and user_id
     // is never null; same class as join_skew_salted's salt guard.
-    ("stats_chi2_independence", "events"))
+    ("stats_chi2_independence", "events"),
+    // surfaced by the r10 cached-scan descent (these queries read
+    // documents only through a .cache()): the min-token guard
+    // `size(split(text, ' ')) >= 3` is HOF/length arithmetic over text —
+    // inherently untranslatable to a parquet source filter. Evaluated
+    // post-scan; nothing prunable is lost (no companion column exists to
+    // carry an equivalent raw bound, unlike the nanos case).
+    ("dedup_containment", "documents"),
+    ("dedup_shingle_jaccard", "documents"))
 
   /** Queries that legitimately read every column of a wide table:
     * row-level operators whose CONTRACT is whole rows (filter/TTL/limit
@@ -180,8 +188,20 @@ object PlanAudit {
 
   /** Parquet scans only (CSV never pushes); store scans under /tmp are
     * audited for width like any other table — their "table" is the
-    * store root's basename (version dirs stripped). */
-  private[graft] def scanStats(p: SparkPlan): Seq[ScanStat] =
+    * store root's basename (version dirs stripped). Descends into
+    * cached segments (`InMemoryTableScanExec.relation.cachedPlan`): a
+    * `.cache()` otherwise hides its build's scans from the audit, and
+    * the dedup/BPE family reads documents exclusively through caches —
+    * their pushdown/width discipline would be unaudited without this. */
+  private[graft] def scanStats(p: SparkPlan): Seq[ScanStat] = {
+    val nested = p.collect {
+      case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        scanStats(t.relation.cachedPlan)
+    }.flatten
+    directScanStats(p) ++ nested
+  }
+
+  private def directScanStats(p: SparkPlan): Seq[ScanStat] =
     p.collect {
       case s: FileSourceScanExec
           if s.relation.fileFormat.toString.contains("Parquet") =>

@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Plan auditor: dumps the formatted physical plan for the named queries
   * (or all) so scan pushdown (PushedFilters/ReadSchema), broadcast choices,
-  * and WholeStageCodegen spans can be eyeballed per the 100-TB checklist. */
+  * and WholeStageCodegen spans can be eyeballed per the 100-TB checklist.
+  * Each query also gets its broadcast-hint bound verdicts
+  * ([[graft.tools.BroadcastBound]]) — the static proof (or refusal) that
+  * every hinted side is bounded independent of SF. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -18,7 +21,18 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       println(s"\n===================== $name =====================")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.explain("formatted")
+      val hints = graft.tools.BroadcastBound.audit(df.queryExecution.analyzed)
+      if (hints.nonEmpty) {
+        println(s"-- broadcast hints (${hints.size}) --")
+        hints.foreach { case (bound, offense) =>
+          val verdict =
+            if (offense.isEmpty) s"bounded <= ${bound.getOrElse(-1L)}"
+            else offense
+          println(s"  $verdict")
+        }
+      }
     }
     spark.stop()
   }

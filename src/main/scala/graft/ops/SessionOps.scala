@@ -35,4 +35,16 @@ object SessionOps {
       .foreach(_.unpersist(blocking = true))
     catch { case _: Throwable => }
   }
+
+  /** Round-robin `df` wider ONLY when its current scan parallelism is
+    * below `n` — the single-file-fixture compensation several compute-
+    * heavy paths need (a one-file testdata scan is ONE task, which would
+    * serialize an O(n·k) probe or pair loop), made a TRUE no-op on a
+    * multi-split production input instead of an unconditional corpus
+    * shuffle. Partition count comes from the compiled plan without
+    * executing it; callers apply this ONLY to scan/projection frames
+    * (no upstream exchanges), where building the RDD lineage is
+    * listing-cheap and AQE has no stages to materialize. */
+  def spreadTo(df: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame =
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
 }

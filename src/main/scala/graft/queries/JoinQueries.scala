@@ -69,10 +69,11 @@ object JoinQueries extends QueryPack {
     // repartition: AQE splits a skewed REDUCE partition along its MAP
     // outputs — the one-file testdata scan is a single map task, whose
     // one chunk is unsplittable no matter the thresholds. A real fact
-    // table is thousands of files; the round-robin spread restores the
-    // multi-mapper shuffle AQE needs (the same one-file compensation as
-    // jaccardPairs / ivfPqIndex).
-    val fact = Tables.lineitem(s, dir).repartition(8)
+    // table is thousands of files; the parallelism-gated round-robin
+    // spread restores the multi-mapper shuffle AQE needs at fixture
+    // scale and is a TRUE no-op on a multi-split input (the same
+    // one-file compensation as jaccardPairs / ivfPqIndex).
+    val fact = graft.ops.SessionOps.spreadTo(Tables.lineitem(s, dir), 8)
       .withColumn("k",
         when(col("l_orderkey") % 100 < 90, lit(0L))
           .otherwise(col("l_orderkey") % 100))

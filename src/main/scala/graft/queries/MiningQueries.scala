@@ -210,10 +210,11 @@ object MiningQueries extends QueryPack {
     * for the trainer, executed exactly once by the encoder. */
   private def bpeTrain(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    var corpus = docs(s, dir)
-      .select(col("doc_id"), col("text"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_raw"))
-      .repartition(32).localCheckpoint()
+    var corpus = graft.ops.SessionOps.spreadTo(
+      docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_raw")),
+      32).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var step = 1L
     var exhausted = false

@@ -77,9 +77,10 @@ object TextQueries extends QueryPack {
     // session's shuffle parallelism — a negligible shuffle of bare
     // (id, hashes) rows that restores CPU parallelism downstream; on a
     // real multi-split input the scan already provides it.
-    val a = t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"), col("th").as("a_th"),
-      col("n").as("a_n"), col("n").as("a_bucket"))
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    val a = graft.ops.SessionOps.spreadTo(
+      t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"), col("th").as("a_th"),
+        col("n").as("a_n"), col("n").as("a_bucket")),
+      s.sessionState.conf.numShufflePartitions)
     val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("th").as("b_th"),
       col("n").as("b_n"))
       .withColumn("b_bucket", explode(array(col("b_n") - 1, col("b_n"), col("b_n") + 1)))
@@ -687,9 +688,10 @@ object TextQueries extends QueryPack {
         .limit(ANCHOR_N)
       val bFlag = anchors.select(col("a_id").as("b_id"))
         .withColumn("b_anchor", lit(true))
-      val corpus = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-        col("th").as("b_th"), col("n").as("b_n"))
-        .repartition(s.sessionState.conf.numShufflePartitions)
+      val corpus = graft.ops.SessionOps.spreadTo(
+        t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+          col("th").as("b_th"), col("n").as("b_n")),
+        s.sessionState.conf.numShufflePartitions)
         .join(broadcast(bFlag), Seq("b_id"), "left_outer")
         .withColumn("b_anchor", coalesce(col("b_anchor"), lit(false)))
       val truth = corpus.join(broadcast(anchors),

@@ -62,8 +62,8 @@ object VectorQueries extends QueryPack {
     * the small-scale exact path; LSH below is the 100-TB path. */
   private def pairs(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      .repartition(32)
+    val a = graft.ops.SessionOps.spreadTo(
+      e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), 32)
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("sim", cosineSim(col("a_emb"), col("b_emb")))
@@ -329,7 +329,8 @@ object VectorQueries extends QueryPack {
       // as a single task chained behind the previous round's broadcast —
       // the whole trainer serializes. On a real multi-split input the
       // scan provides the parallelism and this is a no-op cost.
-      val e = emb(s, dir).repartition(s.sessionState.conf.numShufflePartitions)
+      val e = graft.ops.SessionOps.spreadTo(
+        emb(s, dir), s.sessionState.conf.numShufflePartitions)
       def assign(cents: DataFrame): DataFrame =
         VectorOps.topKPerQuery(
           e.crossJoin(broadcast(cents))
@@ -706,7 +707,7 @@ object VectorQueries extends QueryPack {
     * baking a wrong covariance denominator into the persisted basis. */
   private def pcaMomentsBuild(s: SparkSession, dir: String)
       : (Array[Double], Array[Double], Array[Array[Double]]) = {
-    val e = emb(s, dir).repartition(32)
+    val e = graft.ops.SessionOps.spreadTo(emb(s, dir), 32)
     val d = DIMS
     val muRows = e
       .select(posexplode(col("embedding")).as(Seq("j", "x")))
@@ -776,7 +777,7 @@ object VectorQueries extends QueryPack {
     // at bench SFs the per-task fixed cost dominates the per-row work
     // (measured 2.4 -> 1.8 s warm going 32 -> 8), and at production scale
     // this constant is replaced by the source's own partitioning anyway.
-    val e = emb(s, dir).repartition(8)
+    val e = graft.ops.SessionOps.spreadTo(emb(s, dir), 8)
     val assign = VectorOps.topKPerQuery(
       e.crossJoin(broadcast(centsOf(e)))
         .withColumn("csim", cosineSim(col("embedding"), col("c_emb"))),

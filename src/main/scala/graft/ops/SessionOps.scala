@@ -18,10 +18,8 @@ object SessionOps {
     * promise: no corpus-wide shuffle is ever added to an input that is
     * already wide. (Partition count comes from the compiled plan — a
     * file-listing, not a job.) */
-  def spreadIfNarrow(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
-  }
+  def spreadIfNarrow(df: DataFrame): DataFrame =
+    spreadTo(df, df.sparkSession.sessionState.conf.numShufflePartitions)
 
   /** Drop every cached/persisted block: `clearCache` covers `.cache()`d
     * plans, but `localCheckpoint` materializations are plain persisted
@@ -36,15 +34,12 @@ object SessionOps {
     catch { case _: Throwable => }
   }
 
-  /** Round-robin `df` wider ONLY when its current scan parallelism is
-    * below `n` — the single-file-fixture compensation several compute-
-    * heavy paths need (a one-file testdata scan is ONE task, which would
-    * serialize an O(n·k) probe or pair loop), made a TRUE no-op on a
-    * multi-split production input instead of an unconditional corpus
-    * shuffle. Partition count comes from the compiled plan without
-    * executing it; callers apply this ONLY to scan/projection frames
-    * (no upstream exchanges), where building the RDD lineage is
-    * listing-cheap and AQE has no stages to materialize. */
-  def spreadTo(df: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame =
+  /** [[spreadIfNarrow]] with an explicit target — for the sites whose
+    * compensation width is a measured constant (the PQ build's 8-way,
+    * the skew demo's 8 mappers) rather than the session parallelism.
+    * Callers apply this ONLY to scan/projection frames (no upstream
+    * exchanges), where building the RDD lineage is listing-cheap and
+    * AQE has no stages to materialize. */
+  def spreadTo(df: DataFrame, n: Int): DataFrame =
     if (df.rdd.getNumPartitions < n) df.repartition(n) else df
 }

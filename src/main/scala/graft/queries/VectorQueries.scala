@@ -565,7 +565,15 @@ object VectorQueries extends QueryPack {
   private val INDEX_DIR = "/tmp/graft_ann_index"
   /** Every constant [[ivfPqIndex]] depends on — a change invalidates
     * the persisted index even with unchanged embeddings. */
-  private val INDEX_FINGERPRINT =
+  // lazy: SUBS is declared further down the object, and a plain val
+  // here would capture the UNINITIALIZED 0 during object init (the
+  // scalac forward-reference warning this fixes) — silently freezing
+  // the fingerprint at "subs=0" so a future SUBS change would NOT
+  // invalidate the persisted index, the exact staleness the
+  // fingerprint exists to prevent. Lazy evaluation runs after init,
+  // capturing the real constant (one store rebuild on this fix, by
+  // design).
+  private lazy val INDEX_FINGERPRINT =
     s"ivfpq:dims=$DIMS:subs=$SUBS:cents=mod50cap6400:codebook=mod31cap7936:assign=top1-cos"
   /** The cell-partitioned persisted index, built on miss. Reading back:
     * partition-column type inference yields c_id as int — recast (AFTER

@@ -553,7 +553,7 @@ object VectorQueries extends QueryPack {
       // A production router does exactly this: resolve cells against the
       // in-memory centroid table, then issue the pruned store read.
       val cells = qprobe.select(col("c_id")).distinct()
-        .collect().map(_.getLong(0)).sorted
+        .collect().map(_.getLong(0)).sorted.toIndexedSeq
       ivfPqServe(ivfIndexStore(s, dir, cells), qprobe, dtab)
     })
   )

@@ -759,7 +759,7 @@ object StreamOps {
     val keep = store
       .filter(col("c_id").isInCollection(touched))
       .join(batchVecs, Seq("vec_id"), "left_anti")
-    val merged = keep.select(batch.columns.map(col): _*).union(batch)
+    val merged = keep.select(batch.columns.toIndexedSeq.map(col): _*).union(batch)
       .localCheckpoint() // materialize BEFORE overwriting what `keep` reads
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -325,12 +325,19 @@ object BroadcastBound {
   }
 
   /** Crude-but-sufficient bus drain for a dev tool / spec: sleep in
-    * slices until `stable` consecutive polls of the hit count agree. */
+    * slices until the hit count has been stable for 3 consecutive polls
+    * AND a minimum wall floor has passed — the floor matters because a
+    * backlogged bus can legitimately deliver its first event hundreds
+    * of ms after the last execution, and a stability-only heuristic
+    * would declare victory on an unchanged count of 0 after ~400 ms. */
   def drainWait(l: ExecutionAuditListener, millis: Long = 3000L): Unit = {
+    val start = System.currentTimeMillis()
+    val floor = math.min(1000L, millis)
     var last = -1
     var stable = 0
-    val deadline = System.currentTimeMillis() + millis
-    while (stable < 3 && System.currentTimeMillis() < deadline) {
+    val deadline = start + millis
+    while ((stable < 3 || System.currentTimeMillis() - start < floor) &&
+        System.currentTimeMillis() < deadline) {
       Thread.sleep(100)
       val n = l.hits.size
       if (n == last) stable += 1 else { stable = 0; last = n }

@@ -125,20 +125,35 @@ object ScalingProbe {
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Input tables of one query, from its analyzed plan's file-source
-    * leaves: testdata scans by table name, store scans via
-    * [[StoreSource]]. */
-  private def inputTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
+  /** Input tables of one query from its analyzed plan's file-source
+    * leaves — testdata scans by table name, store scans via
+    * [[StoreSource]] — plus a flag for any leaf the mapping does NOT
+    * know (an unmapped store, a checkpoint-truncated LogicalRDD). An
+    * unknown leaf means the derived table set may MISS the query's true
+    * driving input, so the caller must fall back to the most lenient
+    * ratio instead of under-estimating d_ratio and crying SUPERLINEAR
+    * on a linear query. */
+  private def inputTables(
+      df: org.apache.spark.sql.DataFrame): (Set[String], Boolean) = {
+    import org.apache.spark.sql.catalyst.plans.logical.LeafNode
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    df.queryExecution.analyzed.collect {
+    var unknown = false
+    val known = df.queryExecution.analyzed.collect {
       case lr: LogicalRelation => lr.relation match {
         case h: HadoopFsRelation =>
           val root = h.location.rootPaths.headOption.map(_.toString).getOrElse("?")
           val seg = BroadcastBound.tableFromRoot(root)
-          StoreSource.get(seg).orElse(Some(seg).filter(Tables.contains))
-        case _ => None
+          val mapped = StoreSource.get(seg).orElse(Some(seg).filter(Tables.contains))
+          if (mapped.isEmpty) unknown = true
+          mapped
+        case _ => { unknown = true; None }
       }
+      case l: LeafNode
+          if l.getClass.getSimpleName == "LogicalRDD" =>
+        // a localCheckpoint hides whatever scans fed it
+        unknown = true; None
     }.flatten.toSet
+    (known, unknown)
   }
 
   def main(args: Array[String]): Unit = {
@@ -174,8 +189,16 @@ object ScalingProbe {
       }.min
     }
 
-    val sizeRatio: Map[String, Double] =
-      Tables.map(t => t -> rows(big, t).toDouble / rows(small, t).toDouble).toMap
+    // Per-table growth ratios; a table missing from a custom dir pair is
+    // skipped (its consumers fall back to maxRatio) rather than aborting
+    // the whole probe before any query has run.
+    val sizeRatio: Map[String, Double] = Tables.flatMap { t =>
+      try Some(t -> rows(big, t).toDouble / rows(small, t).toDouble)
+      catch { case _: Throwable =>
+        System.err.println(s"[probe] WARNING: cannot count '$t' in both dirs; skipping its ratio")
+        None
+      }
+    }.toMap
     val maxRatio = sizeRatio.values.max
 
     println(f"${"query"}%-28s ${"t_small"}%8s ${"t_big"}%8s ${"t_ratio"}%8s ${"d_ratio"}%8s  verdict")
@@ -187,14 +210,18 @@ object ScalingProbe {
         graft.SparkEntry.queries(q)(spark, small.replaceAll("sf[0-9.]+/?$", "sf0.001")).count()
         release()
         // driving ratio = max over the query's actual inputs at the BIG
-        // sf (store builds exist after the warm pass); unknown → the
-        // global max ratio (lenient: only flags the unambiguous).
-        val inputs =
+        // sf (store builds exist after the warm pass), widened by the
+        // hand-kept fallback mapping when present; any UNKNOWN leaf
+        // (unmapped store, checkpoint-truncated scan) falls back to the
+        // global max ratio — lenient by construction, so a SUPERLINEAR
+        // flag is never an artifact of an under-estimated denominator.
+        val (inputs, sawUnknown) =
           try inputTables(graft.SparkEntry.queries(q)(spark, big))
-          catch { case _: Throwable => Set.empty[String] }
+          catch { case _: Throwable => (Set.empty[String], true) }
+        val candidates =
+          inputs.flatMap(sizeRatio.get) ++ fallback.get(q).flatMap(sizeRatio.get)
         val dr =
-          if (inputs.nonEmpty) inputs.map(sizeRatio).max
-          else fallback.get(q).map(sizeRatio).getOrElse(maxRatio)
+          if (sawUnknown || candidates.isEmpty) maxRatio else candidates.max
         val ts = time(q, small)
         val tb = time(q, big)
         val tr = tb / ts

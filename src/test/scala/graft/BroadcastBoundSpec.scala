@@ -143,23 +143,38 @@ class BroadcastBoundSpec extends AnyFunSuite {
     spark.listenerManager.register(listener)
     val errors = scala.collection.mutable.ArrayBuffer[String]()
     val bad = scala.collection.mutable.ArrayBuffer[String]()
+    val topOff = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     try {
       sorted.foreach { case (name, fn) =>
+        // Fence waived labels against async misattribution (see
+        // PlanAudit.main — the same drain-before/after discipline, so a
+        // straggler can only land on a zero-budget label, where it
+        // always fails).
+        if (tools.PlanAudit.maxWaivedHints(name) > 0)
+          BroadcastBound.drainWait(listener, 1500)
         listener.setLabel(name)
-        val off =
+        topOff(name) =
           try offenses(fn(spark, sf))
           catch { case e: Throwable =>
             errors += s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}"
             Nil
           }
-        if (off.size > tools.PlanAudit.maxWaivedHints(name))
-          off.foreach(o => bad += s"$name: $o")
+        if (tools.PlanAudit.maxWaivedHints(name) > 0)
+          BroadcastBound.drainWait(listener, 1500)
       }
       BroadcastBound.drainWait(listener)
       import scala.jdk.CollectionConverters._
-      listener.hits.asScala.toSeq.groupBy(_._1).foreach { case (label, hs) =>
-        if (hs.size > tools.PlanAudit.maxWaivedHints(label))
-          hs.foreach { case (_, o) => bad += s"$label (sub-exec): $o" }
+      // One budget across BOTH surfaces (top-level + checkpoint
+      // segments) — a separate sub-exec comparison would double every
+      // waived query's allowance.
+      val subExec = listener.hits.asScala.toSeq.groupBy(_._1)
+      (topOff.keySet ++ subExec.keySet).toSeq.sorted.foreach { label =>
+        val top = topOff.getOrElse(label, Nil)
+        val sub = subExec.getOrElse(label, Nil).map(_._2)
+        if (top.size + sub.size > tools.PlanAudit.maxWaivedHints(label)) {
+          top.foreach(o => bad += s"$label: $o")
+          sub.foreach(o => bad += s"$label (sub-exec): $o")
+        }
       }
     } finally spark.listenerManager.unregister(listener)
     assert(errors.isEmpty,

@@ -106,22 +106,27 @@ class RetrievalSpec extends AnyFunSuite {
     // DerivedStore's GC contract keeps the CURRENT version plus at most
     // one superseded generation as a grace window (lazily-planned
     // readers of the old version), so right after a fingerprint bump
-    // two versions legitimately coexist — assert the contract's bound,
-    // and inspect the NEWEST version (the one serve() returns).
+    // two versions legitimately coexist — assert the contract's bound.
     val root = new java.io.File("/tmp/graft_ann_index/sf0.001")
     val versions = root.listFiles().filter(_.getName.startsWith("v_"))
-      .sortBy(-_.lastModified())
     assert(versions.nonEmpty && versions.length <= 2,
       s"expected current + at most one grace version in $root, " +
         s"got ${versions.map(_.getName).mkString(",")}")
-    val cellDirs = versions.head.listFiles().count(_.getName.startsWith("c_id="))
-    assert(cellDirs > 0)
     val scans = graft.tools.PlanAudit.allNodes(
       fromStore.queryExecution.executedPlan).collect {
       case sc: org.apache.spark.sql.execution.FileSourceScanExec
           if sc.relation.location.rootPaths.exists(_.toString.contains("graft_ann_index")) => sc
     }
     assert(scans.nonEmpty, "expected a parquet scan over the index store")
+    // Inspect the version directory the serve plan ACTUALLY reads (its
+    // scan root) rather than a newest-by-mtime guess — directory mtimes
+    // are not a reliable order across GC touches / fs granularity.
+    val servedDir = new java.io.File(
+      scans.head.relation.location.rootPaths.head.toUri.getPath)
+    assert(versions.exists(_.getName == servedDir.getName),
+      s"served version ${servedDir.getName} must be one of the published dirs")
+    val cellDirs = servedDir.listFiles().count(_.getName.startsWith("c_id="))
+    assert(cellDirs > 0)
     val readPartitions = scans.head.relation.location
       .listFiles(scans.head.partitionFilters, scans.head.dataFilters)
       .map(_.files.size).size

@@ -64,29 +64,28 @@ object BroadcastBound {
     * Domain sizes are generous caps, only multiplied against each
     * other, so slack is harmless under [[CAP]].
     *
-    * This is a NAME convention, deliberately: the engine reserves these
-    * names for bounded domains (c_id/code descend from the capped seed
-    * filters, s is the subspace index, event_type/source/lang are fixed
-    * vocabularies). A query that aliased an UNBOUNDED key onto one of
-    * these names would false-pass — the residual risk of any name-based
-    * rule — so additions here require the same review as a
-    * BROADCAST_OK waiver, and the generic single-letter entries stay
-    * minimal. */
+    * This is a NAME convention, deliberately — but since r11 it is
+    * reserved for true fixed real-world vocabularies only. The generic
+    * engine-internal names that used to ride it (`c_id`/`code`/`s` —
+    * centroid ids, PQ codes, subspace indices) are now bounded by
+    * PROVENANCE instead: [[Bounder.valueBound]] traces the attribute's
+    * exprId through the analyzed plan (alias renames, aggregate
+    * passthrough, unions, and the struct round-trip of the min_by top-1
+    * shape) to the subtree that DEFINES its values — the capped seed
+    * filter, the literal explode, the bounded dim — so an unbounded key
+    * aliased onto one of those names now FAILS the audit
+    * (BroadcastBoundSpec has the spoofing-shape cases). A query that
+    * aliased an unbounded key onto one of the REMAINING vocabulary
+    * names would still false-pass — the residual risk of any name rule —
+    * so additions here require the same review as a BROADCAST_OK
+    * waiver. */
   private val BOUNDED_COLS: Map[String, Long] = Map(
     "event_type" -> 16L, // fixed product event vocabulary
     "source" -> 16L, // fixed source-system list
     "lang" -> 32L, "a_lang" -> 32L, "b_lang" -> 32L, // language codes
     "n_name" -> 25L, "n_nationkey" -> 25L, // nation dim
     "r_name" -> 5L, "r_regionkey" -> 5L, // region dim
-    "s" -> 64L, // PQ subspace index (SUBS constant)
-    "ticker" -> 4096L, // listed-symbol universe: bounded, not SF-scaled
-    // centroid / PQ-code ids: every c_id/code in this engine descends
-    // from the capped codebook seed filters (VectorQueries.IVF_SEED_CAP
-    // / PQ_SEED_CAP), so their DOMAIN is a model constant even when the
-    // lineage (window ranks, re-grouping) hides the originating filter —
-    // kmeans_lloyd_train's round-2 centroid table is the canonical case.
-    "c_id" -> 8192L,
-    "code" -> 8192L)
+    "ticker" -> 4096L) // listed-symbol universe: bounded, not SF-scaled
 
   /** Columns that are unique row ids in their base tables — a literal
     * equality/range/IN over one of these bounds the ROW count, not just
@@ -165,23 +164,21 @@ object BroadcastBound {
     }
   }
 
-  /** Domain size of one grouping expression over `child`. */
-  private def domainOf(e: Expression, child: LogicalPlan): Option[Long] =
-    stripCast(e) match {
-      case a: AttributeReference =>
-        BOUNDED_COLS.get(a.name)
-          .orElse(filterDomain(a, child))
-          .orElse(if (a.dataType == BooleanType) Some(2L) else None)
-      case _: Year => Some(200L) // bounded calendar range
-      case _: Month => Some(12L)
-      case _: DayOfWeek | _: WeekDay => Some(7L)
-      case other if other.dataType == BooleanType => Some(2L)
-      case _ => None
-    }
-
   private def product(xs: Seq[Option[Long]]): Option[Long] =
     xs.foldLeft(Option(1L)) {
       case (Some(a), Some(b)) if a <= CAP && b <= CAP => Some(a * b)
+      case _ => None
+    }
+
+  private def minOpt(a: Option[Long], b: Option[Long]): Option[Long] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(math.min(x, y))
+      case (x, y) => x.orElse(y)
+    }
+
+  private def sumOpts(xs: Seq[Option[Long]]): Option[Long] =
+    xs.foldLeft(Option(0L)) {
+      case (Some(a), Some(b)) => Some(a + b)
       case _ => None
     }
 
@@ -198,68 +195,193 @@ object BroadcastBound {
   }
 
   /** Upper bound on `p`'s row count, independent of SF — None means
-    * "could grow with the data". */
-  def boundOf(p: LogicalPlan): Option[Long] = p match {
-    case l: LocalRelation => Some(l.data.size.toLong)
-    case _: OneRowRelation => Some(1L)
-    case r: Range => Some(r.numElements.min(BigInt(Long.MaxValue)).toLong)
-    case g: GlobalLimit =>
-      litLong(g.limitExpr).map(n => boundOf(g.child).fold(n)(math.min(n, _)))
-    case l: LocalLimit =>
-      // local limit alone doesn't bound globally (n per partition);
-      // only min with the child's own bound
-      boundOf(l.child)
-    case a: Aggregate =>
-      if (a.groupingExpressions.isEmpty) Some(1L)
-      else product(a.groupingExpressions.map(domainOf(_, a.child)))
-    case d: Distinct =>
-      product(d.child.output.map(domainOf(_, d.child)))
-    case d: Deduplicate =>
-      product(d.keys.map(domainOf(_, d.child)))
-    case f: Filter =>
-      (condRowBound(f.condition), boundOf(f.child)) match {
-        case (Some(a), Some(b)) => Some(math.min(a, b))
-        case (a, b) => a.orElse(b)
+    * "could grow with the data". One-shot convenience over [[Bounder]];
+    * [[audit]] shares a single memoized instance across all hints. */
+  def boundOf(p: LogicalPlan): Option[Long] = new Bounder().bound(p)
+
+  /** Memoized estimator instance: one per audited plan. Memoization
+    * matters because [[valueBound]] calls [[bound]] at every node along
+    * an attribute's lineage, and [[bound]] on an Aggregate calls
+    * [[valueBound]] per grouping attribute — without the caches a
+    * nested-aggregate plan walks the same subtrees exponentially. */
+  private final class Bounder {
+    private val bMemo =
+      new java.util.IdentityHashMap[LogicalPlan, Option[Long]]()
+    private val vMemo =
+      new java.util.HashMap[(ExprId, List[Int], Int), Option[Long]]()
+
+    def bound(p: LogicalPlan): Option[Long] = {
+      val hit = bMemo.get(p)
+      if (hit != null || bMemo.containsKey(p)) hit
+      else {
+        val r = computeBound(p)
+        bMemo.put(p, r)
+        r
       }
-    case j: Join =>
-      import org.apache.spark.sql.catalyst.plans._
-      val (l, r) = (boundOf(j.left), boundOf(j.right))
-      j.joinType match {
-        case LeftSemi | LeftAnti => l
-        // Outer joins emit unmatched rows BEYOND the match product, so
-        // the true upper bound adds the unmatched side(s) — an inner
-        // product alone would under-bound (e.g. full outer of disjoint
-        // 1-row sides emits 2, not 1).
-        case LeftOuter => product(Seq(l, r)).flatMap(p => l.map(p + _))
-        case RightOuter => product(Seq(l, r)).flatMap(p => r.map(p + _))
-        case FullOuter =>
-          for (p <- product(Seq(l, r)); a <- l; b <- r) yield p + a + b
-        case _ => product(Seq(l, r))
-      }
-    case u: Union =>
-      u.children.map(boundOf).foldLeft(Option(0L)) {
-        case (Some(a), Some(b)) => Some(a + b)
+    }
+
+    private def computeBound(p: LogicalPlan): Option[Long] = p match {
+      case l: LocalRelation => Some(l.data.size.toLong)
+      case _: OneRowRelation => Some(1L)
+      case r: Range => Some(r.numElements.min(BigInt(Long.MaxValue)).toLong)
+      case g: GlobalLimit =>
+        litLong(g.limitExpr).map(n => bound(g.child).fold(n)(math.min(n, _)))
+      case l: LocalLimit =>
+        // local limit alone doesn't bound globally (n per partition);
+        // only min with the child's own bound
+        bound(l.child)
+      case a: Aggregate =>
+        if (a.groupingExpressions.isEmpty) Some(1L)
+        else product(a.groupingExpressions.map(domainOf(_, a.child)))
+      case d: Distinct =>
+        product(d.child.output.map(domainOf(_, d.child)))
+      case d: Deduplicate =>
+        product(d.keys.map(domainOf(_, d.child)))
+      case f: Filter =>
+        (condRowBound(f.condition), bound(f.child)) match {
+          case (Some(a), Some(b)) => Some(math.min(a, b))
+          case (a, b) => a.orElse(b)
+        }
+      case j: Join =>
+        import org.apache.spark.sql.catalyst.plans._
+        val (l, r) = (bound(j.left), bound(j.right))
+        j.joinType match {
+          case LeftSemi | LeftAnti => l
+          // Outer joins emit unmatched rows BEYOND the match product, so
+          // the true upper bound adds the unmatched side(s) — an inner
+          // product alone would under-bound (e.g. full outer of disjoint
+          // 1-row sides emits 2, not 1).
+          case LeftOuter => product(Seq(l, r)).flatMap(p => l.map(p + _))
+          case RightOuter => product(Seq(l, r)).flatMap(p => r.map(p + _))
+          case FullOuter =>
+            for (p <- product(Seq(l, r)); a <- l; b <- r) yield p + a + b
+          case _ => product(Seq(l, r))
+        }
+      case u: Union => sumOpts(u.children.map(bound))
+      case g: Generate =>
+        // outer generate emits the input row even when the generator is
+        // empty, so its multiplier never drops below 1.
+        val gb = generatorBound(g.generator)
+          .map(n => if (g.outer) math.max(1L, n) else n)
+        product(Seq(bound(g.child), gb))
+      case h: ResolvedHint => bound(h.child)
+      case pr: Project => bound(pr.child)
+      case s: SubqueryAlias => bound(s.child)
+      case s: Sort => bound(s.child)
+      case w: Window => bound(w.child)
+      case r: RepartitionOperation => bound(r.child)
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          val root = h.location.rootPaths.headOption.map(_.toString).getOrElse("?")
+          TABLE_BOUNDS.get(tableFromRoot(root))
         case _ => None
       }
-    case g: Generate =>
-      // outer generate emits the input row even when the generator is
-      // empty, so its multiplier never drops below 1.
-      val gb = generatorBound(g.generator)
-        .map(n => if (g.outer) math.max(1L, n) else n)
-      product(Seq(boundOf(g.child), gb))
-    case h: ResolvedHint => boundOf(h.child)
-    case pr: Project => boundOf(pr.child)
-    case s: SubqueryAlias => boundOf(s.child)
-    case s: Sort => boundOf(s.child)
-    case w: Window => boundOf(w.child)
-    case r: RepartitionOperation => boundOf(r.child)
-    case lr: LogicalRelation => lr.relation match {
-      case h: HadoopFsRelation =>
-        val root = h.location.rootPaths.headOption.map(_.toString).getOrElse("?")
-        TABLE_BOUNDS.get(tableFromRoot(root))
       case _ => None
     }
-    case _ => None
+
+    /** Domain size of one grouping expression over `child`. */
+    def domainOf(e: Expression, child: LogicalPlan): Option[Long] =
+      stripCast(e) match {
+        case a: AttributeReference =>
+          BOUNDED_COLS.get(a.name)
+            .orElse(filterDomain(a, child))
+            .orElse(valueBound(a.exprId, Nil, child))
+            .orElse(if (a.dataType == BooleanType) Some(2L) else None)
+        case _: Year => Some(200L) // bounded calendar range
+        case _: Month => Some(12L)
+        case _: DayOfWeek | _: WeekDay => Some(7L)
+        case other if other.dataType == BooleanType => Some(2L)
+        case _ => None
+      }
+
+    /** PROVENANCE bound on the number of distinct values attribute `id`
+      * can take in `p`'s output: trace the exprId down the plan to the
+      * subtree that DEFINES its values, and bound by the tightest row
+      * bound along the way. Sound because operators above a definition
+      * site only propagate or drop an attribute's values — the two
+      * shapes that can introduce values from elsewhere (Union merging
+      * positionally, struct pack/unpack round-trips) are handled
+      * explicitly, and anything unrecognized returns None (unbounded).
+      *
+      * `path` carries a pending struct-field selection: the min_by-top-1
+      * shape (`agg(min_by(struct(cols), ord)).select("best.*")`) rebinds
+      * every column through `GetStructField(best, i)` with a FRESH
+      * exprId, so the chase must push the ordinal down to the
+      * `CreateNamedStruct` that packed the original attribute — that is
+      * exactly how the kmeans round-2 centroid table proves its c_id
+      * domain descends from the capped seed filter. */
+    def valueBound(id: ExprId, path: List[Int], p: LogicalPlan): Option[Long] = {
+      val key = (id, path, System.identityHashCode(p))
+      val hit = vMemo.get(key)
+      if (hit != null || vMemo.containsKey(key)) hit
+      else {
+        val r = computeValueBound(id, path, p)
+        vMemo.put(key, r)
+        r
+      }
+    }
+
+    /** Chase a defining EXPRESSION at plan `p` (whose input is `child`)
+      * for its value bound under a pending struct-field `path`. */
+    private def chase(e: Expression, child: LogicalPlan,
+                      path: List[Int]): Option[Long] = stripCast(e) match {
+      case _: Literal => Some(1L)
+      case ar: AttributeReference => valueBound(ar.exprId, path, child)
+      case gsf: GetStructField => chase(gsf.child, child, gsf.ordinal :: path)
+      case cns: CreateNamedStruct if path.nonEmpty =>
+        val vals = cns.valExprs
+        if (path.head >= 0 && path.head < vals.size)
+          chase(vals(path.head), child, path.tail)
+        else None
+      case ae: aggregate.AggregateExpression =>
+        // order-statistic / pick-one aggregates emit a subset of their
+        // input values, so the chase continues through the value arg
+        ae.aggregateFunction match {
+          case f: aggregate.MaxMinBy => chase(f.valueExpr, child, path)
+          case f: aggregate.Min => chase(f.child, child, path)
+          case f: aggregate.Max => chase(f.child, child, path)
+          case f: aggregate.First => chase(f.child, child, path)
+          case f: aggregate.Last => chase(f.child, child, path)
+          case _ => None
+        }
+      case _ => None
+    }
+
+    private def definedBound(id: ExprId, path: List[Int], p: LogicalPlan,
+        defs: Seq[NamedExpression], child: LogicalPlan): Option[Option[Long]] =
+      defs.collectFirst { case al: Alias if al.exprId == id =>
+        minOpt(bound(p), chase(al.child, child, path))
+      }
+
+    private def computeValueBound(id: ExprId, path: List[Int],
+                                  p: LogicalPlan): Option[Long] = {
+      val rowB = bound(p) // #rows always bounds #distinct values
+      val defined: Option[Option[Long]] = p match {
+        case pr: Project => definedBound(id, path, p, pr.projectList, pr.child)
+        case ag: Aggregate =>
+          definedBound(id, path, p, ag.aggregateExpressions, ag.child)
+        case w: Window => definedBound(id, path, p, w.windowExpressions, w.child)
+        case g: Generate if g.generatorOutput.exists(_.exprId == id) =>
+          Some(rowB)
+        case u: Union =>
+          // positional merge: child i contributes its output(pos) values
+          val pos = u.output.indexWhere(_.exprId == id)
+          if (pos < 0) None
+          else Some(minOpt(rowB, sumOpts(u.children.map(c =>
+            valueBound(c.output(pos).exprId, path, c)))))
+        case e: Expand =>
+          // Expand re-binds outputs and injects nulls per grouping-set
+          // projection — bound only by the node's own row bound (None
+          // today: Expand has no computeBound case), never by descent.
+          Some(rowB)
+        case _ => None
+      }
+      defined.getOrElse {
+        val owners = p.children.filter(_.output.exists(_.exprId == id))
+        if (owners.isEmpty) rowB // leaf or opaque definer: rows is all we have
+        else minOpt(rowB, sumOpts(owners.map(valueBound(id, path, _))))
+      }
+    }
   }
 
   /** Canonical table name from a file-scan root path — ONE parser shared
@@ -276,10 +398,11 @@ object BroadcastBound {
   /** Broadcast-hinted subtrees of an analyzed plan with their bound
     * verdicts: (bound, description-of-offense) per hint; empty seq =
     * clean. */
-  def audit(analyzed: LogicalPlan): Seq[(Option[Long], String)] =
+  def audit(analyzed: LogicalPlan): Seq[(Option[Long], String)] = {
+    val bounder = new Bounder()
     analyzed.collect {
       case h: ResolvedHint if h.hints.strategy.exists(_.toString.toUpperCase.contains("BROADCAST")) =>
-        val b = boundOf(h.child)
+        val b = bounder.bound(h.child)
         (b, b match {
           case Some(n) if n <= CAP => ""
           case Some(n) => s"bounded but over cap ($n > $CAP)"
@@ -296,6 +419,7 @@ object BroadcastBound {
             s"UNBOUNDED hint (leaves: ${leaves.mkString(",").take(80)})"
         })
     }
+  }
 
   /** Sub-execution capture: `localCheckpoint()` (and any other eager
     * action taken DURING query construction — store builds, driver-side
@@ -324,23 +448,42 @@ object BroadcastBound {
         error: Exception): Unit = ()
   }
 
-  /** Crude-but-sufficient bus drain for a dev tool / spec: sleep in
-    * slices until the hit count has been stable for 3 consecutive polls
-    * AND a minimum wall floor has passed — the floor matters because a
-    * backlogged bus can legitimately deliver its first event hundreds
-    * of ms after the last execution, and a stability-only heuristic
-    * would declare victory on an unchanged count of 0 after ~400 ms. */
+  /** Deterministic bus drain: QueryExecutionListener events ride the
+    * listener bus's shared queue, so `LiveListenerBus.waitUntilEmpty`
+    * is the real handshake — once it returns, every queued onSuccess
+    * callback has run and [[ExecutionAuditListener.hits]] is complete.
+    * The method is `private[spark]` (public in bytecode), hence the
+    * reflective call; if either reflection step or the wait itself
+    * fails (timeout on a pathologically backlogged bus, no active
+    * session), fall back to the previous wall-clock heuristic — sleep
+    * in slices until the hit count has been stable for 3 consecutive
+    * polls AND a minimum wall floor has passed (the floor matters
+    * because a backlogged bus can deliver its first event hundreds of
+    * ms after the last execution). */
   def drainWait(l: ExecutionAuditListener, millis: Long = 3000L): Unit = {
-    val start = System.currentTimeMillis()
-    val floor = math.min(1000L, millis)
-    var last = -1
-    var stable = 0
-    val deadline = start + millis
-    while ((stable < 3 || System.currentTimeMillis() - start < floor) &&
-        System.currentTimeMillis() < deadline) {
-      Thread.sleep(100)
-      val n = l.hits.size
-      if (n == last) stable += 1 else { stable = 0; last = n }
+    val drained =
+      try {
+        val spark = org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .getOrElse(throw new IllegalStateException("no session"))
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+          .invoke(bus, java.lang.Long.valueOf(millis))
+        true
+      } catch { case _: Throwable => false }
+    if (!drained) {
+      val start = System.currentTimeMillis()
+      val floor = math.min(1000L, millis)
+      var last = -1
+      var stable = 0
+      val deadline = start + millis
+      while ((stable < 3 || System.currentTimeMillis() - start < floor) &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        val n = l.hits.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
     }
   }
 }

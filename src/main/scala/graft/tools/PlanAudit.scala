@@ -103,10 +103,16 @@ object PlanAudit {
 
   /** Queries with REVIEWED exceptions to the bounded-hint rule
     * ([[BroadcastBound]]) — each entry is (max waived unbounded hints,
-    * reason). The waiver is COUNTED, not blanket: a listed query may
-    * carry at most that many unbounded hints (the specific reviewed
-    * sites); one more — a new forced broadcast added later — still
-    * fails the audit. Same fail-closed discipline as [[UNPUSHED_OK]].
+    * offense-text pattern, reason). The waiver is COUNTED and
+    * PATTERN-MATCHED, not blanket: a listed query may carry at most
+    * that many unbounded hints AND each must match the reviewed
+    * offense's own text (the leaf table of the hinted subtree) — so an
+    * unused slot cannot be ridden by a DIFFERENT hint added later (the
+    * r10 ADVICE hole: when the size gate picks the salted-shuffle
+    * branch, fewer waived hints materialize, and a purely counted
+    * budget would have covered a new unrelated forced broadcast). One
+    * more matching hint than budgeted still fails too. Same fail-closed
+    * discipline as [[UNPUSHED_OK]].
     *
     *  - LshJoin consumers: `LshJoin.candidateJoin`/`verifyJoin` choose
     *    broadcast ONLY when the optimizer's size estimate of the banded
@@ -115,19 +121,37 @@ object PlanAudit {
     *    salted shuffle. The hints the audit sees at test SF are the
     *    small-side branch of a runtime size gate, not forced shapes —
     *    up to 3 per consumer (banded self-join build + the two verify
-    *    token-set lookups).
+    *    token-set lookups), all documents-leaved.
     *  - join_broadcast: the broadcast-hash-join demonstration query —
     *    its PURPOSE is the hinted plan (the shuffle twin is
     *    join_shuffle), mirroring join_skew_salted's deliberate skew
-    *    shapes. One hint. */
+    *    shapes. One hint on the part leaf. */
   private[graft] def maxWaivedHints(name: String): Int =
     BROADCAST_OK.get(name).map(_._1).getOrElse(0)
 
-  private val BROADCAST_OK: Map[String, (Int, String)] = Map(
-    "join_broadcast" -> (1, "deliberate BHJ physical-plan demo"),
-    "dedup_minhash_lsh" -> (3, "LshJoin size-gated (salted-shuffle fallback)"),
-    "dedup_shingle_jaccard" -> (3, "LshJoin size-gated (salted-shuffle fallback)"),
-    "multimodal_phash_neardup" -> (3, "LshJoin size-gated (salted-shuffle fallback)"))
+  /** The offenses NOT covered by `name`'s reviewed waiver: an offense
+    * whose text misses the waiver's pattern fails outright; matching
+    * offenses beyond the count budget fail as well. `text` extracts the
+    * offense string (callers carry a surface tag alongside it). */
+  private[graft] def unwaived[A](name: String, offenses: Seq[A])(
+      text: A => String): Seq[A] =
+    BROADCAST_OK.get(name) match {
+      case None => offenses
+      case Some((max, pat, _)) =>
+        val rx = pat.r
+        val (m, um) = offenses.partition(o => rx.findFirstIn(text(o)).isDefined)
+        um ++ (if (m.size > max) m else Nil)
+    }
+
+  private val BROADCAST_OK: Map[String, (Int, String, String)] = Map(
+    "join_broadcast" -> ((1, """UNBOUNDED hint \(leaves: part\.parquet\)""",
+      "deliberate BHJ physical-plan demo")),
+    "dedup_minhash_lsh" -> ((3, """UNBOUNDED hint \(leaves: documents\.parquet\)""",
+      "LshJoin size-gated (salted-shuffle fallback)")),
+    "dedup_shingle_jaccard" -> ((3, """UNBOUNDED hint \(leaves: documents\.parquet\)""",
+      "LshJoin size-gated (salted-shuffle fallback)")),
+    "multimodal_phash_neardup" -> ((3, """UNBOUNDED hint \(leaves: documents\.parquet\)""",
+      "LshJoin size-gated (salted-shuffle fallback)")))
 
   /** Asserted read widths: query -> table -> max columns the scan may
     * read. Populated for the headline/asserted paths; the audit fails
@@ -324,11 +348,10 @@ object PlanAudit {
     import scala.jdk.CollectionConverters._
     val subExec = listener.hits.asScala.toSeq.groupBy(_._1)
     (hintOffenses.keySet ++ subExec.keySet).toSeq.sorted.foreach { label =>
-      val top = hintOffenses.getOrElse(label, Nil)
-      val sub = subExec.getOrElse(label, Nil).map(_._2)
-      if (top.size + sub.size > maxWaivedHints(label)) {
-        top.foreach(o => violations += f"$label%-28s ${"<hint>"}%-12s BROADCAST: $o")
-        sub.foreach(o => violations += f"$label%-28s ${"<sub-exec>"}%-12s BROADCAST: $o")
+      val tagged = hintOffenses.getOrElse(label, Nil).map(("<hint>", _)) ++
+        subExec.getOrElse(label, Nil).map(h => ("<sub-exec>", h._2))
+      unwaived(label, tagged)(_._2).foreach { case (tag, o) =>
+        violations += f"$label%-28s $tag%-12s BROADCAST: $o"
       }
     }
     println(f"${"query"}%-28s ${"cart"}%5s ${"bnlj"}%5s ${"shuf"}%5s")

@@ -199,7 +199,16 @@ object ScalingProbe {
         None
       }
     }.toMap
-    val maxRatio = sizeRatio.values.max
+    // maxOption, not max: a custom dir pair where NO canonical table can
+    // be counted in both dirs must not abort the whole probe with an
+    // UnsupportedOperationException before any query runs — fall back to
+    // a neutral 1.0 ratio with a loud warning (every query then compares
+    // raw wall ratios, the most conservative reading available).
+    val maxRatio = sizeRatio.values.maxOption.getOrElse {
+      System.err.println("[probe] WARNING: no canonical table countable in " +
+        "both dirs; data ratio defaults to 1.0 (raw wall-ratio comparison)")
+      1.0
+    }
 
     println(f"${"query"}%-28s ${"t_small"}%8s ${"t_big"}%8s ${"t_ratio"}%8s ${"d_ratio"}%8s  verdict")
     var flagged = List.empty[String]

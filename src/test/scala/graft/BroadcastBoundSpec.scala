@@ -82,6 +82,54 @@ class BroadcastBoundSpec extends AnyFunSuite {
       "bm25's fixed-query-term dfreq shape must pass")
   }
 
+  // r11: the name-convention hole is closed for the engine-internal
+  // names — c_id/code/s are no longer in BOUNDED_COLS; their bounds now
+  // come from PROVENANCE (valueBound traces the exprId to the capped
+  // seed filter / literal explode that defines the values). These are
+  // the spoofing shapes the r10 verdict said nothing would catch:
+  test("an unbounded key aliased onto c_id/code/s is flagged (spoof shape)") {
+    for (name <- Seq("c_id", "code", "s")) {
+      val spoofed = docs.select(col("doc_id").as(name), col("text"))
+        .groupBy(col(name)).agg(count(lit(1)).as("n"))
+      val df = docs.crossJoin(broadcast(spoofed))
+      assert(offenses(df).exists(_.contains("UNBOUNDED")),
+        s"a corpus-unique key aliased to '$name' must be flagged now that " +
+          "the name-based domain entry is gone")
+    }
+  }
+
+  test("the kmeans round-2 shape proves bounded by provenance (min_by struct round-trip)") {
+    // seeds -> crossJoin assign -> top-1 via min_by(struct(...)) ->
+    // select("best.*") (FRESH exprIds through GetStructField) ->
+    // re-group on c_id: the exact lineage that used to need the c_id
+    // name entry. valueBound must chase the struct ordinal back to the
+    // capped seed filter.
+    val seeds = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 6400L)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val assigned = graft.ops.VectorOps.topKPerQuery(
+      emb.crossJoin(broadcast(seeds))
+        .withColumn("sim", col("c_id").cast("double")),
+      col("vec_id"), Seq(col("sim").desc, col("c_id")), k = 1)
+      .select(col("vec_id"), col("c_id"))
+    val cents1 = assigned.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+    assert(offenses(emb.crossJoin(broadcast(cents1))).isEmpty,
+      "the re-grouped top-1 centroid table descends from a capped seed " +
+        "filter and must prove bounded without any name rule")
+  }
+
+  test("documented residual gap: the fixed-vocabulary names still trust their name") {
+    // BOUNDED_COLS retains true world-vocabularies (ticker, event_type,
+    // lang, ...). An unbounded key aliased onto one of THOSE still
+    // false-passes — the accepted residual of the name rule, kept
+    // because their domains are world-bounded at any SF and no lineage
+    // can prove that. This assertion documents the gap; if the name
+    // list ever becomes provenance-derived too, flip it.
+    val spoofed = docs.select(col("doc_id").as("ticker"))
+      .groupBy(col("ticker")).agg(count(lit(1)).as("n"))
+    assert(offenses(docs.crossJoin(broadcast(spoofed))).isEmpty,
+      "(documents the accepted vocabulary-name gap — not an endorsement)")
+  }
+
   test("boundOf soundness edges: outer joins add unmatched rows, explodes multiply") {
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
     def bound(df: org.apache.spark.sql.DataFrame): Option[Long] =
@@ -123,6 +171,25 @@ class BroadcastBoundSpec extends AnyFunSuite {
       hidden.unpersist(blocking = false)
       ()
     } finally spark.listenerManager.unregister(l)
+  }
+
+  test("a waived query's unused slot cannot be ridden by a different hint") {
+    // The r10 ADVICE hole: when LshJoin's size gate picks the salted
+    // shuffle, 0 of the 3 budgeted hints materialize — a purely counted
+    // waiver would then cover any new unrelated forced broadcast. The
+    // pattern-matched waiver must fail a non-matching offense outright.
+    val un = tools.PlanAudit.unwaived("dedup_minhash_lsh",
+      Seq("UNBOUNDED hint (leaves: events.parquet)"))(identity)
+    assert(un.nonEmpty, "a non-matching offense must fail even with unused slots")
+    val ok = tools.PlanAudit.unwaived("dedup_minhash_lsh",
+      Seq.fill(3)("UNBOUNDED hint (leaves: documents.parquet)"))(identity)
+    assert(ok.isEmpty, "the reviewed shape within budget stays waived")
+    val over = tools.PlanAudit.unwaived("dedup_minhash_lsh",
+      Seq.fill(4)("UNBOUNDED hint (leaves: documents.parquet)"))(identity)
+    assert(over.size == 4, "over-budget matching offenses all fail")
+    assert(tools.PlanAudit.unwaived("some_unwaived_query",
+      Seq("UNBOUNDED hint (leaves: documents.parquet)"))(identity).nonEmpty,
+      "no waiver entry = every offense fails")
   }
 
   test("the registry itself is hint-clean (the PlanAudit gate, in-suite)") {
@@ -169,11 +236,13 @@ class BroadcastBoundSpec extends AnyFunSuite {
       // waived query's allowance.
       val subExec = listener.hits.asScala.toSeq.groupBy(_._1)
       (topOff.keySet ++ subExec.keySet).toSeq.sorted.foreach { label =>
-        val top = topOff.getOrElse(label, Nil)
-        val sub = subExec.getOrElse(label, Nil).map(_._2)
-        if (top.size + sub.size > tools.PlanAudit.maxWaivedHints(label)) {
-          top.foreach(o => bad += s"$label: $o")
-          sub.foreach(o => bad += s"$label (sub-exec): $o")
+        // Pattern-matched waivers (see PlanAudit.unwaived): an offense
+        // that doesn't match the reviewed waiver's own text fails even
+        // when the counted budget has slack.
+        val tagged = topOff.getOrElse(label, Nil).map(("", _)) ++
+          subExec.getOrElse(label, Nil).map(h => (" (sub-exec)", h._2))
+        tools.PlanAudit.unwaived(label, tagged)(_._2).foreach {
+          case (tag, o) => bad += s"$label$tag: $o"
         }
       }
     } finally spark.listenerManager.unregister(listener)

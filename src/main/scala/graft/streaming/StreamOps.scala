@@ -165,17 +165,97 @@ object StreamOps {
     StructField("market_state", StringType),
     StructField("currency", StringType)))
 
+  /** PER-TOPIC value schemas — the full serialization contract of each
+    * of the four topics (FIXTURES.md §1, cited to the reference
+    * producer), not just [[messageSchema]]'s unioned consumer
+    * projection. `financial-news` carries both message variants (news,
+    * producer.py:106-117/416-429, and technical, producer.py:316-332),
+    * so its schema is their field union; a JSON decode of either
+    * variant simply leaves the other variant's fields null — the same
+    * defensive-null posture as the reference consumer
+    * (consumer.py:50-84). TopicRoundTripSpec executes this contract:
+    * every schema round-trips producer-encode → streaming file read →
+    * [[decodeTopic]] bit-exactly. */
+  val topicSchemas: Map[String, StructType] = Map(
+    "financial-news" -> StructType(Seq(
+      StructField("ticker", StringType),
+      StructField("title", StringType),
+      StructField("publisher", StringType),
+      StructField("link", StringType),
+      StructField("summary", StringType),
+      StructField("content", StringType),
+      StructField("publish_time", LongType),
+      StructField("type", StringType),
+      StructField("source", StringType),
+      StructField("market_state", StringType),
+      StructField("currency", StringType),
+      StructField("id", StringType),
+      // technical variant (producer.py:316-332)
+      StructField("current_price", DoubleType),
+      StructField("mean_10", DoubleType),
+      StructField("mean_50", DoubleType),
+      StructField("mean_200", DoubleType),
+      StructField("regularMarketTime", LongType))),
+    "stock-history" -> StructType(Seq( // producer.py:138-146,457-465
+      StructField("ticker", StringType),
+      StructField("date", StringType), // tz-aware string, parsed downstream
+      StructField("Open", DoubleType),
+      StructField("High", DoubleType),
+      StructField("Low", DoubleType),
+      StructField("Close", DoubleType),
+      StructField("Volume", LongType))),
+    "hot-news-events" -> StructType(Seq( // producer.py:243-269
+      StructField("ticker", StringType),
+      StructField("title", StringType),
+      StructField("summary", StringType),
+      StructField("content", StringType),
+      StructField("link", StringType),
+      StructField("type", StringType),
+      StructField("source", StringType),
+      StructField("id", StringType), // LATEST_METRICS_{ticker} singleton
+      StructField("publish_time", LongType),
+      StructField("current_price", DoubleType),
+      StructField("last_close", DoubleType),
+      StructField("opening_price", DoubleType),
+      StructField("price_6h_ago", DoubleType),
+      StructField("price_3h_ago", DoubleType),
+      StructField("price_1h_ago", DoubleType),
+      StructField("price_30min_ago", DoubleType),
+      StructField("price_10min_ago", DoubleType),
+      StructField("regularMarketTime", LongType),
+      StructField("currency", StringType),
+      StructField("market_state", StringType))),
+    "daily-summary" -> StructType(Seq( // producer.py:183-193,490-500
+      StructField("ticker", StringType),
+      StructField("title", StringType),
+      StructField("link", StringType),
+      StructField("type", StringType),
+      StructField("source", StringType),
+      StructField("id", StringType), // DAILY_SUMMARY_{ticker}_{unix_ts}
+      StructField("publish_time", LongType),
+      StructField("summary", StringType),
+      StructField("content", StringType))))
+
+  /** S2's decode projection against an arbitrary value schema:
+    * (key, value, timestamp) → flattened message columns. */
+  def decodeWith(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(
+        col("key").cast("string").as("kafka_key"),
+        from_json(col("value").cast("string"), schema).as("msg"),
+        col("timestamp").as("ingest_ts"))
+      .select(col("kafka_key"), col("ingest_ts"), col("msg.*"))
+
   /** S2's decode projection: (key, value, timestamp) → flattened message
     * columns. Factored out of [[kafkaSource]] so the SAME projection runs
     * against any Kafka-shaped frame — the end-to-end StreamingSpec drives
     * it from a file-backed stream of FIXTURES.md JSON, the closest offline
     * stand-in for the broker round-trip. */
   def decodeMessages(raw: DataFrame): DataFrame =
-    raw.select(
-        col("key").cast("string").as("kafka_key"),
-        from_json(col("value").cast("string"), messageSchema).as("msg"),
-        col("timestamp").as("ingest_ts"))
-      .select(col("kafka_key"), col("ingest_ts"), col("msg.*"))
+    decodeWith(raw, messageSchema)
+
+  /** Decode one topic's stream with its FULL per-topic schema. */
+  def decodeTopic(raw: DataFrame, topic: String): DataFrame =
+    decodeWith(raw, topicSchemas(topic))
 
   /** S2: Kafka source for the 4-topic family — earliest offsets + JSON
     * decode, exactly the consumer's subscription shape
@@ -189,11 +269,18 @@ object StreamOps {
         .option("startingOffsets", "earliest")
         .load())
 
+  /** S1's encode projection — JSON value, ticker key (producer.py:62-75).
+    * Factored out of [[kafkaSink]] for the same reason as
+    * [[decodeWith]]: the spec executes the EXACT projection the broker
+    * sink would ship, against a file surrogate. */
+  def encodeMessages(df: DataFrame): DataFrame =
+    df.select(
+      col("ticker").cast("string").as("key"),
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
+
   /** S1: Kafka sink — JSON value, ticker key (producer.py:62-75). */
   def kafkaSink(df: DataFrame, bootstrap: String, topic: String): DataStreamWriter[org.apache.spark.sql.Row] =
-    df.select(
-        col("ticker").cast("string").as("key"),
-        to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
+    encodeMessages(df)
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)

@@ -62,20 +62,37 @@ object ServeLatency {
     val sf = sfDir.split('/').last
     val warmReps = 20
     val jsonRows = scala.collection.mutable.ArrayBuffer[String]()
-    for (q <- Seq("ann_serve_from_store", "rag_query_spec")) {
+    for ((q, order) <- Seq("ann_serve_from_store", "rag_query_spec").zipWithIndex) {
       val storeRoot = q match {
         case "ann_serve_from_store" => s"/tmp/graft_ann_index/$sf"
         case _ => s"/tmp/graft_rag_store/$sf"
       }
       var lastPlan: SparkPlan = null
-      val times = (1 to (1 + warmReps)).map { _ =>
+      // r11: decompose the cold rep — how much of "cold" is query
+      // CONSTRUCTION + first Catalyst plan (analysis/optimization/
+      // physical planning, plus the serve path's own bounded probe
+      // collects during construction) vs store-open + EXECUTION. The
+      // SECOND query in this loop is the "second distinct query in the
+      // same fresh JVM" number the verdict asked for: its cold rep pays
+      // no JVM/session init (query 1 absorbed that), so
+      // cold(q2) ≈ first-plan Catalyst + store I/O for a new query in a
+      // long-lived serving tier.
+      var coldPlanSecs = 0.0
+      var coldExecSecs = 0.0
+      val times = (1 to (1 + warmReps)).map { rep =>
         val t0 = System.nanoTime()
         val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        val _ = df.queryExecution.executedPlan // force plan pipeline
+        val t1 = System.nanoTime()
         df.collect()
         lastPlan = df.queryExecution.executedPlan
-        val secs = (System.nanoTime() - t0) / 1e9
+        val t2 = System.nanoTime()
+        if (rep == 1) {
+          coldPlanSecs = (t1 - t0) / 1e9
+          coldExecSecs = (t2 - t1) / 1e9
+        }
         spark.catalog.clearCache()
-        secs
+        (t2 - t0) / 1e9
       }
       val cold = times.head
       val warm = times.drop(1).sorted
@@ -83,8 +100,9 @@ object ServeLatency {
       val (p50, p95) = (pct(0.50), pct(0.95))
       val onDisk = filesOnDisk(storeRoot)
       val scans = scanMetrics(lastPlan, storeRoot.split('/')(2))
-      println(f"[serve] $q%-22s cold=$cold%6.2f s warm_p50=$p50%6.3f s " +
-        f"warm_p95=$p95%6.3f s warm_min=${warm.head}%6.3f s " +
+      println(f"[serve] $q%-22s cold=$cold%6.2f s (plan=$coldPlanSecs%5.2f" +
+        f" exec=$coldExecSecs%5.2f, query #${order + 1} in session) " +
+        f"warm_p50=$p50%6.3f s warm_p95=$p95%6.3f s warm_min=${warm.head}%6.3f s " +
         s"store_files_read=${scans.map(_._1).sum} of $onDisk on disk " +
         s"(bytes=${scans.map(_._2).sum})")
       allNodes(lastPlan).collect {
@@ -93,13 +111,16 @@ object ServeLatency {
           println(s"[serve]   scan partitionFilters=${s.partitionFilters.mkString(";").take(200)}")
           println(s"[serve]   metrics=${s.metrics.map { case (k, m) => s"$k=${m.value}" }.mkString(" ").take(300)}")
       }
-      jsonRows += f"""{"query":"$q","cold_s":$cold%.3f,"warm_p50_s":$p50%.3f,""" +
+      jsonRows += f"""{"query":"$q","order_in_session":${order + 1},""" +
+        f""""cold_s":$cold%.3f,"cold_construct_plan_s":$coldPlanSecs%.3f,""" +
+        f""""cold_exec_s":$coldExecSecs%.3f,""" +
+        f""""warm_p50_s":$p50%.3f,""" +
         f""""warm_p95_s":$p95%.3f,"warm_min_s":${warm.head}%.3f,"warm_reps":$warmReps,""" +
         s""""store_files_read":${scans.map(_._1).sum},"store_files_on_disk":$onDisk,""" +
         s""""store_bytes_read":${scans.map(_._2).sum}}"""
     }
     sys.env.get("SERVE_JSON_OUT").foreach { out =>
-      val body = s"""{"sf_dir":"$sfDir","note":"cold = first plan-compile+execute in a fresh forked JVM against the published on-disk store; warm percentiles over $warmReps reps in the same session","rows":[${jsonRows.mkString(",")}]}"""
+      val body = s"""{"sf_dir":"$sfDir","note":"cold = first plan-compile+execute in a fresh forked JVM against the published on-disk store, decomposed into construct+plan vs exec; order_in_session 2 = a second DISTINCT query in the same JVM (no session init left to pay); warm percentiles over $warmReps reps in the same session","rows":[${jsonRows.mkString(",")}]}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(out), body.getBytes("UTF-8"))
       println(s"[serve] wrote $out")
     }

@@ -1036,10 +1036,17 @@ object JoinQueries extends QueryPack {
     // `WHERE total = (SELECT max(total) FROM view)`): per-supplier quarter
     // revenue is ONE decimal-exact groupBy; the max is a 1-row reduction
     // of that |suppliers|-sized table broadcast back into the equality
-    // filter — never recomputed per probe row (the uncached `rev`
-    // lineage does run twice, once per consumer: the scalar max and the
-    // probe side — two aggregate passes total, each over the
-    // quarter-pruned scan). All ties
+    // filter — never recomputed per probe row. `rev` is CACHED because it
+    // has two consumers (the scalar max and the probe side) and the
+    // physical planner does NOT reuse the exchange across them
+    // (r11-measured: 0 ReusedExchangeExec, the quarter-pruned scan +
+    // suppkey shuffle ran twice; caching cut warm time 0.57->0.44 s at
+    // sf0.1). cache() over localCheckpoint deliberately: the cached
+    // segment keeps its lineage, so the scan width/pushdown audits still
+    // see the lineitem scan (PlanAudit descends into cached plans) —
+    // localCheckpoint measured marginally faster but blinds them. The
+    // cached table is dimension-sized (|suppliers| rows), safe to pin at
+    // any SF. All ties
     // return (no LIMIT), so the result is deterministic without a
     // tiebreak; the revenue double comes from the same exact decimal in
     // both engines, so the max-equality test is bit-safe. At 100 TB the
@@ -1051,6 +1058,7 @@ object JoinQueries extends QueryPack {
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
         .agg(revenue.as("total_revenue"))
+        .cache()
       val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
       rev
         .join(broadcast(maxRev))

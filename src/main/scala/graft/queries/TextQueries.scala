@@ -937,40 +937,50 @@ object TextQueries extends QueryPack {
     //    the longer doc. Both engines share levenshtein's unit-cost DP
     //    semantics, so the integer output is parity-exact. ----------------
     "dedup_fuzzy_editdist" -> ((s, dir) => {
-      // Candidate generation is the cheap part (an equi-join on
-      // (lang, band)); the COST is the per-pair DP. Three measures keep
-      // it bounded, all semantics-preserving (the oracle keeps the plain
-      // levenshtein predicate):
-      //  1. ROUND-ROBIN repartition of the candidate PAIRS before the DP:
-      //     pair count per band grows with band_size², so any band-keyed
-      //     placement is quadratically skewed (measured: one straggler
-      //     task owned ~10× the mean). Redistributing the materialized
-      //     pairs makes the CPU-dense stage embarrassingly parallel.
-      //  2. Counting filter (Ed-Join family): one edit changes each
-      //     string's bigram multiset by ≤2 entries, so lev ≥ bigram_l1/4
-      //     ([[graft.expressions.BigramL1]]) — an O(|a|+|b|) prune before
-      //     the O(|a|·|b|) DP.
-      //  3. Per-pair THRESHOLD levenshtein: the 3-arg form returns -1 as
-      //     soon as the banded DP proves dist > t, abandoning the
-      //     far-apart majority early instead of filling the full matrix.
+      // Candidate ENUMERATION is quadratic per (lang, band) block by the
+      // operator's own semantics (the oracle pins the banded blocking:
+      // every same-band pair is a candidate, and block population grows
+      // with the corpus) — no sound-and-complete cheap filter exists for
+      // a 20%-of-length edit threshold, so the enumeration cost is the
+      // price of the exact answer; the MinHash path is the subquadratic
+      // probabilistic complement (SCALING triage note, r11). What IS
+      // controllable is the per-pair constant and the placement:
+      //  1. SALTED pair enumeration (the LshJoin trick): block pair
+      //     counts grow with band_size², so the plain (lang, band)
+      //     shuffle put a whole block's quadratic work on one reducer —
+      //     the probe side picks one deterministic salt from doc_a, the
+      //     build side replicates to all salts, and a hot block's pair
+      //     space spreads `salts` ways (each pair meets at exactly one
+      //     salt, so no dedup stage).
+      //  2. Counting filter (Ed-Join family) IN the join stage: one edit
+      //     changes each string's bigram multiset by ≤2 entries, so
+      //     lev ≥ bigram_l1/4 ([[graft.expressions.BigramL1]]) — an
+      //     O(|a|+|b|) prune applied BEFORE any pair is materialized.
+      //     (r11: this used to run after a localCheckpoint of ALL raw
+      //     pairs — at 10× data the checkpoint wrote the full quadratic
+      //     pair table with both texts per row, 0.9→17.5 s; pruning
+      //     in-stage cut the materialized volume to survivors only.)
+      //  3. Survivors-only repartition + checkpoint, then the per-pair
+      //     THRESHOLD levenshtein: the 3-arg form returns -1 as soon as
+      //     the banded DP proves dist > t. The checkpoint is the
+      //     push-down barrier that keeps the O(|a|·|b|) DP in the evenly
+      //     repartitioned stage instead of the salted join.
+      val salts = 8
       val d = docs(s, dir).select(
         col("doc_id"), col("text"), col("lang"), col("n_chars"),
         (col("n_chars") / 8).cast("long").as("band"))
       val a = d.select(col("doc_id").as("doc_a"), col("text").as("ta"),
         col("lang"), col("band"), col("n_chars").as("la"))
+        .withColumn("salt", pmod(xxhash64(col("doc_a")), lit(salts)).cast("int"))
       val b = d.select(col("doc_id").as("doc_b"), col("text").as("tb"),
         col("lang"), col("band"), col("n_chars").as("lb"))
-      // localCheckpoint is the push-down barrier: Catalyst pushes filters
-      // straight through a bare repartition, which would move the DP back
-      // into the (skewed) join stage. Materializing the candidate table
-      // before the verify is the standard candidates-then-verify shape;
-      // its size is band-bounded, never corpus-quadratic.
-      a.join(b, Seq("lang", "band"))
+        .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
+      a.join(b, Seq("lang", "band", "salt"))
         .filter(col("doc_a") < col("doc_b"))
-        .repartition(s.sessionState.conf.numShufflePartitions)
-        .localCheckpoint()
         .filter(graft.expressions.BigramL1.bigramL1(col("ta"), col("tb")) <=
           greatest(col("la"), col("lb")) * 4 / 5)
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .localCheckpoint()
         .withColumn("dist",
           expr("levenshtein(ta, tb, CAST(greatest(la, lb) / 5 AS INT))").cast("long"))
         .filter(col("dist") >= 0 && col("dist") <= greatest(col("la"), col("lb")) / 5)

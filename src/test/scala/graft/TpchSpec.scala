@@ -13,9 +13,19 @@ class TpchSpec extends AnyFunSuite {
   lazy val spark = SparkTest.session
   private val sf = "/root/testdata/sf0.001"
 
-  private def scans(name: String) =
-    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
-      .collect { case s: FileSourceScanExec => s }
+  /** File scans of the static plan, DESCENDING into cached segments
+    * (r11: q15 caches its two-consumer revenue table, which wraps the
+    * lineitem scan in InMemoryTableScanExec — without the descent the
+    * pushdown assertion would pass vacuously on an empty scan list). */
+  private def scans(name: String): Seq[FileSourceScanExec] = {
+    def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          all(t.relation.cachedPlan)
+      }.flatten
+    all(SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan)
+  }
 
   private def scanOf(name: String, col: String) =
     scans(name).find(_.schema.fieldNames.contains(col)).get

@@ -1,0 +1,154 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.TextOps
+import graft.queries.MiningQueries
+
+/** The BPE trainer's pair-count MAINTENANCE (delta aggregation over the
+  * affected slice, MiningQueries.bpeTrainOn) must be bit-equal to the
+  * from-scratch recount formulation on every round: same winners, same
+  * winning counts, same final corpus, and a maintained count table that
+  * exactly equals a recount of the corpus it claims to describe. The
+  * naive trainer here is the independent oracle — it re-counts the full
+  * corpus each round, the shape the registry ran through r10. */
+class BpeTrainerSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def corpusDF(texts: Seq[String]): DataFrame =
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_raw"))
+
+  /** From-scratch recount trainer: each round recounts ALL bigrams of
+    * the full corpus, picks (cnt desc, w1, w2) top-1, applies the framed
+    * non-overlapping replace. Mirrors the pre-r11 registry trainer. */
+  private def naiveTrain(corpus0: DataFrame, k: Long)
+      : (Seq[(Long, String, String, Long)], Seq[(Long, String)]) = {
+    var corpus = corpus0.localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1L
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val topOpt = corpus
+        .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+        .select(split(col("bg"), " ").getItem(0).as("w1"),
+          split(col("bg"), " ").getItem(1).as("w2"), col("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+        .collect().headOption
+      if (topOpt.isEmpty) exhausted = true
+      else {
+        val t = topOpt.get
+        val (w1, w2) = (t.getAs[String]("w1"), t.getAs[String]("w2"))
+        merges += ((step, w1, w2, t.getAs[Long]("cnt")))
+        val framed =
+          concat(lit(" "), replace(col("text"), lit(" "), lit("  ")), lit(" "))
+        corpus = corpus.select(col("doc_id"),
+          trim(replace(replace(framed, lit(s" $w1  $w2 "), lit(s" ${w1}_$w2 ")),
+            lit("  "), lit(" "))).as("text"), col("n_raw"))
+          .localCheckpoint()
+      }
+      step += 1
+    }
+    val docs = corpus.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    (merges.toSeq, docs)
+  }
+
+  private def check(texts: Seq[String], k: Long): Unit = {
+    val (gotM, gotC, gotCounts) =
+      MiningQueries.bpeTrainOn(spark, corpusDF(texts), k)
+    val merges = gotM.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val corpus = gotC.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val (expM, expC) = naiveTrain(corpusDF(texts), k)
+    assert(merges == expM, s"merge sequence diverged for $texts")
+    assert(corpus == expC, s"final corpus diverged for $texts")
+    // The maintained table must equal a recount of the final corpus —
+    // catches any delta-algebra error that happens not to flip a winner.
+    val maintained = gotCounts.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val recount = gotC
+      .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(maintained == recount, s"maintained counts != recount for $texts")
+  }
+
+  // Branch coverage: the trainer gates delta-vs-recount on
+  // `DELTA_GATE·cnt < nDocs`. Small fixtures (chained/tied/overlapping/
+  // exhaustion) force the RECOUNT branch; fixtures padded with hundreds
+  // of bigram-free filler docs push nDocs above DELTA_GATE·cnt and
+  // force the DELTA branch. Each delta test asserts its premise so a
+  // future gate retune fails loudly here instead of silently moving
+  // every fixture onto one branch.
+
+  private def assertDeltaForces(nDocs: Int, maxCnt: Long): Unit =
+    assert(MiningQueries.DELTA_GATE * maxCnt < nDocs,
+      s"fixture no longer forces the delta branch (gate=${MiningQueries.DELTA_GATE})")
+
+  test("chained merges: a merged token wins the next round (recount branch)") {
+    // "a b c" dominates: round 1 merges a b, round 2 merges a_b c.
+    // cnt=4 vs 3 docs → every round recounts.
+    check(Seq("a b c a b c a b c", "a b c d", "x y"), 4L)
+  }
+
+  test("chained merges under the delta branch stay exact") {
+    // Bigram-free filler docs push nDocs above DELTA_GATE·cnt, so every
+    // round takes the DELTA branch — including round 2, where the
+    // round-1 product a_b participates in the winner (the trickiest
+    // maintenance algebra: the delta must retire (a,b)/(b,c) rows AND
+    // introduce-then-consume the (a_b,c) row it created a round ago).
+    val filler = (1 to 300).map(i => s"f$i")
+    val texts = filler ++ Seq("a b c a b c", "a b c", "a b x")
+    assertDeltaForces(texts.size, maxCnt = 4L)
+    check(texts, 4L)
+  }
+
+  test("delta branch reaches exhaustion cleanly") {
+    // One merge empties the maintained table via its own delta; the
+    // next round must read the empty table and stop, not throw.
+    val filler = (1 to 200).map(i => s"g$i")
+    val texts = filler ++ Seq("p q", "p q")
+    assertDeltaForces(texts.size, maxCnt = 2L)
+    check(texts, 3L)
+  }
+
+  test("tie-breaking is lexicographic on (w1, w2)") {
+    // Four pairs all count 2 — winner must be the (w1, w2)-smallest.
+    check(Seq("b a", "b a", "c d", "c d", "a z", "a z", "a y", "a y"), 3L)
+  }
+
+  test("overlapping occurrences merge greedily left-to-right") {
+    // "x x" counts 3 in "x x x x" but the framed replace is
+    // non-overlapping: x_x x_x, then x_x x_x merges next round.
+    check(Seq("x x x x", "x x x x"), 3L)
+  }
+
+  test("exhaustion: trainer stops when no bigram remains") {
+    // One merge empties the pair space; rounds 2..k must no-op with the
+    // single learned merge, not throw.
+    check(Seq("a b", "a b", ""), 3L)
+  }
+
+  test("empty and single-token docs contribute nothing") {
+    check(Seq("", "solo", "p q p q", "p q"), 3L)
+  }
+
+  test("deep run: six rounds of maintenance stay exact") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox sat on the mat",
+      "a quick brown cat jumps over a lazy fox",
+      "the lazy dog and the lazy cat", "quick brown quick brown")
+    check(texts, 6L)
+  }
+}

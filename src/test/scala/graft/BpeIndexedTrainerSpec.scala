@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{BpeIndexedTrainer, TextOps}
+
+/** The fully-indexed BPE trainer (LSM corpus + postings stores,
+  * BpeIndexedTrainer) must be bit-equal to the from-scratch recount
+  * trainer — same merges, same final corpus, same maintained pair
+  * counts — AND must actually deliver the I/O shape that justifies it:
+  * a 1-directory postings probe and corpus reads confined to the
+  * buckets the affected docs hash to. Both halves are asserted; the
+  * pruning claims come from the trainer's own RoundStats, which count
+  * real directories on disk. */
+class BpeIndexedTrainerSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private def corpusDF(texts: Seq[String]): DataFrame =
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_raw"))
+
+  /** Independent oracle: full recount each round (the pre-r11 registry
+    * trainer shape, same as BpeTrainerSpec's naive oracle). */
+  private def naiveTrain(corpus0: DataFrame, k: Long)
+      : (Seq[(Long, String, String, Long)], Seq[(Long, String)]) = {
+    var corpus = corpus0.localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1L
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val topOpt = corpus
+        .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+        .select(split(col("bg"), " ").getItem(0).as("w1"),
+          split(col("bg"), " ").getItem(1).as("w2"), col("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+        .collect().headOption
+      if (topOpt.isEmpty) exhausted = true
+      else {
+        val t = topOpt.get
+        val (w1, w2) = (t.getAs[String]("w1"), t.getAs[String]("w2"))
+        merges += ((step, w1, w2, t.getAs[Long]("cnt")))
+        val framed =
+          concat(lit(" "), replace(col("text"), lit(" "), lit("  ")), lit(" "))
+        corpus = corpus.select(col("doc_id"),
+          trim(replace(replace(framed, lit(s" $w1  $w2 "), lit(s" ${w1}_$w2 ")),
+            lit("  "), lit(" "))).as("text"), col("n_raw"))
+          .localCheckpoint()
+      }
+      step += 1
+    }
+    val docs = corpus.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    (merges.toSeq, docs)
+  }
+
+  private def run(texts: Seq[String], k: Long,
+                  corpusBuckets: Int = 8, postingsBuckets: Int = 8) = {
+    val root = Files.createTempDirectory("graft_bpe_idx").toString
+    BpeIndexedTrainer.train(spark, corpusDF(texts), k, root,
+      corpusBuckets, postingsBuckets)
+  }
+
+  private def check(texts: Seq[String], k: Long)
+      : Seq[BpeIndexedTrainer.RoundStats] = {
+    val (gotM, gotC, gotCounts, stats) = run(texts, k)
+    val merges = gotM.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val corpus = gotC.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val (expM, expC) = naiveTrain(corpusDF(texts), k)
+    assert(merges == expM, s"merge sequence diverged for $texts")
+    assert(corpus == expC, s"final corpus diverged for $texts")
+    // Maintained counts must equal a recount of the final corpus —
+    // catches delta-algebra errors that happen not to flip any winner.
+    val maintained = gotCounts.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val recount = gotC
+      .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(maintained == recount, s"maintained counts != recount for $texts")
+    stats
+  }
+
+  test("chained merges: round-2 winner contains the round-1 product") {
+    // a_b c wins round 2 — the postings delta must have retired the
+    // (a,b)/(b,c) rows and introduced (a_b,c) a round earlier.
+    check(Seq("a b c a b c a b c", "a b c d", "x y"), 4L)
+  }
+
+  test("tie-breaking is lexicographic on (w1, w2)") {
+    check(Seq("b a", "b a", "c d", "c d", "a z", "a z", "a y", "a y"), 3L)
+  }
+
+  test("overlapping occurrences merge greedily left-to-right") {
+    check(Seq("x x x x", "x x x x"), 3L)
+  }
+
+  test("exhaustion: trainer stops when no bigram remains") {
+    val stats = check(Seq("a b", "a b", ""), 3L)
+    assert(stats.size == 1, "only one merge should have run")
+  }
+
+  test("empty and single-token docs contribute nothing") {
+    check(Seq("", "solo", "p q p q", "p q"), 3L)
+  }
+
+  test("deep run: six indexed rounds stay exact") {
+    check(Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox sat on the mat",
+      "a quick brown cat jumps over a lazy fox",
+      "the lazy dog and the lazy cat", "quick brown quick brown"), 6L)
+  }
+
+  test("I/O shape: 1-dir probe; corpus reads confined to affected buckets") {
+    // 400 docs with disjoint 2-token vocabularies spread over every
+    // bucket; one 3-doc needle family ("n0 n1" x3) is the only repeated
+    // bigram, so each round's affected slice is tiny while the corpus
+    // store is wide. Doc ids are arbitrary longs — bucket spread comes
+    // from xxhash64, same as production.
+    val filler = (0 until 400).map(i => s"u${i}a u${i}b")
+    val texts = filler ++ Seq("n0 n1 z0", "n0 n1 z1", "n0 n1 z2")
+    val stats = check(texts, 2L)
+    assert(stats.nonEmpty)
+    val s1 = stats.head
+    // Probe: exactly one postings directory of the 8 on disk.
+    assert(s1.postingsDirsRead == 1 && s1.postingsDirsTotal > 1,
+      s"probe should read 1/${s1.postingsDirsTotal} postings dirs: $s1")
+    // Corpus: 3 affected docs can touch at most 3 of the 8 bucket dirs.
+    assert(s1.affectedDocs == 3, s"winner should touch 3 docs: $s1")
+    assert(s1.corpusDirsRead <= 3 && s1.corpusDirsTotal == 8,
+      s"corpus read should be confined to affected buckets: $s1")
+    // Appends sized by the slice, never the corpus: each affected doc
+    // rewrites once, and its postings delta is a handful of rows.
+    assert(s1.corpusRowsAppended == 3, s"append = affected docs: $s1")
+    assert(s1.postingsRowsAppended <= 12,
+      s"postings delta must be slice-sized: $s1")
+  }
+
+  test("postings tombstones: a bigram removed then re-created stays exact") {
+    // Round 1 merges (p,q) everywhere, deleting bigram "q r"; the doc
+    // "z p q r" still holds "p_q r". Round 2 merges (p_q,r) — its
+    // probe must see the LIVE (p_q r) rows appended in round 1, and
+    // the retired (q,r)/(p,q) rows must not resurrect. 4 rounds runs
+    // the store to exhaustion.
+    check(Seq("p q r s", "p q r t", "p q u v", "z p q r"), 4L)
+  }
+}

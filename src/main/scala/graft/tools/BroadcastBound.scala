@@ -125,6 +125,13 @@ object BroadcastBound {
     case x => Seq(x)
   }
 
+  /** IN-list / equality literals in an ANALYZED plan often sit under an
+    * implicit type-promotion Cast (`x IN (1, 2)` over a bigint column is
+    * `In(x, [cast(1 as bigint), ...])` until the optimizer folds it) —
+    * match literal-ness through the cast, like [[litLong]] does. */
+  private def isLit(e: Expression): Boolean =
+    stripCast(e).isInstanceOf[Literal]
+
   /** Row bound a single filter condition imposes, via its unique-key
     * conjuncts. `id < k` bounds rows by k because ids are non-negative
     * integers here (testdata + store contract). */
@@ -138,7 +145,7 @@ object BroadcastBound {
       case LessThanOrEqual(a, l) if attrName(a).exists(UNIQUE_KEYS) =>
         litLong(l).map(_ + 1)
       case In(a, list) if attrName(a).exists(UNIQUE_KEYS) &&
-          list.forall(_.isInstanceOf[Literal]) =>
+          list.forall(isLit) =>
         Some(list.size.toLong)
       case _ => None
     }
@@ -157,10 +164,9 @@ object BroadcastBound {
       case _ => false
     }
     plan.collect { case f: Filter => conjuncts(f.condition) }.flatten.collectFirst {
-      case In(a, list) if sameRef(a) &&
-          list.forall(_.isInstanceOf[Literal]) => list.size.toLong
-      case EqualTo(a, l: Literal) if sameRef(a) => 1L
-      case EqualTo(l: Literal, a) if sameRef(a) => 1L
+      case In(a, list) if sameRef(a) && list.forall(isLit) => list.size.toLong
+      case EqualTo(a, l) if sameRef(a) && isLit(l) => 1L
+      case EqualTo(l, a) if sameRef(a) && isLit(l) => 1L
     }
   }
 
@@ -279,9 +285,16 @@ object BroadcastBound {
       case _ => None
     }
 
-    /** Domain size of one grouping expression over `child`. */
-    def domainOf(e: Expression, child: LogicalPlan): Option[Long] =
-      stripCast(e) match {
+    /** Domain size of one grouping expression over `child`. NULL is a
+      * group of its own, so a nullable expression (outer-join extended
+      * attribute, optional field, null-propagating function) takes one
+      * value beyond its domain — without the +1, grouping a
+      * filtered-to-2-literals column AFTER a left outer join would
+      * under-bound 3 real groups as 2. Immaterial against the 1M CAP
+      * (domains only multiply each other), but the estimator's contract
+      * is a sound upper bound, not a usually-close one. */
+    def domainOf(e: Expression, child: LogicalPlan): Option[Long] = {
+      val raw = stripCast(e) match {
         case a: AttributeReference =>
           BOUNDED_COLS.get(a.name)
             .orElse(filterDomain(a, child))
@@ -293,6 +306,8 @@ object BroadcastBound {
         case other if other.dataType == BooleanType => Some(2L)
         case _ => None
       }
+      raw.map(b => if (e.nullable) b + 1 else b)
+    }
 
     /** PROVENANCE bound on the number of distinct values attribute `id`
       * can take in `p`'s output: trace the exprId down the plan to the

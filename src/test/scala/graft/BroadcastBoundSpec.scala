@@ -148,6 +148,17 @@ class BroadcastBoundSpec extends AnyFunSuite {
     // pin the conservative default on an unrecognized shape — a raw
     // corpus scan has no bound at all.
     assert(bound(docs).isEmpty, "a corpus scan must be unbounded")
+    // NULL is a group: a column pinned to 2 literals gains a third
+    // group once a left outer join null-extends it, so the grouped
+    // bound must be >= 3 (and still bounded).
+    val dim = emb.filter(col("vec_id").isin(1, 2))
+      .select(col("vec_id").as("vk"), col("label"))
+    val nulled = emb.select(col("vec_id"))
+      .join(dim, col("vec_id") === col("vk"), "left")
+      .groupBy(col("vk")).agg(count(lit(1)).as("n"))
+    val nb = bound(nulled)
+    assert(nb.exists(b => b >= 3 && b <= BroadcastBound.CAP),
+      s"outer-join-nulled group bound must count the NULL group, got $nb")
   }
 
   test("listener audit catches a hint hidden behind localCheckpoint") {

@@ -84,13 +84,75 @@ object BpeIndexedTrainer {
     Option(new File(root).listFiles()).getOrElse(Array.empty)
       .count(f => f.isDirectory && f.getName.contains("="))
 
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** Parquet data files under `root`, recursively — the LSM growth
+    * metric compaction exists to reset. */
+  def dataFiles(root: String): Int = {
+    def walk(f: File): Int =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new File(root))
+  }
+
+  /** Fold the accumulated per-round append files into a fresh
+    * single-generation base: superseded doc versions dropped
+    * (latest-version-wins made physical), postings tombstone pairs
+    * cancelled (only `sum(d) > 0` presence rows survive, renormalized
+    * to d = 1). Readers resolve by version / sum(d) either way, so
+    * compaction changes NOTHING semantically — the specs assert
+    * bit-equal training through mid-run compactions — it only resets
+    * the small-file growth an append-per-round log accumulates.
+    *
+    * Swap discipline: the resolved content is MATERIALIZED
+    * (localCheckpoint) before any directory is touched, then written to
+    * a sibling tmp dir and swapped in with two renames. The trainer is
+    * the store's single owner and compaction runs between rounds, so
+    * the non-atomic window needs no concurrent-reader story — a SERVED
+    * store would go through DerivedStore's versioned publish instead. */
+  def compact(s: SparkSession, root: String,
+              corpusBuckets: Int = 16, postingsBuckets: Int = 16): Unit = {
+    def swapIn(resolved: DataFrame, path: String, partCol: String): Unit = {
+      val out = resolved.localCheckpoint()
+      out.count() // force full materialization before unlinking sources
+      val tmp = new File(path + ".compact_tmp")
+      val old = new File(path + ".compact_old")
+      DerivedStore.writePartitioned(out, tmp.getAbsolutePath, Seq(partCol))
+      require(new File(path).renameTo(old), s"compact: cannot retire $path")
+      require(tmp.renameTo(new File(path)), s"compact: cannot publish $tmp")
+      deleteRecursively(old)
+      try out.unpersist(blocking = false) catch { case _: Throwable => }
+    }
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+    swapIn(
+      DedupOps.latestWins(s.read.parquet(s"$root/corpus"),
+          col("doc_id"), Seq(col("ver").desc))
+        .select(col("doc_id"), col("text"), col("n_raw"), col("ver"),
+          pmod(xxhash64(col("doc_id")), lit(corpusBuckets)).as("bkt")),
+      s"$root/corpus", "bkt")
+    swapIn(
+      s.read.parquet(s"$root/postings")
+        .groupBy(col("bg"), col("doc_id")).agg(sum(col("d")).as("sd"))
+        .filter(col("sd") > 0)
+        .select(col("bg"), col("doc_id"), lit(1).as("d"),
+          pmod(xxhash64(col("bg")), lit(postingsBuckets)).as("pbkt")),
+      s"$root/postings", "pbkt")
+  }
+
   /** Train `k` greedy merges over `corpus0(doc_id, text, n_raw)`,
     * staging the indexed state under `root` (a fresh scratch dir per
     * run — the store is the trainer's working state, not a served
-    * artifact). Returns (merges, final corpus, final pair counts,
-    * per-round stats). */
+    * artifact). `compactEvery > 0` folds the append log every that many
+    * rounds ([[compact]]) — the long-run mode, where the log would
+    * otherwise accumulate one small file set per round. Returns
+    * (merges, final corpus, final pair counts, per-round stats). */
   def train(s: SparkSession, corpus0: DataFrame, k: Long, root: String,
-            corpusBuckets: Int = 16, postingsBuckets: Int = 16)
+            corpusBuckets: Int = 16, postingsBuckets: Int = 16,
+            compactEvery: Int = 0)
       : (DataFrame, DataFrame, DataFrame, Seq[RoundStats]) = {
     import s.implicits._
     val cRoot = s"$root/corpus"
@@ -211,6 +273,8 @@ object BpeIndexedTrainer {
           corpusDirsRead = dirs.length, corpusDirsTotal = partDirs(cRoot),
           postingsDirsRead = 1, postingsDirsTotal = partDirs(pRoot),
           postingsRowsAppended = pRows, corpusRowsAppended = nAffected)
+        if (compactEvery > 0 && step % compactEvery == 0)
+          compact(s, root, corpusBuckets, postingsBuckets)
       }
       step += 1
     }

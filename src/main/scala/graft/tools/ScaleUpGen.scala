@@ -42,7 +42,12 @@ object ScaleUpGen {
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
 
   /** Per-row Caesar cipher: a when-chain over the (small, literal) copy
-    * domain so each branch is a foldable `translate`. */
+    * domain so each branch is a foldable `translate`. Caveat: the shift
+    * wraps at 26, so copies > 26 start REUSING vocabularies (copy 26 ==
+    * copy 0) and the near-dup pair table would grow superlinearly across
+    * the colliding copies — fine for the ≤10-copy scaling decades this
+    * tool exists for; a 100-copy run would need a per-copy disambiguating
+    * token transform instead. */
   private def caesar(text: Column, copy: Column, copies: Int): Column =
     (1 until copies).foldLeft(when(copy === 0, text)) { (acc, c) =>
       acc.when(copy === c,

@@ -148,6 +148,48 @@ class BpeIndexedTrainerSpec extends AnyFunSuite {
       s"postings delta must be slice-sized: $s1")
   }
 
+  test("compaction mid-run changes nothing; the file log shrinks") {
+    // Six rounds with a fold every second round: the trainer must stay
+    // bit-equal to the naive oracle THROUGH compactions (resolution by
+    // version / sum(d) is what compaction makes physical), and the
+    // compacted store must hold fewer data files than the append log
+    // it replaced.
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox sat on the mat",
+      "a quick brown cat jumps over a lazy fox",
+      "the lazy dog and the lazy cat", "quick brown quick brown")
+    val root = Files.createTempDirectory("graft_bpe_cmp").toString
+    val (gotM, gotC, _, _) = BpeIndexedTrainer.train(
+      spark, corpusDF(texts), 6L, root, 8, 8, compactEvery = 2)
+    val merges = gotM.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val corpus = gotC.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val (expM, expC) = naiveTrain(corpusDF(texts), 6L)
+    assert(merges == expM && corpus == expC,
+      "training through mid-run compactions must stay exact")
+    // A standalone fold on an uncompacted log must shrink the file set
+    // and leave the resolved corpus identical.
+    val root2 = Files.createTempDirectory("graft_bpe_cmp2").toString
+    val (_, c2, _, _) = BpeIndexedTrainer.train(
+      spark, corpusDF(texts), 6L, root2, 8, 8)
+    val before = c2.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val filesBefore = BpeIndexedTrainer.dataFiles(root2)
+    BpeIndexedTrainer.compact(spark, root2, 8, 8)
+    val after = graft.ops.DedupOps.latestWins(
+        spark.read.parquet(s"$root2/corpus"), col("doc_id"),
+        Seq(col("ver").desc))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val filesAfter = BpeIndexedTrainer.dataFiles(root2)
+    assert(after == before, "compaction must not change the resolved corpus")
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the log: $filesBefore -> $filesAfter")
+  }
+
   test("postings tombstones: a bigram removed then re-created stays exact") {
     // Round 1 merges (p,q) everywhere, deleting bigram "q r"; the doc
     // "z p q r" still holds "p_q r". Round 2 merges (p_q,r) — its

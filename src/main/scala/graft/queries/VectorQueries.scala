@@ -211,6 +211,14 @@ object VectorQueries extends QueryPack {
     }),
 
     // -- superset: exact near-dup pairs by cosine > 0.4 --------------------
+    //    QUADRATIC BY CONTRACT: the exact all-pairs baseline (the [[pairs]]
+    //    scaladoc's "small-scale exact path") — its per-decade time ratio
+    //    is ~d² and the sf0.1→sf1 probe flags it superlinear, correctly
+    //    (triaged in SCALING_r11: no sound-and-complete sub-quadratic
+    //    exists for an exact 0.4-threshold; at corpus scale you run
+    //    `semantic_dedup_ivf` / `ann_lsh_bucketed`, the probabilistic
+    //    complements, which the same probe measures linear). Kept in the
+    //    registry as the recall oracle those paths are judged against. ----
     "dedup_embedding_cosine" -> ((s, dir) =>
       pairs(s, dir).filter(col("sim") > 0.4).select("a_id", "b_id", "sim")),
 

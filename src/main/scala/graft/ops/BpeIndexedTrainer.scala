@@ -121,6 +121,9 @@ object BpeIndexedTrainer {
       out.count() // force full materialization before unlinking sources
       val tmp = new File(path + ".compact_tmp")
       val old = new File(path + ".compact_old")
+      // a crashed previous fold may have left either sibling behind;
+      // both are garbage by definition (the live store is `path`).
+      deleteRecursively(tmp); deleteRecursively(old)
       DerivedStore.writePartitioned(out, tmp.getAbsolutePath, Seq(partCol))
       require(new File(path).renameTo(old), s"compact: cannot retire $path")
       require(tmp.renameTo(new File(path)), s"compact: cannot publish $tmp")
@@ -262,17 +265,26 @@ object BpeIndexedTrainer {
         // ---- maintain the global pair counts by the same delta algebra --
         def occ(c: DataFrame, d: Int): DataFrame =
           c.select(explode(bigrams(col("text"))).as("bg"), lit(d.toLong).as("cnt"))
+        val prevCounts = counts
         counts = counts.unionByName(
             occ(affectedOld, -1).unionByName(occ(rewritten, 1))
               .groupBy(col("bg")).agg(sum(col("cnt")).as("cnt")))
           .groupBy(col("bg")).agg(sum(col("cnt")).as("cnt"))
           .filter(col("cnt") > 0)
           .localCheckpoint()
+        // localCheckpoint is eager, so the superseded table is dead here.
+        try prevCounts.unpersist(blocking = false) catch { case _: Throwable => }
 
         stats += RoundStats(step, nAffected,
           corpusDirsRead = dirs.length, corpusDirsTotal = partDirs(cRoot),
           postingsDirsRead = 1, postingsDirsTotal = partDirs(pRoot),
           postingsRowsAppended = pRows, corpusRowsAppended = nAffected)
+        // The round's slice checkpoints are dead once appended — release
+        // them, or a long (50k-merge) run pins one small RDD set per
+        // round in executor storage for the trainer's lifetime.
+        Seq(affected, affectedOld, rewritten, pDelta).foreach { df =>
+          try df.unpersist(blocking = false) catch { case _: Throwable => }
+        }
         if (compactEvery > 0 && step % compactEvery == 0)
           compact(s, root, corpusBuckets, postingsBuckets)
       }

@@ -7,7 +7,12 @@ import org.apache.spark.sql.SparkSession
 object SparkTest {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: 2 task attempts, so StreamingRecoverySpec can prove
+      // the sink write survives a task-level retry (local-mode default is
+      // maxFailures=1 = no retry ever). Inert elsewhere: no other test
+      // fails tasks, and deterministic failures still fail the job on
+      // attempt 2.
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -214,6 +214,49 @@ class StreamingRecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("task-attempt retry inside the sink write leaves the store exactly-once") {
+    // A DIFFERENT failure class from the crash-replay phases above:
+    // there the whole BATCH re-delivers (source replay, sink-level
+    // idempotence); here a single TASK of the store-write job fails on
+    // its first attempt and Spark retries it (local[4,2]). The write
+    // commit protocol must discard the failed attempt's partial output —
+    // a sink that double-committed would show duplicate rows even though
+    // no batch was ever replayed. Same merge family and final
+    // batch-equality bar as the family tests.
+    val f = families.head // dedup_latest_wins
+    val base = Files.createTempDirectory("graft_rec_retry").toString
+    val (inDir, ckpt, storeDir) = (s"$base/in", s"$base/ckpt", s"$base/store")
+    Seq(inDir, storeDir).foreach(d => { new File(d).mkdirs(); () })
+    val fixture = f.fixture()
+    val schema = fixture.schema
+    val chunks = jsonChunks(fixture, f.chunkKey)
+    TaskFailOnce.fired.set(false)
+    val q = startQuery(inDir, ckpt, schema) { (b, id) =>
+      val merged = f.merge(readStore(storeDir, schema), b).localCheckpoint()
+      // arm the injection on batch 1 only: by then the store is
+      // non-trivial, so a double-commit would actually corrupt it
+      val out =
+        if (id == 1L)
+          spark.createDataFrame(merged.rdd.mapPartitions { it =>
+            if (!TaskFailOnce.fired.getAndSet(true))
+              throw new RuntimeException("injected task failure (attempt 0)")
+            it
+          }, merged.schema)
+        else merged
+      out.write.mode("overwrite").parquet(s"$storeDir/v$id")
+    }
+    chunks.zipWithIndex.foreach { case (c, i) => writeChunk(inDir, i, c) }
+    try q.processAllAvailable() finally q.stop()
+    assert(TaskFailOnce.fired.get(), "the injected task failure never fired")
+
+    val got = canon(readStore(storeDir, schema)
+      .select(f.outCols.map(col).toIndexedSeq: _*))
+    val want = canon(SparkEntry.queries(f.registryName)(spark, sf)
+      .select(f.outCols.map(col).toIndexedSeq: _*))
+    assert(got == want,
+      s"${f.registryName}: store after a task-level retry diverges from batch")
+  }
+
   // ---- state-STORE recovery: the other half of the durability story ----
   // The family tests above prove SOURCE replay + SINK idempotence; these
   // prove the keyed operator state itself (HDFS-backed and RocksDB state
@@ -359,4 +402,11 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(got == canon(assigns),
       "recovered IVF store diverged from the full assignment table")
   }
+}
+
+/** One-shot task-failure latch for the retry test: file-level object so
+  * the task closure captures it without dragging the spec instance in;
+  * local mode shares the JVM, so executor tasks see the same atomic. */
+private object TaskFailOnce {
+  val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

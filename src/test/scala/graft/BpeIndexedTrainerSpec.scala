@@ -20,74 +20,26 @@ class BpeIndexedTrainerSpec extends AnyFunSuite {
   lazy val spark = SparkTest.session
   import spark.implicits._
 
-  private def corpusDF(texts: Seq[String]): DataFrame =
-    texts.zipWithIndex
-      .map { case (t, i) => (i.toLong, t) }
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), col("text"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_raw"))
-
-  /** Independent oracle: full recount each round (the pre-r11 registry
-    * trainer shape, same as BpeTrainerSpec's naive oracle). */
-  private def naiveTrain(corpus0: DataFrame, k: Long)
-      : (Seq[(Long, String, String, Long)], Seq[(Long, String)]) = {
-    var corpus = corpus0.localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var step = 1L
-    var exhausted = false
-    while (step <= k && !exhausted) {
-      val topOpt = corpus
-        .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bg"))
-        .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-        .select(split(col("bg"), " ").getItem(0).as("w1"),
-          split(col("bg"), " ").getItem(1).as("w2"), col("cnt"))
-        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
-        .collect().headOption
-      if (topOpt.isEmpty) exhausted = true
-      else {
-        val t = topOpt.get
-        val (w1, w2) = (t.getAs[String]("w1"), t.getAs[String]("w2"))
-        merges += ((step, w1, w2, t.getAs[Long]("cnt")))
-        val framed =
-          concat(lit(" "), replace(col("text"), lit(" "), lit("  ")), lit(" "))
-        corpus = corpus.select(col("doc_id"),
-          trim(replace(replace(framed, lit(s" $w1  $w2 "), lit(s" ${w1}_$w2 ")),
-            lit("  "), lit(" "))).as("text"), col("n_raw"))
-          .localCheckpoint()
-      }
-      step += 1
-    }
-    val docs = corpus.select(col("doc_id"), col("text")).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
-    (merges.toSeq, docs)
-  }
-
   private def run(texts: Seq[String], k: Long,
                   corpusBuckets: Int = 8, postingsBuckets: Int = 8) = {
     val root = Files.createTempDirectory("graft_bpe_idx").toString
-    BpeIndexedTrainer.train(spark, corpusDF(texts), k, root,
+    BpeIndexedTrainer.train(spark, BpeTestOracle.corpusDF(spark, texts), k, root,
       corpusBuckets, postingsBuckets)
   }
 
   private def check(texts: Seq[String], k: Long)
       : Seq[BpeIndexedTrainer.RoundStats] = {
     val (gotM, gotC, gotCounts, stats) = run(texts, k)
-    val merges = gotM.collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
-      .toSeq.sortBy(_._1)
-    val corpus = gotC.select(col("doc_id"), col("text")).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
-    val (expM, expC) = naiveTrain(corpusDF(texts), k)
+    val merges = BpeTestOracle.collectMerges(gotM)
+    val corpus = BpeTestOracle.collectCorpus(gotC)
+    val (expM, expC) = BpeTestOracle.naiveTrain(BpeTestOracle.corpusDF(spark, texts), k)
     assert(merges == expM, s"merge sequence diverged for $texts")
     assert(corpus == expC, s"final corpus diverged for $texts")
     // Maintained counts must equal a recount of the final corpus —
     // catches delta-algebra errors that happen not to flip any winner.
     val maintained = gotCounts.collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
-    val recount = gotC
-      .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bg"))
-      .groupBy(col("bg")).agg(count(lit(1)).as("cnt")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val recount = BpeTestOracle.recount(gotC)
     assert(maintained == recount, s"maintained counts != recount for $texts")
     stats
   }
@@ -161,20 +113,20 @@ class BpeIndexedTrainerSpec extends AnyFunSuite {
       "the lazy dog and the lazy cat", "quick brown quick brown")
     val root = Files.createTempDirectory("graft_bpe_cmp").toString
     val (gotM, gotC, _, _) = BpeIndexedTrainer.train(
-      spark, corpusDF(texts), 6L, root, 8, 8, compactEvery = 2)
+      spark, BpeTestOracle.corpusDF(spark, texts), 6L, root, 8, 8, compactEvery = 2)
     val merges = gotM.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq.sortBy(_._1)
     val corpus = gotC.select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
-    val (expM, expC) = naiveTrain(corpusDF(texts), 6L)
+    val (expM, expC) = BpeTestOracle.naiveTrain(BpeTestOracle.corpusDF(spark, texts), 6L)
     assert(merges == expM && corpus == expC,
       "training through mid-run compactions must stay exact")
     // A standalone fold on an uncompacted log must shrink the file set
     // and leave the resolved corpus identical.
     val root2 = Files.createTempDirectory("graft_bpe_cmp2").toString
     val (_, c2, _, _) = BpeIndexedTrainer.train(
-      spark, corpusDF(texts), 6L, root2, 8, 8)
+      spark, BpeTestOracle.corpusDF(spark, texts), 6L, root2, 8, 8)
     val before = c2.select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
     val filesBefore = BpeIndexedTrainer.dataFiles(root2)

@@ -11,75 +11,26 @@ import graft.queries.MiningQueries
   * from-scratch recount formulation on every round: same winners, same
   * winning counts, same final corpus, and a maintained count table that
   * exactly equals a recount of the corpus it claims to describe. The
-  * naive trainer here is the independent oracle — it re-counts the full
-  * corpus each round, the shape the registry ran through r10. */
+  * independent oracle is [[BpeTestOracle.naiveTrain]] — a from-scratch
+  * recount each round, the shape the registry ran through r10. */
 class BpeTrainerSpec extends AnyFunSuite {
   lazy val spark = SparkTest.session
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
-  private def corpusDF(texts: Seq[String]): DataFrame =
-    texts.zipWithIndex
-      .map { case (t, i) => (i.toLong, t) }
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), col("text"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_raw"))
-
-  /** From-scratch recount trainer: each round recounts ALL bigrams of
-    * the full corpus, picks (cnt desc, w1, w2) top-1, applies the framed
-    * non-overlapping replace. Mirrors the pre-r11 registry trainer. */
-  private def naiveTrain(corpus0: DataFrame, k: Long)
-      : (Seq[(Long, String, String, Long)], Seq[(Long, String)]) = {
-    var corpus = corpus0.localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var step = 1L
-    var exhausted = false
-    while (step <= k && !exhausted) {
-      val topOpt = corpus
-        .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bg"))
-        .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-        .select(split(col("bg"), " ").getItem(0).as("w1"),
-          split(col("bg"), " ").getItem(1).as("w2"), col("cnt"))
-        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
-        .collect().headOption
-      if (topOpt.isEmpty) exhausted = true
-      else {
-        val t = topOpt.get
-        val (w1, w2) = (t.getAs[String]("w1"), t.getAs[String]("w2"))
-        merges += ((step, w1, w2, t.getAs[Long]("cnt")))
-        val framed =
-          concat(lit(" "), replace(col("text"), lit(" "), lit("  ")), lit(" "))
-        corpus = corpus.select(col("doc_id"),
-          trim(replace(replace(framed, lit(s" $w1  $w2 "), lit(s" ${w1}_$w2 ")),
-            lit("  "), lit(" "))).as("text"), col("n_raw"))
-          .localCheckpoint()
-      }
-      step += 1
-    }
-    val docs = corpus.select(col("doc_id"), col("text")).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
-    (merges.toSeq, docs)
-  }
-
   private def check(texts: Seq[String], k: Long): Unit = {
     val (gotM, gotC, gotCounts) =
-      MiningQueries.bpeTrainOn(spark, corpusDF(texts), k)
-    val merges = gotM.collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
-      .toSeq.sortBy(_._1)
-    val corpus = gotC.select(col("doc_id"), col("text")).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
-    val (expM, expC) = naiveTrain(corpusDF(texts), k)
+      MiningQueries.bpeTrainOn(spark, BpeTestOracle.corpusDF(spark, texts), k)
+    val merges = BpeTestOracle.collectMerges(gotM)
+    val corpus = BpeTestOracle.collectCorpus(gotC)
+    val (expM, expC) = BpeTestOracle.naiveTrain(BpeTestOracle.corpusDF(spark, texts), k)
     assert(merges == expM, s"merge sequence diverged for $texts")
     assert(corpus == expC, s"final corpus diverged for $texts")
     // The maintained table must equal a recount of the final corpus —
     // catches any delta-algebra error that happens not to flip a winner.
     val maintained = gotCounts.collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
-    val recount = gotC
-      .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bg"))
-      .groupBy(col("bg")).agg(count(lit(1)).as("cnt")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val recount = BpeTestOracle.recount(gotC)
     assert(maintained == recount, s"maintained counts != recount for $texts")
   }
 

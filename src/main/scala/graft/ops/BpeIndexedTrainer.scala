@@ -124,7 +124,9 @@ object BpeIndexedTrainer {
       // a crashed previous fold may have left either sibling behind;
       // both are garbage by definition (the live store is `path`).
       deleteRecursively(tmp); deleteRecursively(old)
-      DerivedStore.writePartitioned(out, tmp.getAbsolutePath, Seq(partCol))
+      DerivedStore.writePartitioned(
+        out.repartition(org.apache.spark.sql.functions.col(partCol)),
+        tmp.getAbsolutePath, Seq(partCol))
       require(new File(path).renameTo(old), s"compact: cannot retire $path")
       require(tmp.renameTo(new File(path)), s"compact: cannot publish $tmp")
       deleteRecursively(old)
@@ -168,16 +170,23 @@ object BpeIndexedTrainer {
     // ---- one-time index build (the amortized full pass) -----------------
     // writePartitioned, not a bare partitionBy write: a degenerate corpus
     // (no rows / no bigrams) must still leave a READABLE store behind.
+    // repartition on the bucket column first: without it every input
+    // task writes a file into every bucket dir (tasks × buckets files —
+    // and B is MEANT to scale with the corpus so the affected slice
+    // stays ≪ B, which makes that a file explosion); keyed on the
+    // bucket, each dir's rows land in few tasks = few files per dir.
     DerivedStore.writePartitioned(
       corpus0.select(col("doc_id"), col("text"), col("n_raw"),
         lit(0L).as("ver"),
-        pmod(xxhash64(col("doc_id")), lit(corpusBuckets)).as("bkt")),
+        pmod(xxhash64(col("doc_id")), lit(corpusBuckets)).as("bkt"))
+        .repartition(col("bkt")),
       cRoot, Seq("bkt"))
     DerivedStore.writePartitioned(
       corpus0.select(col("doc_id"),
         explode(array_distinct(bigrams(col("text")))).as("bg"))
         .select(col("bg"), col("doc_id"), lit(1).as("d"),
-          pmod(xxhash64(col("bg")), lit(postingsBuckets)).as("pbkt")),
+          pmod(xxhash64(col("bg")), lit(postingsBuckets)).as("pbkt"))
+        .repartition(col("pbkt")),
       pRoot, Seq("pbkt"))
     var counts = pairCounts(corpus0).localCheckpoint()
 
@@ -245,6 +254,7 @@ object BpeIndexedTrainer {
           .select(col("doc_id"), col("text"), col("n_raw"),
             lit(step).as("ver"),
             pmod(xxhash64(col("doc_id")), lit(corpusBuckets)).as("bkt"))
+          .repartition(col("bkt"))
           .write.mode("append").partitionBy("bkt").parquet(cRoot)
 
         // ---- append: postings symmetric difference with tombstones ------
@@ -260,7 +270,8 @@ object BpeIndexedTrainer {
             pmod(xxhash64(col("bg")), lit(postingsBuckets)).as("pbkt"))
           .localCheckpoint()
         val pRows = pDelta.count()
-        pDelta.write.mode("append").partitionBy("pbkt").parquet(pRoot)
+        pDelta.repartition(col("pbkt"))
+          .write.mode("append").partitionBy("pbkt").parquet(pRoot)
 
         // ---- maintain the global pair counts by the same delta algebra --
         def occ(c: DataFrame, d: Int): DataFrame =

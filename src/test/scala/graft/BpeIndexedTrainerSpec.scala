@@ -142,6 +142,32 @@ class BpeIndexedTrainerSpec extends AnyFunSuite {
       s"compaction must shrink the log: $filesBefore -> $filesAfter")
   }
 
+  test("file discipline: no write fans out tasks x buckets files") {
+    // 403 docs forced through 16 input partitions: WITHOUT the keyed
+    // repartition before each partitioned write, the initial build
+    // alone fans out ~(input tasks x bucket dirs) data files — and B
+    // is meant to scale with the corpus, so that product explodes
+    // exactly when the index matters. Keyed on the bucket column,
+    // every bucket's rows collapse into one task, so each write lands
+    // at most ONE data file per directory; the store's file count is
+    // bounded by dirs-touched summed over writes, never tasks x dirs.
+    val filler = (0 until 400).map(i => s"u${i}a u${i}b")
+    val texts = filler ++ Seq("n0 n1 z0", "n0 n1 z1", "n0 n1 z2")
+    val root = Files.createTempDirectory("graft_bpe_files").toString
+    val (_, _, _, stats) = BpeIndexedTrainer.train(
+      spark, BpeTestOracle.corpusDF(spark, texts).repartition(16),
+      2L, root, 8, 8)
+    val corpusBound = 8 + stats.map(_.corpusDirsRead).sum
+    val postingsBound =
+      8 + stats.map(s => math.min(s.postingsRowsAppended, 8L)).sum
+    val corpusFiles = BpeIndexedTrainer.dataFiles(s"$root/corpus")
+    val postingsFiles = BpeIndexedTrainer.dataFiles(s"$root/postings")
+    assert(corpusFiles <= corpusBound,
+      s"corpus store fanned out: $corpusFiles files > bound $corpusBound")
+    assert(postingsFiles <= postingsBound,
+      s"postings store fanned out: $postingsFiles files > bound $postingsBound")
+  }
+
   test("postings tombstones: a bigram removed then re-created stays exact") {
     // Round 1 merges (p,q) everywhere, deleting bigram "q r"; the doc
     // "z p q r" still holds "p_q r". Round 2 merges (p_q,r) — its

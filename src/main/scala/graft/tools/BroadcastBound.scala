@@ -152,18 +152,25 @@ object BroadcastBound {
     bounds.minOption
   }
 
-  /** Value-domain cap a filter in `plan` pins onto attribute `attr`
-    * (IN-list / equality over ANY column, not just unique keys — a
+  /** Value-domain cap a single filter CONDITION pins onto the attribute
+    * `id` (IN-list / equality over ANY column, not just unique keys — a
     * grouping column filtered to literals has that many groups).
     * Matched by exprId, not name: a same-named column from another join
-    * side must not leak its filter's bound onto this attribute. */
-  private def filterDomain(attr: AttributeReference,
-                           plan: LogicalPlan): Option[Long] = {
+    * side must not leak its filter's bound onto this attribute.
+    *
+    * Consulted only at the Filter node's own position in
+    * [[Bounder.computeValueBound]]'s descent — NEVER as a subtree-wide
+    * collect. The old whole-subtree `filterDomain` was Union-spoofable:
+    * Union output reuses the FIRST child's exprIds, so a literal pin
+    * found inside one branch masked unbounded values merged in
+    * positionally from the siblings. Positioned in the per-branch
+    * chase, a pin can only ever bound the branch it actually filters. */
+  private def literalPin(id: ExprId, cond: Expression): Option[Long] = {
     def sameRef(e: Expression): Boolean = stripCast(e) match {
-      case a: AttributeReference => a.exprId == attr.exprId
+      case a: AttributeReference => a.exprId == id
       case _ => false
     }
-    plan.collect { case f: Filter => conjuncts(f.condition) }.flatten.collectFirst {
+    conjuncts(cond).collectFirst {
       case In(a, list) if sameRef(a) && list.forall(isLit) => list.size.toLong
       case EqualTo(a, l) if sameRef(a) && isLit(l) => 1L
       case EqualTo(l, a) if sameRef(a) && isLit(l) => 1L
@@ -213,8 +220,13 @@ object BroadcastBound {
   private final class Bounder {
     private val bMemo =
       new java.util.IdentityHashMap[LogicalPlan, Option[Long]]()
-    private val vMemo =
-      new java.util.HashMap[(ExprId, List[Int], Int), Option[Long]]()
+    // Keyed by plan IDENTITY via IdentityHashMap (like bMemo), with a
+    // nested (exprId, path) map — NOT by System.identityHashCode, which
+    // is not collision-free: two distinct nodes along the same chase
+    // sharing an identity hash would silently return each other's
+    // cached bound.
+    private val vMemo = new java.util.IdentityHashMap[LogicalPlan,
+      java.util.HashMap[(ExprId, List[Int]), Option[Long]]]()
 
     def bound(p: LogicalPlan): Option[Long] = {
       val hit = bMemo.get(p)
@@ -296,8 +308,12 @@ object BroadcastBound {
     def domainOf(e: Expression, child: LogicalPlan): Option[Long] = {
       val raw = stripCast(e) match {
         case a: AttributeReference =>
+          // filter-pinned domains (bm25's fixed query terms) are found
+          // by the provenance chase itself — valueBound consults
+          // literalPin at each Filter NODE during descent, which is the
+          // Union-sound placement (a pin on one branch never covers a
+          // sibling's values).
           BOUNDED_COLS.get(a.name)
-            .orElse(filterDomain(a, child))
             .orElse(valueBound(a.exprId, Nil, child))
             .orElse(if (a.dataType == BooleanType) Some(2L) else None)
         case _: Year => Some(200L) // bounded calendar range
@@ -326,12 +342,17 @@ object BroadcastBound {
       * exactly how the kmeans round-2 centroid table proves its c_id
       * domain descends from the capped seed filter. */
     def valueBound(id: ExprId, path: List[Int], p: LogicalPlan): Option[Long] = {
-      val key = (id, path, System.identityHashCode(p))
-      val hit = vMemo.get(key)
-      if (hit != null || vMemo.containsKey(key)) hit
+      var perPlan = vMemo.get(p)
+      if (perPlan == null) {
+        perPlan = new java.util.HashMap[(ExprId, List[Int]), Option[Long]]()
+        vMemo.put(p, perPlan)
+      }
+      val key = (id, path)
+      val hit = perPlan.get(key)
+      if (hit != null || perPlan.containsKey(key)) hit
       else {
         val r = computeValueBound(id, path, p)
-        vMemo.put(key, r)
+        perPlan.put(key, r)
         r
       }
     }
@@ -372,6 +393,14 @@ object BroadcastBound {
                                   p: LogicalPlan): Option[Long] = {
       val rowB = bound(p) // #rows always bounds #distinct values
       val defined: Option[Option[Long]] = p match {
+        case f: Filter =>
+          // A literal IN/= pin on this exprId bounds the attribute's
+          // values on THIS branch; min with the descent below keeps the
+          // tightest bound. Sound under any pending struct `path` too: a
+          // whole-struct pin to n literal values bounds every field of
+          // it by n.
+          literalPin(id, f.condition).map(pin =>
+            minOpt(Some(pin), minOpt(rowB, valueBound(id, path, f.child))))
         case pr: Project => definedBound(id, path, p, pr.projectList, pr.child)
         case ag: Aggregate =>
           definedBound(id, path, p, ag.aggregateExpressions, ag.child)

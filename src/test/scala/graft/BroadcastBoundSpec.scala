@@ -82,6 +82,35 @@ class BroadcastBoundSpec extends AnyFunSuite {
       "bm25's fixed-query-term dfreq shape must pass")
   }
 
+  test("a literal pin on one Union branch cannot bound the merged column (spoof)") {
+    // Union output reuses the FIRST child's exprIds, so a subtree-wide
+    // filter collect would find the pin inside branch 1 and call the
+    // merged grouping column bounded at 3 — while branch 2 feeds
+    // corpus-many distinct doc ids into the same output slot. The pin
+    // must stay branch-local: valueBound descends per Union child and
+    // SUMS, so an unbounded sibling keeps the merged column unbounded.
+    val pinned = docs.select(col("source").as("v"))
+      .filter(col("v").isin("a", "b", "c"))
+    val merged = pinned
+      .unionByName(docs.select(col("doc_id").cast("string").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+    assert(offenses(docs.crossJoin(broadcast(merged)))
+        .exists(_.contains("UNBOUNDED")),
+      "an IN pin inside one Union branch must not bound the merged column")
+  }
+
+  test("literal pins still bound per-branch (both Union branches pinned)") {
+    // The sound counterpart: when EVERY branch is pinned, the per-branch
+    // bounds add (2 + 3) and the merged grouping column stays provably
+    // bounded — the fix must not regress the legitimate pinned shapes.
+    val a = docs.select(col("source").as("v")).filter(col("v").isin("a", "b"))
+    val b = docs.select(col("lang").as("v"))
+      .filter(col("v").isin("x", "y", "z"))
+    val merged = a.unionByName(b).groupBy(col("v")).agg(count(lit(1)).as("n"))
+    assert(offenses(docs.crossJoin(broadcast(merged))).isEmpty,
+      "pins on BOTH branches sum to a bounded merged domain")
+  }
+
   // r11: the name-convention hole is closed for the engine-internal
   // names — c_id/code/s are no longer in BOUNDED_COLS; their bounds now
   // come from PROVENANCE (valueBound traces the exprId to the capped

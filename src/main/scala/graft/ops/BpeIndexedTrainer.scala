@@ -84,10 +84,8 @@ object BpeIndexedTrainer {
     Option(new File(root).listFiles()).getOrElse(Array.empty)
       .count(f => f.isDirectory && f.getName.contains("="))
 
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
+  private def deleteRecursively(f: File): Unit =
+    DerivedStore.deleteRecursively(f)
 
   /** Parquet data files under `root`, recursively — the LSM growth
     * metric compaction exists to reset. */
@@ -168,6 +166,11 @@ object BpeIndexedTrainer {
         .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
 
     // ---- one-time index build (the amortized full pass) -----------------
+    // Materialize the input ONCE: the build consumes it three times (the
+    // corpus store, the postings store, the initial pair count) — left
+    // lazy, the caller's lineage (scan + spread + tokenize) would
+    // execute three times, making the "amortized full pass" three.
+    val corpusIn = corpus0.localCheckpoint()
     // writePartitioned, not a bare partitionBy write: a degenerate corpus
     // (no rows / no bigrams) must still leave a READABLE store behind.
     // repartition on the bucket column first: without it every input
@@ -176,35 +179,35 @@ object BpeIndexedTrainer {
     // stays ≪ B, which makes that a file explosion); keyed on the
     // bucket, each dir's rows land in few tasks = few files per dir.
     DerivedStore.writePartitioned(
-      corpus0.select(col("doc_id"), col("text"), col("n_raw"),
+      corpusIn.select(col("doc_id"), col("text"), col("n_raw"),
         lit(0L).as("ver"),
         pmod(xxhash64(col("doc_id")), lit(corpusBuckets)).as("bkt"))
         .repartition(col("bkt")),
       cRoot, Seq("bkt"))
     DerivedStore.writePartitioned(
-      corpus0.select(col("doc_id"),
+      corpusIn.select(col("doc_id"),
         explode(array_distinct(bigrams(col("text")))).as("bg"))
         .select(col("bg"), col("doc_id"), lit(1).as("d"),
           pmod(xxhash64(col("bg")), lit(postingsBuckets)).as("pbkt"))
         .repartition(col("pbkt")),
       pRoot, Seq("pbkt"))
-    var counts = pairCounts(corpus0).localCheckpoint()
+    var counts = pairCounts(corpusIn).localCheckpoint()
+    // All three consumers have materialized; every later round reads the
+    // STORES, so the input copy is dead — release its blocks.
+    try corpusIn.unpersist(blocking = false) catch { case _: Throwable => }
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStats]
     var step = 1L
     var exhausted = false
     while (step <= k && !exhausted) {
-      val topOpt = counts
-        .select(split(col("bg"), " ").getItem(0).as("w1"),
-          split(col("bg"), " ").getItem(1).as("w2"), col("cnt"))
-        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
-        .collect().headOption
+      // Winner + framed replace come from BpeOps — the ONE implementation
+      // of the greedy semantics shared with MiningQueries.bpeTrainOn, so
+      // the two trainers cannot drift apart.
+      val topOpt = BpeOps.winner(counts)
       if (topOpt.isEmpty) exhausted = true
       else {
-        val top = topOpt.get
-        val (w1, w2, cnt) =
-          (top.getAs[String]("w1"), top.getAs[String]("w2"), top.getAs[Long]("cnt"))
+        val (w1, w2, cnt) = topOpt.get
         merges += ((step, w1, w2, cnt))
         val winnerBg = s"$w1 $w2"
 
@@ -239,13 +242,9 @@ object BpeIndexedTrainer {
           .localCheckpoint()
 
         // ---- rewrite the slice (framed non-overlapping replace) ---------
-        val needle = s" $w1  $w2 "
-        val framed =
-          concat(lit(" "), replace(col("text"), lit(" "), lit("  ")), lit(" "))
         val rewritten = affectedOld
           .select(col("doc_id"),
-            trim(replace(replace(framed, lit(needle), lit(s" ${w1}_$w2 ")),
-              lit("  "), lit(" "))).as("text"),
+            BpeOps.applyMerge(col("text"), w1, w2).as("text"),
             col("n_raw"))
           .localCheckpoint()
 

@@ -282,6 +282,12 @@ object MiningQueries extends QueryPack {
         .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
     var corpus = corpus0.localCheckpoint()
     val nDocs = corpus.count()
+    // Checkpoints created by the PREVIOUS round, releasable as soon as
+    // the current round has materialized its replacements — without the
+    // release a long (50k-merge) run pins one corpus-sized block set
+    // per round for the trainer's lifetime. Round-(k-1)'s checkpoints
+    // are kept at step == k because the lazy finals reference them.
+    var liveCkpts: Seq[DataFrame] = Seq(corpus)
     // counts stays LAZY in the recount regime: its lineage is flat (one
     // aggregate over the checkpointed corpus), so the winner selection
     // evaluates it with TakeOrdered's partial-aggregate pushdown — the
@@ -300,41 +306,28 @@ object MiningQueries extends QueryPack {
       // with the merges found so far instead of throwing off the driver
       // loop. Real BPE trainers have the same termination condition
       // (vocab exhausted before k merges).
-      val topOpt = counts
-        .select(
-          split(col("bg"), " ").getItem(0).as("w1"),
-          split(col("bg"), " ").getItem(1).as("w2"), col("cnt"))
-        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
-        .collect().headOption
+      val topOpt = graft.ops.BpeOps.winner(counts)
       if (topOpt.isEmpty) exhausted = true
       else {
-      val top = topOpt.get
-      val (w1, w2, cnt) =
-        (top.getAs[String]("w1"), top.getAs[String]("w2"), top.getAs[Long]("cnt"))
+      val (w1, w2, cnt) = topOpt.get
       merges += ((step, w1, w2, cnt))
-      // Column API with lit() operands — the winning tokens are data,
-      // not SQL text; an expr() splice would mis-parse on any corpus
-      // token containing a quote or backslash. Double-space framing
-      // makes " w1  w2 " occurrences non-overlapping, so left-to-right
-      // replace is the greedy BPE merge in both engines.
-      val needle = s" $w1  $w2 "
-      val framed =
-        concat(lit(" "), replace(col("text"), lit(" "), lit("  ")), lit(" "))
-      val rewritten = trim(replace(
-        replace(framed, lit(needle), lit(s" ${w1}_$w2 ")),
-        lit("  "), lit(" "))).as("text")
+      // The framed non-overlapping replace and the winner selection
+      // above are the parity-critical semantics shared with
+      // BpeIndexedTrainer — one implementation, graft.ops.BpeOps.
+      val rewritten = graft.ops.BpeOps.applyMerge(col("text"), w1, w2).as("text")
       val oldCorpus = corpus
       val oldCounts = counts
       corpus = oldCorpus.select(col("doc_id"), rewritten, col("n_raw"))
       if (step < k) corpus = corpus.localCheckpoint()
-      counts =
+      val (newCounts, newCountsCkpt) =
         if (DELTA_GATE * cnt < nDocs) {
           // Delta branch: the filter predicate is the exact
           // merge-applicability condition (the framed needle the rewrite
           // replaces), so unaffected docs — whose bigrams are unchanged —
           // are never exploded again.
           val delta = oldCorpus
-            .filter(instr(framed, lit(needle)) > 0)
+            .filter(instr(graft.ops.BpeOps.framed(col("text")),
+              lit(graft.ops.BpeOps.needle(w1, w2))) > 0)
             .select(col("text"), rewritten)
             .toDF("otext", "ntext")
             .select(explode(concat(
@@ -352,8 +345,20 @@ object MiningQueries extends QueryPack {
           val merged = oldCounts.unionByName(delta)
             .groupBy(col("bg")).agg(sum(col("cnt")).as("cnt"))
             .filter(col("cnt") > 0)
-          if (step < k) merged.localCheckpoint() else merged
-        } else pairCounts(corpus)
+          if (step < k) (merged.localCheckpoint(), true) else (merged, false)
+        } else (pairCounts(corpus), false)
+      counts = newCounts
+      if (step < k) {
+        // The round's replacements are materialized (the corpus
+        // checkpoint always; counts either delta-checkpointed or a lazy
+        // recount reading only the NEW corpus), so the previous round's
+        // checkpoints are dead — release them now instead of pinning
+        // O(k) superseded block sets (BpeIndexedTrainer does the same).
+        liveCkpts.foreach { df =>
+          try df.unpersist(blocking = false) catch { case _: Throwable => }
+        }
+        liveCkpts = Seq(corpus) ++ (if (newCountsCkpt) Seq(counts) else Nil)
+      }
       }
       step += 1
     }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The parity-critical BPE primitives shared by BOTH trainers —
+  * `MiningQueries.bpeTrainOn` (the registry's recount/delta trainer)
+  * and [[BpeIndexedTrainer]] (the LSM-indexed long-run trainer). Their
+  * contract is bit-identical greedy semantics, so the two pieces that
+  * DEFINE those semantics must exist exactly once:
+  *
+  *  - the framed non-overlapping replace that applies one merge, and
+  *  - the (cnt desc, w1, w2) winner selection off a maintained
+  *    (bg, cnt) table.
+  *
+  * Until r11 each trainer carried its own verbatim copy; an edit to one
+  * (tie-break, separator, framing) would have silently broken the
+  * cross-trainer equality the specs promise. The test oracle
+  * (BpeTestOracle) stays an INDEPENDENT implementation on purpose — it
+  * is the thing that would catch a bug here.
+  */
+object BpeOps {
+
+  /** Framed text: every space doubled plus one leading/trailing space.
+    * Framing makes ` w1  w2 ` occurrences NON-OVERLAPPING, so a plain
+    * left-to-right `replace` is exactly the greedy BPE merge pass —
+    * in "a a a" only the first "a a" merges, as real BPE does. */
+  def framed(text: Column): Column =
+    concat(lit(" "), replace(text, lit(" "), lit("  ")), lit(" "))
+
+  /** The framed occurrence of the winning pair — also the delta
+    * branch's exact merge-applicability prefilter (`instr > 0`). */
+  def needle(w1: String, w2: String): String = s" $w1  $w2 "
+
+  /** One greedy merge (w1, w2) → w1_w2 applied to raw `text`. Column
+    * API with lit() operands — the winning tokens are DATA, not SQL
+    * text; an expr() splice would mis-parse on any corpus token
+    * containing a quote or backslash. */
+  def applyMerge(text: Column, w1: String, w2: String): Column =
+    trim(replace(
+      replace(framed(text), lit(needle(w1, w2)), lit(s" ${w1}_$w2 ")),
+      lit("  "), lit(" ")))
+
+  /** Greedy winner off a maintained `(bg, cnt)` table: highest count,
+    * ties broken on (w1, w2) — one row to the driver, the inherently
+    * sequential decision every greedy BPE trainer has. None = the
+    * vocabulary is exhausted (no bigram left to merge). */
+  def winner(counts: DataFrame): Option[(String, String, Long)] =
+    counts
+      .select(
+        split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1)
+      .collect().headOption
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("cnt")))
+}

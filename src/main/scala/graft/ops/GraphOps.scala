@@ -103,6 +103,9 @@ object GraphOps {
         // near-dup pair set, the largest input of the loop, and this
         // converts O(rounds) edge shuffles into one.
         val e = raw.repartition(nLoop, col("src")).localCheckpoint()
+        // e supersedes the un-partitioned copy: release raw's blocks, or
+        // the loop carries TWO materialized copies of its largest input.
+        release(raw)
         // Seed labels with the distinct edge endpoints (`src` covers all
         // of them under the symmetry contract). distinct() hash-
         // partitions by id, the same shape groupBy(id) emits each round,
@@ -117,15 +120,21 @@ object GraphOps {
         var prevSum = labelSum(state)
         var converged = false
         while (!converged) {
-          val msgs = e.join(state.withColumnRenamed("id", "src"), "src")
+          val prev = state
+          val msgs = e.join(prev.withColumnRenamed("id", "src"), "src")
             .select(col("dst").as("id"), col("comp"))
           // materialize before the self-join below — without this the
           // whole union+groupBy subtree executes twice (once more for the
           // join's build side; exchange reuse does not cross that
           // boundary)
           val (propagated, propSum) = checkpointSum(
-            state.union(msgs)
+            prev.union(msgs)
               .groupBy(col("id")).agg(min(col("comp")).as("comp")))
+          // propagated is materialized — the previous round's state is
+          // superseded; release it, or an O(log d)-round run pins one
+          // label-table block set PER ROUND for the loop's lifetime (the
+          // r11 sf10 probe hit exactly this as heap pressure).
+          release(prev)
           if (propSum == prevSum) {
             // Propagation changed nothing: with symmetric edges a
             // propagate-fixpoint has component-constant labels, so the
@@ -143,10 +152,14 @@ object GraphOps {
                 .join(propagated.select(col("id").as("lid"), col("comp").as("lcomp")),
                   col("comp") === col("lid"))
                 .select(col("id"), col("lcomp").as("comp")))
+            release(propagated)
             state = jumped
             prevSum = jumpSum
           }
         }
+        // The edge table is dead once the fixpoint is reached (the final
+        // vertex join below reads only the converged label checkpoint).
+        release(e)
         state
       }
     // Re-attach the untouched vertices as their own components: one join
@@ -156,6 +169,10 @@ object GraphOps {
     vertices.join(comp.select(col("id"), col("comp").as("edge_comp")), Seq("id"), "left")
       .select(col("id"), coalesce(col("edge_comp"), col("id")).as("comp"))
   }
+
+  /** Best-effort block release for a superseded local checkpoint. */
+  private def release(df: DataFrame): Unit =
+    try df.unpersist(blocking = false) catch { case _: Throwable => () }
 
   /** Exact decimal sum of labels — overflow-proof for any vertex count. */
   private def labelSum(comp: DataFrame): BigDecimal = {

@@ -57,37 +57,58 @@ object TextQueries extends QueryPack {
       array_sort(array_distinct(TextOps.tokenHashes(col("text")))).as("th"))
       .withColumn("n", size(col("th")))
 
-  /** Token-set Jaccard near-dup pairs, blocked by (lang, |tokens|): jac >=
-    * 19/20 forces |A| and |B| to differ by at most 1 (inter <= min, union
-    * >= max), so the join key is (lang, size-bucket) with the right side
-    * replicated into buckets n-1/n/n+1 — a band join as an EQUI-join. vs.
-    * joining on lang alone: 5 distinct keys = 5 busy tasks and an
-    * all-pairs nested loop per language; bucketing restores parallelism
-    * and enumerates only size-compatible pairs. Shared by
-    * `dedup_ngram_jaccard` (pair emission) and `dedup_cluster_cc`
-    * (component collapse). */
+  /** Token-set Jaccard near-dup pairs via PREFIX FILTERING (the
+    * SSJoin/PPJoin family `dedup_containment` already uses), replacing
+    * the r1-r10 (lang, |tokens|±1) block join. The block join was exact
+    * and fine through sf1, but its key DOMAIN is bounded (≤32 langs ×
+    * ~bounded token counts), so block sizes grow linearly with the
+    * corpus and the within-block enumeration grows QUADRATICALLY — the
+    * r11 third-decade probe (sf1→sf10) measured it 53.7× at 10× data,
+    * invisible at both earlier decades. Prefix filtering is the
+    * scale-correct exact candidate generator:
+    *
+    * order every token hash by GLOBAL document frequency (rarest first,
+    * hash tiebreak — any fixed total order works); by the prefix
+    * filtering lemma, jac(A,B) ≥ t implies the smallest (in that order)
+    * element of A∩B lies within the first |X| − ⌈t·|X|⌉ + 1 elements of
+    * BOTH sides (only |A∩B|−1 elements of X can follow it), so joining
+    * prefix-to-prefix on the token hash loses no true pair. At t=19/20
+    * the prefix is ⌊n/20⌋+1 ≈ 1-2 tokens/doc, and prefix tokens are the
+    * rarest of each document, so posting lists stay short on a Zipf
+    * vocabulary — candidate count tracks the true-pair count, never
+    * all-pairs-within-block. Candidates get the exact merge-scan verify
+    * (unchanged), so results are bit-identical to the block join; the
+    * size filter is implied by jac ≥ 19/20 and kept only as a cheap
+    * pre-verify prune. At 100 TB the freq table is the vocabulary
+    * (derived, ≪ corpus) and every other stage is keyed and
+    * posting-list-local. Shared by `dedup_ngram_jaccard` (pair
+    * emission) and `dedup_cluster_cc` (component collapse). */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    // Cache: the hashed token sets feed BOTH join sides (probe + ×3
-    // replicated build); without it the per-document tokenize+hash+sort
-    // pass runs twice.
+    import org.apache.spark.sql.expressions.Window
+    // Cache: the hashed token sets feed the posting build AND both
+    // verify sides; without it the per-document tokenize+hash+sort pass
+    // runs three times.
     val t = tokenSets(s, dir).cache()
-    // repartition the probe side: a local small-file scan is ONE input
-    // partition, and with the dim side broadcast the whole quadratic
-    // pair enumeration would run as a single task. Round-robin to the
-    // session's shuffle parallelism — a negligible shuffle of bare
-    // (id, hashes) rows that restores CPU parallelism downstream; on a
-    // real multi-split input the scan already provides it.
-    val a = graft.ops.SessionOps.spreadTo(
-      t.select(col("doc_id").as("a_id"), col("lang").as("a_lang"), col("th").as("a_th"),
-        col("n").as("a_n"), col("n").as("a_bucket")),
-      s.sessionState.conf.numShufflePartitions)
-    val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("th").as("b_th"),
-      col("n").as("b_n"))
-      .withColumn("b_bucket", explode(array(col("b_n") - 1, col("b_n"), col("b_n") + 1)))
-    a.join(b,
-      col("a_lang") === col("b_lang") && col("a_bucket") === col("b_bucket") &&
-        col("a_id") < col("b_id") &&
+    val posts = t.select(col("doc_id"), col("lang"), col("n"),
+      explode(col("th")).as("h"))
+    val freq = posts.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    val ranked = posts.join(freq, "h")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("f"), col("h"))))
+    // prefix length p = n − ⌈(19/20)·n⌉ + 1; integer ceil: ⌈19n/20⌉ = ⌊(19n+19)/20⌋
+    val prefix = ranked
+      .filter(col("pos") <= col("n") - floor((col("n") * 19 + 19) / 20) + 1)
+    val a = prefix.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
+      col("n").as("a_n"), col("h"))
+    val b = prefix.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+      col("n").as("b_n"), col("h"))
+    val cand = a.join(b, Seq("h"))
+      .filter(col("a_id") < col("b_id") && col("a_lang") === col("b_lang") &&
         col("a_n") * 20 >= col("b_n") * 19 && col("b_n") * 20 >= col("a_n") * 19)
+      .select("a_id", "b_id").distinct()
+    val ta = t.select(col("doc_id").as("a_id"), col("th").as("a_th"))
+    val tb = t.select(col("doc_id").as("b_id"), col("th").as("b_th"))
+    cand.join(ta, "a_id").join(tb, "b_id")
       .withColumn("jac",
         graft.expressions.JaccardSimilarity.jaccardSimSorted(col("a_th"), col("b_th")))
       .filter(col("jac") >= JACCARD_T)
@@ -165,7 +186,7 @@ object TextQueries extends QueryPack {
     * pair/label stores even when the source data is unchanged —
     * [[graft.ops.DerivedStore]] folds this into the version path. */
   private val PAIRS_FINGERPRINT =
-    s"jaccardPairs:tok=ws-poly31:P=$P:T=$JACCARD_T:band=lang,n±1:prune=19/20"
+    s"jaccardPairs:tok=ws-poly31:P=$P:T=$JACCARD_T:cand=prefix-filter-df:prune=19/20"
   private[graft] def clusterLabelsStore(s: SparkSession, dir: String): DataFrame = {
     val path = graft.ops.DerivedStore.serve(
       LABELS_DIR, dir, "documents.parquet", s"$PAIRS_FINGERPRINT|cc=minlabel-v1") {
@@ -433,13 +454,11 @@ object TextQueries extends QueryPack {
         .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
         .select("rep_id", "n_copies", "text")),
 
-    // -- token-set Jaccard near-dup, blocked by (lang, |tokens|) -----------
-    // jac >= 19/20 forces |A| and |B| to differ by at most 1 (inter <= min,
-    // union >= max), so the join key is (lang, size-bucket) with the right
-    // side replicated into buckets n-1/n/n+1 — a band join as an EQUI-join.
-    // vs. joining on lang alone: 5 distinct keys = 5 busy tasks and an
-    // all-pairs nested loop per language; bucketing restores parallelism
-    // and enumerates only size-compatible pairs.
+    // -- token-set Jaccard near-dup via prefix filtering -------------------
+    // Exact pairs at jac >= 19/20; candidates come from a rarest-token
+    // prefix join (see jaccardPairs — the r11 sf10 probe caught the old
+    // (lang, size-bucket) block join going quadratic, because its key
+    // domain is bounded while block sizes grow with the corpus).
     "dedup_ngram_jaccard" -> ((s, dir) => jaccardPairs(s, dir)),
 
     // -- near-dup CLUSTERS: connected components over the Jaccard pairs ----
@@ -940,11 +959,18 @@ object TextQueries extends QueryPack {
       // Candidate ENUMERATION is quadratic per (lang, band) block by the
       // operator's own semantics (the oracle pins the banded blocking:
       // every same-band pair is a candidate, and block population grows
-      // with the corpus) — no sound-and-complete cheap filter exists for
-      // a 20%-of-length edit threshold, so the enumeration cost is the
-      // price of the exact answer; the MinHash path is the subquadratic
-      // probabilistic complement (SCALING triage note, r11). What IS
-      // controllable is the per-pair constant and the placement:
+      // with the corpus) — the band key domain is bounded, so this is
+      // the registry's second by-contract quadratic baseline (with
+      // dedup_embedding_cosine): the r11 third-decade probe measured
+      // 108x at 10x data (5.7 s at sf1 -> 619 s at sf10), the clean
+      // quadratic signature. The MinHash path is the subquadratic
+      // probabilistic complement; the exact at-scale alternative would
+      // be Ed-Join-style q-gram prefix filtering (content-keyed
+      // enumeration, prefix length k·q+1), kept out because a
+      // 20%-of-length k makes the gram prefixes ~40% of each doc and
+      // the oracle's banded contract already defines this operator as
+      // the exact small-block tool. What IS controllable is the
+      // per-pair constant and the placement:
       //  1. SALTED pair enumeration (the LshJoin trick): block pair
       //     counts grow with band_size², so the plain (lang, band)
       //     shuffle put a whole block's quadratic work on one reducer —

@@ -420,7 +420,17 @@ object VectorQueries extends QueryPack {
     //    orientations, so every row is a "query"), and the per-row top-k
     //    rides the fused partial heaps — no per-vector window sort, no
     //    all-pairs product. Vectors alone in their bucket emit nothing,
-    //    the standard recall trade of single-table LSH. ---------------------
+    //    the standard recall trade of single-table LSH.
+    //    Scale boundary (r11 third-decade probe): the bucket DOMAIN is
+    //    pinned at 2^PLANES by the oracle contract, so expected
+    //    candidate count is n²/2^PLANES — quadratic with a small
+    //    constant; measured 148x at 10x data (0.8 s at sf1 -> 125 s at
+    //    sf10, the clean quadratic signature once n² >> n·2^PLANES).
+    //    In production PLANES grows with the corpus (constant expected
+    //    bucket size keeps it linear); at the FIXED contract planes this
+    //    is the registry's third by-contract quadratic baseline, with
+    //    dedup_embedding_cosine (exact all-pairs) and
+    //    dedup_fuzzy_editdist (banded edit distance). ---------------------
     "knn_join_lsh" -> ((s, dir) => {
       val e = emb(s, dir).select(
         col("vec_id"), col("embedding"),

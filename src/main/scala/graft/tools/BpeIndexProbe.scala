@@ -41,6 +41,13 @@ object BpeIndexProbe {
     val total = (System.nanoTime() - t0) / 1e9
 
     println(f"== BpeIndexProbe $sfDir: $nDocs docs, k=$k, B=P=$buckets, total ${total}%.2f s ==")
+    // The file-discipline metric the keyed pre-write repartition bounds:
+    // data files per store must track Σ dirs-touched over writes, never
+    // (input tasks × bucket dirs).
+    println(f"data files: corpus ${graft.ops.BpeIndexedTrainer.dataFiles(s"$root/corpus")}%d " +
+      f"(dirs ${stats.lastOption.map(_.corpusDirsTotal).getOrElse(0)}%d), " +
+      f"postings ${graft.ops.BpeIndexedTrainer.dataFiles(s"$root/postings")}%d " +
+      f"(dirs ${stats.lastOption.map(_.postingsDirsTotal).getOrElse(0)}%d)")
     println(f"${"step"}%5s ${"winner"}%-28s ${"cnt"}%8s ${"affected"}%9s " +
       f"${"aff%"}%6s ${"cDirs"}%6s ${"pDirs"}%6s ${"pAppend"}%8s")
     stats.foreach { st =>

@@ -36,10 +36,45 @@ import org.apache.spark.sql.functions._
   * source uses (nanos-as-long, NTZ, or UTC-adjusted); `Tables.normalizeTs`
   * maps any of them onto the canonical TimestampType at load.
   *
-  * Usage: runMain graft.tools.ScaleUpGen [srcDir dstDir copies]
+  * Usage: runMain graft.tools.ScaleUpGen [srcDir dstDir copies mode]
+  *
+  * mode `chain` derives the THIRD decade (sf1 → sf10) from an already
+  * upscaled dir. Re-applying the default transforms there would break
+  * the honest-denominator property: Caesar shifts compose mod 26, so
+  * second-decade copies would COLLIDE vocabularies with first-decade
+  * ones (shift 3 = 1+2 = 0+3 …) and the near-dup pair table would grow
+  * superlinearly by construction; likewise coordinate rotations compose
+  * mod dim. `chain` uses transforms DISJOINT from the first decade's:
+  *
+  *  - documents: every token gets a per-copy UPPERCASE suffix tag — the
+  *    corpus alphabet is a–z, so tagged vocabularies are disjoint from
+  *    every Caesar image and from each other; token-set structure
+  *    within a copy is exactly the source's (one extra char per token,
+  *    the same for every copy, keeps char-level costs linear);
+  *  - embeddings: dihedral coordinate permutations — rotation-type
+  *    copies c < ⌈copies/2⌉ rotate by c·copies, reflection-type copies
+  *    reverse then rotate by (c−⌈copies/2⌉)·copies. Composed with the
+  *    first decade's rotations 0..copies−1 this yields pairwise
+  *    DISTINCT permutations for all copies² effective copies (rotations
+  *    r^(a+copies·c) with exponents 0..copies²/2−1 distinct below dim·…,
+  *    reflections s·r^(…) never equal to a rotation), so no copy pair
+  *    shares a vector set and dup-pair counts stay linear. Reversal and
+  *    rotation both preserve within-copy dot products.
+  *  - events / relational keys: the default shifts already chain
+  *    (strides are computed from the source max).
   */
 object ScaleUpGen {
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
+
+  /** chain-mode documents transform: suffix-tag every token with a
+    * per-copy uppercase letter (disjoint from the a–z corpus and from
+    * all Caesar images). Requires copies ≤ 26. */
+  private def suffixTag(text: Column, copy: Column, copies: Int): Column =
+    (1 until copies).foldLeft(
+      when(copy === 0, regexp_replace(text, "(\\S+)", "$1A"))) { (acc, c) =>
+      acc.when(copy === c,
+        regexp_replace(text, "(\\S+)", "$1" + ('A' + c).toChar))
+    }
 
   /** Per-row Caesar cipher: a when-chain over the (small, literal) copy
     * domain so each branch is a foldable `translate`. Caveat: the shift
@@ -58,6 +93,8 @@ object ScaleUpGen {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val chain = args.length > 3 && args(3) == "chain"
+    require(!chain || copies <= 26, "chain mode tags copies with A-Z")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -84,7 +121,9 @@ object ScaleUpGen {
     val docStride = maxOf(docs, "doc_id")
     write(explodeCopies(docs)
       .withColumn("doc_id", col("doc_id") + col("copy") * docStride)
-      .withColumn("text", caesar(col("text"), col("copy"), copies)),
+      .withColumn("text",
+        if (chain) suffixTag(col("text"), col("copy"), copies)
+        else caesar(col("text"), col("copy"), copies)),
       "documents")
 
     // events: densify within the same date range.
@@ -123,11 +162,23 @@ object ScaleUpGen {
     val emb = read("embeddings")
     val vecStride = maxOf(emb, "vec_id")
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    def rotated(v: Column, k: Column): Column =
+      concat(slice(v, k % dims + 1, lit(dims)), slice(v, lit(1), k % dims))
+    // chain mode: dihedral permutation per copy (see header) — composed
+    // with the first decade's rotations, all copies² effective copies
+    // carry pairwise-distinct permutations, so no cross-copy duplicate
+    // vector sets appear.
+    val half = (copies + 1) / 2
+    val permuted =
+      if (chain)
+        when(col("copy") < half,
+          rotated(col("embedding"), col("copy") * copies))
+          .otherwise(rotated(reverse(col("embedding")),
+            (col("copy") - half) * copies))
+      else rotated(col("embedding"), col("copy"))
     write(explodeCopies(emb)
       .withColumn("vec_id", col("vec_id") + col("copy") * vecStride)
-      .withColumn("embedding",
-        concat(slice(col("embedding"), col("copy") % dims + 1, lit(dims)),
-          slice(col("embedding"), lit(1), col("copy") % dims))),
+      .withColumn("embedding", permuted),
       "embeddings")
 
     // relational family: consistent key shifts.

@@ -210,13 +210,27 @@ object ScalingProbe {
       1.0
     }
 
+    // Warm dir: the tiniest SF SIBLING of the small dir when it exists
+    // (codegen + JIT off the clock at negligible data cost). For a custom
+    // dir pair with no sf0.001 sibling (e.g. /tmp/graft_sf1 -> sf10) the
+    // derived path does not exist and would fail EVERY query's warm pass
+    // before its first timed run — warm at the small dir itself instead.
+    val warmDir = {
+      val w = small.replaceAll("sf[0-9.]+/?$", "sf0.001")
+      if (new java.io.File(w).isDirectory) w
+      else {
+        System.err.println(s"[probe] no sf0.001 sibling ($w); warming at $small")
+        small
+      }
+    }
+
     println(f"${"query"}%-28s ${"t_small"}%8s ${"t_big"}%8s ${"t_ratio"}%8s ${"d_ratio"}%8s  verdict")
     var flagged = List.empty[String]
     val jsonRows = scala.collection.mutable.ArrayBuffer[String]()
     names.foreach { q =>
       try {
         // warm pass at the tiniest SF: codegen + JIT off the clock
-        graft.SparkEntry.queries(q)(spark, small.replaceAll("sf[0-9.]+/?$", "sf0.001")).count()
+        graft.SparkEntry.queries(q)(spark, warmDir).count()
         release()
         // driving ratio = max over the query's actual inputs at the BIG
         // sf (store builds exist after the warm pass), widened by the

@@ -128,7 +128,7 @@ object BpeIndexedTrainer {
       require(new File(path).renameTo(old), s"compact: cannot retire $path")
       require(tmp.renameTo(new File(path)), s"compact: cannot publish $tmp")
       deleteRecursively(old)
-      try out.unpersist(blocking = false) catch { case _: Throwable => }
+      SessionOps.releaseQuiet(out)
     }
     import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
     swapIn(
@@ -161,9 +161,7 @@ object BpeIndexedTrainer {
     val cRoot = s"$root/corpus"
     val pRoot = s"$root/postings"
 
-    def pairCounts(c: DataFrame): DataFrame =
-      c.select(explode(bigrams(col("text"))).as("bg"))
-        .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    def pairCounts(c: DataFrame): DataFrame = BpeOps.pairCounts(c)
 
     // ---- one-time index build (the amortized full pass) -----------------
     // Materialize the input ONCE: the build consumes it three times (the
@@ -194,7 +192,7 @@ object BpeIndexedTrainer {
     var counts = pairCounts(corpusIn).localCheckpoint()
     // All three consumers have materialized; every later round reads the
     // STORES, so the input copy is dead — release its blocks.
-    try corpusIn.unpersist(blocking = false) catch { case _: Throwable => }
+    SessionOps.releaseQuiet(corpusIn)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStats]
@@ -283,7 +281,7 @@ object BpeIndexedTrainer {
           .filter(col("cnt") > 0)
           .localCheckpoint()
         // localCheckpoint is eager, so the superseded table is dead here.
-        try prevCounts.unpersist(blocking = false) catch { case _: Throwable => }
+        SessionOps.releaseQuiet(prevCounts)
 
         stats += RoundStats(step, nAffected,
           corpusDirsRead = dirs.length, corpusDirsTotal = partDirs(cRoot),
@@ -292,9 +290,7 @@ object BpeIndexedTrainer {
         // The round's slice checkpoints are dead once appended — release
         // them, or a long (50k-merge) run pins one small RDD set per
         // round in executor storage for the trainer's lifetime.
-        Seq(affected, affectedOld, rewritten, pDelta).foreach { df =>
-          try df.unpersist(blocking = false) catch { case _: Throwable => }
-        }
+        Seq(affected, affectedOld, rewritten, pDelta).foreach(SessionOps.releaseQuiet)
         if (compactEvery > 0 && step % compactEvery == 0)
           compact(s, root, corpusBuckets, postingsBuckets)
       }

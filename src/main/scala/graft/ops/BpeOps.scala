@@ -41,6 +41,15 @@ object BpeOps {
       replace(framed(text), lit(needle(w1, w2)), lit(s" ${w1}_$w2 ")),
       lit("  "), lit(" ")))
 
+  /** Full bigram pair count of a `(doc_id, text, ...)` corpus — the
+    * `(bg, cnt)` table the winner reads. Both trainers' maintained-count
+    * equality contract depends on this exact aggregate, so it lives here
+    * with the other parity-critical semantics. */
+  def pairCounts(corpus: DataFrame): DataFrame =
+    corpus
+      .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+
   /** Greedy winner off a maintained `(bg, cnt)` table: highest count,
     * ties broken on (w1, w2) — one row to the driver, the inherently
     * sequential decision every greedy BPE trainer has. None = the

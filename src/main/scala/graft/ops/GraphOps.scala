@@ -171,8 +171,7 @@ object GraphOps {
   }
 
   /** Best-effort block release for a superseded local checkpoint. */
-  private def release(df: DataFrame): Unit =
-    try df.unpersist(blocking = false) catch { case _: Throwable => () }
+  private def release(df: DataFrame): Unit = SessionOps.releaseQuiet(df)
 
   /** Exact decimal sum of labels — overflow-proof for any vertex count. */
   private def labelSum(comp: DataFrame): BigDecimal = {

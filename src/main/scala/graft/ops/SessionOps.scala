@@ -10,6 +10,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SessionOps {
 
+  /** Best-effort release of a SUPERSEDED materialization (a localCheckpoint
+    * or cache whose successor is already eagerly materialized) — the one
+    * implementation of the swallow-everything unpersist the iterative
+    * operators (BPE trainers, CC loop, compaction swaps) all need, so a
+    * change to the release semantics happens in one place. Failures are
+    * ignored by design: the blocks are garbage either way, and a release
+    * must never fail the computation it is cleaning up after. */
+  def releaseQuiet(df: DataFrame): Unit =
+    try df.unpersist(blocking = false) catch { case _: Throwable => () }
+
   /** Round-robin `df` to the session's shuffle parallelism ONLY when its
     * current plan yields fewer partitions — the single-split local-scan
     * compensation used ahead of CPU-dense per-row work (gram hashing,

@@ -277,9 +277,7 @@ object MiningQueries extends QueryPack {
   private[graft] def bpeTrainOn(s: SparkSession, corpus0: DataFrame, k: Long)
       : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    def pairCounts(c: DataFrame): DataFrame =
-      c.select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bg"))
-        .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    def pairCounts(c: DataFrame): DataFrame = graft.ops.BpeOps.pairCounts(c)
     var corpus = corpus0.localCheckpoint()
     val nDocs = corpus.count()
     // Checkpoints created by the PREVIOUS round, releasable as soon as
@@ -354,9 +352,7 @@ object MiningQueries extends QueryPack {
         // recount reading only the NEW corpus), so the previous round's
         // checkpoints are dead — release them now instead of pinning
         // O(k) superseded block sets (BpeIndexedTrainer does the same).
-        liveCkpts.foreach { df =>
-          try df.unpersist(blocking = false) catch { case _: Throwable => }
-        }
+        liveCkpts.foreach(graft.ops.SessionOps.releaseQuiet)
         liveCkpts = Seq(corpus) ++ (if (newCountsCkpt) Seq(counts) else Nil)
       }
       }

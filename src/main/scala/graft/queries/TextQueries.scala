@@ -77,9 +77,16 @@ object TextQueries extends QueryPack {
     * rarest of each document, so posting lists stay short on a Zipf
     * vocabulary — candidate count tracks the true-pair count, never
     * all-pairs-within-block. Candidates get the exact merge-scan verify
-    * (unchanged), so results are bit-identical to the block join; the
-    * size filter is implied by jac ≥ 19/20 and kept only as a cheap
-    * pre-verify prune. At 100 TB the freq table is the vocabulary
+    * (unchanged), so results match the ORACLE's pair definition exactly
+    * (same-lang, 19/20 size prune, jac ≥ 19/20 — no band term). The old
+    * block join was additionally LOSSY off-fixture: its ±1-bucket
+    * replication assumed jac ≥ 19/20 forces |A|,|B| within 1, which is
+    * only true below 39 distinct tokens — a size-diff-2 pair at n ≈ 40
+    * passes the 19/20 prune (and the oracle) but never met in a bucket.
+    * Masked at fixture scale by the 31-word vocabulary; the prefix
+    * filter has no such size assumption. The size filter is implied by
+    * jac ≥ 19/20 and kept only as a cheap pre-verify prune. At 100 TB
+    * the freq table is the vocabulary
     * (derived, ≪ corpus) and every other stage is keyed and
     * posting-list-local. Shared by `dedup_ngram_jaccard` (pair
     * emission) and `dedup_cluster_cc` (component collapse). */

@@ -167,8 +167,21 @@ object ScaleUpGen {
     // chain mode: dihedral permutation per copy (see header) — composed
     // with the first decade's rotations, all copies² effective copies
     // carry pairwise-distinct permutations, so no cross-copy duplicate
-    // vector sets appear.
+    // vector sets appear. Distinctness requires every composed exponent
+    // to fit one residue class mod dims: rotation exponents span
+    // [0, copies·(half−1)+copies−1] and reflection exponents
+    // [−(copies−1), copies·(half−1)] — both width copies·(half−1)+copies.
+    // Without this guard a copies/dims combination that wraps (e.g.
+    // copies=16 over 64 dims: 16·c mod 64 repeats at c=4) would silently
+    // alias whole copies into identical vector sets and inflate dup/knn
+    // pair counts superlinearly BY CONSTRUCTION — the exact corruption
+    // chain mode exists to prevent. Assumes the source decade used the
+    // default rotation transform with this same copy count.
     val half = (copies + 1) / 2
+    require(!chain || copies * (half - 1) + copies <= dims,
+      s"chain mode needs copies*(ceil(copies/2)-1)+copies <= dims " +
+        s"(${copies * (half - 1) + copies} > $dims): composed dihedral " +
+        "exponents would wrap mod dims and alias copies")
     val permuted =
       if (chain)
         when(col("copy") < half,

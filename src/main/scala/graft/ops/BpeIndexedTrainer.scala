@@ -112,15 +112,36 @@ object BpeIndexedTrainer {
     * the store's single owner and compaction runs between rounds, so
     * the non-atomic window needs no concurrent-reader story — a SERVED
     * store would go through DerivedStore's versioned publish instead. */
+  /** Roll back a swap the previous [[compact]] crashed in the middle of:
+    * the two-rename publish has a window (live dir retired, tmp not yet
+    * renamed in) where `path` is missing and `.compact_old` holds the
+    * only copy — restore it BEFORE anything reads or deletes. Idempotent
+    * and cheap (two existence probes), so [[compact]] runs it
+    * unconditionally on entry; BpeIndexedTrainerSpec exercises the
+    * crash-window shape explicitly. */
+  private def recoverSwap(path: String): Unit = {
+    val old = new File(path + ".compact_old")
+    if (!new File(path).exists() && old.exists())
+      require(old.renameTo(new File(path)),
+        s"compact: cannot restore crashed swap from $old")
+  }
+
   def compact(s: SparkSession, root: String,
               corpusBuckets: Int = 16, postingsBuckets: Int = 16): Unit = {
+    recoverSwap(s"$root/corpus"); recoverSwap(s"$root/postings")
     def swapIn(resolved: DataFrame, path: String, partCol: String): Unit = {
       val out = resolved.localCheckpoint()
       out.count() // force full materialization before unlinking sources
       val tmp = new File(path + ".compact_tmp")
       val old = new File(path + ".compact_old")
-      // a crashed previous fold may have left either sibling behind;
-      // both are garbage by definition (the live store is `path`).
+      // a crashed previous fold may have left either sibling behind.
+      // They are garbage ONLY once `path` itself exists: a crash in the
+      // window between the two publish renames below leaves `path`
+      // missing with `.compact_old` holding the ONLY copy of the store
+      // — recovery (handled in [[recoverSwap]] before any read) must
+      // have restored it before this delete runs, and the recover-first
+      // order is what makes the deletion safe even if the scratch-dir
+      // contract ("fresh root per run") is ever relaxed.
       deleteRecursively(tmp); deleteRecursively(old)
       DerivedStore.writePartitioned(
         out.repartition(org.apache.spark.sql.functions.col(partCol)),

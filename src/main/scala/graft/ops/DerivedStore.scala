@@ -64,9 +64,9 @@ object DerivedStore {
       // it would pin the whole derived table in executor storage for the
       // session's lifetime (the leaked-cache heap-pressure class Bench's
       // dropCachedBlocks exists to clear — but Verify and ad hoc sessions
-      // never call that).
-      try out.unpersist(blocking = false)
-      catch { case _: Throwable => }
+      // never call that). releaseQuiet, not Dataset.unpersist: the
+      // latter is a no-op for a localCheckpoint (see SessionOps).
+      SessionOps.releaseQuiet(out)
     }
   }
 

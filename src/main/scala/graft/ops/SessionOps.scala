@@ -16,9 +16,45 @@ object SessionOps {
     * operators (BPE trainers, CC loop, compaction swaps) all need, so a
     * change to the release semantics happens in one place. Failures are
     * ignored by design: the blocks are garbage either way, and a release
-    * must never fail the computation it is cleaning up after. */
-  def releaseQuiet(df: DataFrame): Unit =
+    * must never fail the computation it is cleaning up after.
+    *
+    * Two release paths because the two materialization kinds live in
+    * different registries: `Dataset.unpersist` only evicts
+    * CacheManager-registered plans (`.cache()`/`.persist()`), and is a
+    * NO-OP for a `localCheckpoint()` — the checkpoint's materialization
+    * is a plain persisted RDD behind a `LogicalRDD` leaf, invisible to
+    * the CacheManager, so its blocks would otherwise linger until the
+    * ContextCleaner happens to collect the RDD object (r11 shipped
+    * exactly that no-op and freed nothing). The leaf's RDD is therefore
+    * unpersisted directly. Only the TOP-LEVEL analyzed plan is matched:
+    * a derived frame OVER a checkpoint must never free blocks that
+    * checkpoint's other consumers still read — callers pass the
+    * superseded checkpoint itself, per the contract above.
+    * SessionOpsSpec asserts both paths against
+    * `sc.getPersistentRDDs`. */
+  def releaseQuiet(df: DataFrame): Unit = {
+    silenceTruncationWarn
     try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    try df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case _: Throwable => () }
+  }
+
+  /** Spark logs "RDD N was locally checkpointed, its lineage has been
+    * truncated and cannot be recomputed after unpersisting" on EVERY
+    * direct unpersist of a localCheckpoint RDD. Here the unrecomputable
+    * release is the entire point — the caller contract says the frame is
+    * superseded and dead — so at trainer scale the warning is one line
+    * of pure noise per round. Scoped to the one logger that emits it
+    * (the checkpoint top RDD is always a MapPartitionsRDD); all other
+    * org.apache.spark.rdd logging is untouched. */
+  private lazy val silenceTruncationWarn: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
 
   /** Round-robin `df` to the session's shuffle parallelism ONLY when its
     * current plan yields fewer partitions — the single-split local-scan

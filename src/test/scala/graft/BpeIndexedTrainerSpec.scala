@@ -168,6 +168,35 @@ class BpeIndexedTrainerSpec extends AnyFunSuite {
       s"postings store fanned out: $postingsFiles files > bound $postingsBound")
   }
 
+  test("compact recovers a swap crashed between the two publish renames") {
+    // The two-rename publish has a window where the live dir is retired
+    // (renamed to .compact_old) but the tmp is not yet renamed in: `path`
+    // is missing and .compact_old holds the ONLY copy. A compact run
+    // entered in that state must restore the store before its
+    // delete-siblings step, or the whole store is silently lost.
+    val texts = Seq("a b c a b c", "a b d", "x y")
+    val root = Files.createTempDirectory("graft_bpe_crash").toString
+    val (_, c0, _, _) = BpeIndexedTrainer.train(
+      spark, BpeTestOracle.corpusDF(spark, texts), 2L, root, 8, 8)
+    val expect = c0.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    // Simulate the crash window for BOTH stores: live dir retired, a
+    // stale tmp left behind (as an interrupted writePartitioned would).
+    for (store <- Seq("corpus", "postings")) {
+      val live = new java.io.File(s"$root/$store")
+      assert(live.renameTo(new java.io.File(s"$root/$store.compact_old")))
+      assert(new java.io.File(s"$root/$store.compact_tmp").mkdirs())
+    }
+    BpeIndexedTrainer.compact(spark, root, 8, 8)
+    val after = graft.ops.DedupOps.latestWins(
+        spark.read.parquet(s"$root/corpus"), col("doc_id"),
+        Seq(col("ver").desc))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(after == expect,
+      "compact entered in the crash window must recover the store, not delete it")
+  }
+
   test("postings tombstones: a bigram removed then re-created stays exact") {
     // Round 1 merges (p,q) everywhere, deleting bigram "q r"; the doc
     // "z p q r" still holds "p_q r". Round 2 merges (p_q,r) — its

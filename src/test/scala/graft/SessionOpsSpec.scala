@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SessionOps
+
+/** `SessionOps.releaseQuiet` is the one release implementation every
+  * iterative operator (BPE trainers, CC loop, compaction swaps) leans
+  * on for its per-round heap-pressure story — so the release must be
+  * PROVEN against `sc.getPersistentRDDs`, not assumed. r11 shipped
+  * `Dataset.unpersist` alone, which is a no-op for `localCheckpoint`
+  * materializations (they are plain persisted RDDs behind a
+  * `LogicalRDD` leaf, invisible to the CacheManager): every release
+  * site freed nothing. These specs pin both release paths and the
+  * derived-frame guard that makes the direct-RDD path safe. */
+class SessionOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+
+  private def persistentIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  test("releaseQuiet frees a localCheckpoint's persisted RDD") {
+    val before = persistentIds
+    val ck = spark.range(100).toDF("x").localCheckpoint()
+    val added = persistentIds -- before
+    assert(added.nonEmpty,
+      "localCheckpoint should register a persisted RDD")
+    SessionOps.releaseQuiet(ck)
+    val after = persistentIds
+    assert(added.forall(!after.contains(_)),
+      s"checkpoint RDDs $added must be gone after releaseQuiet, have $after")
+  }
+
+  test("releaseQuiet frees a cached (CacheManager) frame") {
+    val before = persistentIds
+    val cached = spark.range(100).toDF("x").cache()
+    cached.count()
+    val added = persistentIds -- before
+    assert(added.nonEmpty, "cache + count should register a persisted RDD")
+    SessionOps.releaseQuiet(cached)
+    val after = persistentIds
+    assert(added.forall(!after.contains(_)),
+      s"cached RDDs $added must be gone after releaseQuiet, have $after")
+  }
+
+  test("releaseQuiet on a frame DERIVED from a checkpoint frees nothing") {
+    // The direct-RDD path matches only the TOP-LEVEL LogicalRDD leaf: a
+    // projection over a checkpoint must never free blocks the
+    // checkpoint's other consumers still read.
+    val before = persistentIds
+    val ck = spark.range(100).toDF("x").localCheckpoint()
+    val added = persistentIds -- before
+    assert(added.nonEmpty)
+    val derived = ck.selectExpr("x + 1 as y").filter("y > 10")
+    SessionOps.releaseQuiet(derived)
+    val after = persistentIds
+    assert(added.forall(after.contains),
+      s"derived-frame release must keep the checkpoint's RDDs $added alive")
+    assert(derived.count() == 90L)
+    SessionOps.releaseQuiet(ck)
+  }
+
+  test("iterative fold keeps the persistent-RDD count flat") {
+    // The shape every trainer loop has: round N checkpoints its state,
+    // releases round N-1. The persistent set must not grow with rounds
+    // — this is the heap-pressure regression the r11 no-op shipped.
+    val baseline = persistentIds.size
+    var state = spark.range(10).toDF("x").localCheckpoint()
+    for (_ <- 1 to 5) {
+      val next = state.selectExpr("x + 1 as x").localCheckpoint()
+      SessionOps.releaseQuiet(state)
+      state = next
+      assert(persistentIds.size <= baseline + 1,
+        s"persistent-RDD set grew across rounds: ${persistentIds.size}")
+    }
+    assert(state.count() == 10L)
+    SessionOps.releaseQuiet(state)
+  }
+}

@@ -231,23 +231,33 @@ class StreamingRecoverySpec extends AnyFunSuite {
     val schema = fixture.schema
     val chunks = jsonChunks(fixture, f.chunkKey)
     TaskFailOnce.fired.set(false)
-    val q = startQuery(inDir, ckpt, schema) { (b, id) =>
-      val merged = f.merge(readStore(storeDir, schema), b).localCheckpoint()
-      // arm the injection on batch 1 only: by then the store is
-      // non-trivial, so a double-commit would actually corrupt it
-      val out =
-        if (id == 1L)
-          spark.createDataFrame(merged.rdd.mapPartitions { it =>
-            if (!TaskFailOnce.fired.getAndSet(true))
-              throw new RuntimeException("injected task failure (attempt 0)")
-            it
-          }, merged.schema)
-        else merged
-      out.write.mode("overwrite").parquet(s"$storeDir/v$id")
+    // The ONLY sanctioned retry producer in the test JVM: declare the
+    // window to the session-wide audit, so the assertion below can hold
+    // every suite that ran before this one to zero silent retries.
+    SparkTest.RetryAudit.allowWhile {
+      val q = startQuery(inDir, ckpt, schema) { (b, id) =>
+        val merged = f.merge(readStore(storeDir, schema), b).localCheckpoint()
+        // arm the injection on batch 1 only: by then the store is
+        // non-trivial, so a double-commit would actually corrupt it
+        val out =
+          if (id == 1L)
+            spark.createDataFrame(merged.rdd.mapPartitions { it =>
+              if (!TaskFailOnce.fired.getAndSet(true))
+                throw new RuntimeException("injected task failure (attempt 0)")
+              it
+            }, merged.schema)
+          else merged
+        out.write.mode("overwrite").parquet(s"$storeDir/v$id")
+      }
+      chunks.zipWithIndex.foreach { case (c, i) => writeChunk(inDir, i, c) }
+      try q.processAllAvailable() finally q.stop()
     }
-    chunks.zipWithIndex.foreach { case (c, i) => writeChunk(inDir, i, c) }
-    try q.processAllAvailable() finally q.stop()
     assert(TaskFailOnce.fired.get(), "the injected task failure never fired")
+    // The flip side of local[4, 2]: any OTHER task retry in the suites
+    // run so far was a nondeterministic failure that silently passed on
+    // attempt 2 — fail loudly instead of masking the flake.
+    val stray = SparkTest.RetryAudit.unexpected.toArray.mkString("; ")
+    assert(stray.isEmpty, s"unexpected task retries outside the injection window: $stray")
 
     val got = canon(readStore(storeDir, schema)
       .select(f.outCols.map(col).toIndexedSeq: _*))

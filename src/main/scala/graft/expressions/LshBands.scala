@@ -1,0 +1,139 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst banded random-hyperplane LSH signature: for each of
+  * `bands` bands, an `rows`-bit bucket id where bit i is the sign of the
+  * dot product with integer hyperplane p = band·rows + i (weights
+  * `VectorOps.adaptivePlaneWeight`: the full-rank integer derivation —
+  * NOT the period-17 `planeWeight` of the frozen PLANES=8 contract —
+  * shared bit-for-bit by Spark and the DuckDB oracle).
+  *
+  * The compositional formulation (one `VectorOps.dot` HOF per plane,
+  * summed CASE bits — `VectorOps.lshBandBucket`) is semantically
+  * identical but interpreted: at adaptive plane counts (bands·rows grows
+  * with log n, ~56 planes at the third scaling decade) that is dozens of
+  * closure-dispatched 64-element folds per row. This expression fuses
+  * the whole signature into one codegen'd loop nest — weights computed
+  * inline from the integer formula, no per-row allocation beyond the
+  * result array — and participates in whole-stage codegen.
+  *
+  * Numerics: elements widen to double and each plane's dot accumulates
+  * left-to-right from 0.0, the exact fold order of the HOF version and
+  * of DuckDB's ordered `list_reduce`, so bucket ids are bit-identical to
+  * the oracle (the only float sensitivity is the sign test, which
+  * inherits the fold order). Arrays shorter than `dims` fold over the
+  * prefix, like the HOF zip_with. LshBandsSpec asserts bit-equality
+  * against the HOF formulation per band on the fixture.
+  */
+case class LshBands(child: Expression, bands: Int, rows: Int, dims: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean =
+    child.nullable || SquaredDistance.elemNullable(child)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_bands expects array<float|double> input, got ${other.catalogString}")
+    }
+
+  private def elemFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val lim = math.min(xs.numElements(), dims)
+    val out = new Array[Int](bands)
+    var t = 0
+    while (t < bands) {
+      var bucket = 0
+      var i = 0
+      while (i < rows) {
+        val p = t * rows + i
+        var dp = 0.0
+        var d = 0
+        while (d < lim) {
+          if (xs.isNullAt(d)) {
+            if (SquaredDistance.elemNullable(child)) return null
+            throw new NullPointerException(
+              "lsh_bands: null element in containsNull=false input")
+          }
+          val x = if (elemFloat) xs.getFloat(d).toDouble else xs.getDouble(d)
+          dp += x * graft.ops.VectorOps.adaptivePlaneWeight(p, d).toDouble
+          d += 1
+        }
+        if (dp > 0.0) bucket |= (1 << i)
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemFloat) "(double) %s.getFloat(%s)" else "%s.getDouble(%s)"
+    nullSafeCodeGen(ctx, ev, a => {
+      val lim = ctx.freshName("lim")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val p = ctx.freshName("p")
+      val dp = ctx.freshName("dp")
+      val bucket = ctx.freshName("bucket")
+      // same emit-only-when-nullable guard discipline as SquaredDistance /
+      // CosineSimilarity: containsNull=false inputs keep the loop
+      // branch-free. The label breaks all three loops on a null element.
+      val guard =
+        if (SquaredDistance.elemNullable(child))
+          s"if ($a.isNullAt($d)) { ${ev.isNull} = true; break bandsLoop$out; }"
+        else ""
+      s"""
+         |int $lim = java.lang.Math.min($a.numElements(), $dims);
+         |int[] $out = new int[$bands];
+         |bandsLoop$out:
+         |for (int $t = 0; $t < $bands; $t++) {
+         |  int $bucket = 0;
+         |  for (int $i = 0; $i < $rows; $i++) {
+         |    int $p = $t * $rows + $i;
+         |    double $dp = 0.0;
+         |    for (int $d = 0; $d < $lim; $d++) {
+         |      $guard
+         |      long k$dp = (long) $p * 104729L + (long) $d;
+         |      $dp += ${get.format(a, d)} * (double)
+         |        ((((k$dp * k$dp + k$dp * 2654435761L) % 2038074743L)
+         |          / 131072L) % 17L - 8L);
+         |    }
+         |    if ($dp > 0.0) $bucket |= (1 << $i);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshBands {
+  /** Column-API entry point: array of `bands` bucket ids for `emb`. */
+  def lshBands(emb: Column, bands: Int, rows: Int, dims: Int): Column =
+    ColumnBridge.column(
+      LshBands(ColumnBridge.expression(emb), bands, rows, dims))
+}

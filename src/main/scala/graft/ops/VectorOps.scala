@@ -193,4 +193,43 @@ object VectorOps {
       val w = array((0 until dims).map(d => lit(planeWeight(p, d).toDouble)): _*)
       when(dot(emb, w) > 0.0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Plane weights for the ADAPTIVE signature family: the [[planeWeight]]
+    * formula is ((5p + 3d) mod 17) − 8 in disguise — PERIODIC in p with
+    * period 17, so only 17 distinct hyperplanes exist. Harmless for the
+    * frozen PLANES=8 contract (8 < 17), fatal for adaptive signatures
+    * whose bands·rows planes run past 100: every 17th plane repeats,
+    * bands stop being independent, and OR-amplification saturates
+    * (measured: planted-pair recall 0.50 where independent-plane theory
+    * says 0.96). Here the flattened plane-dim index k = p·104729 + d is
+    * mixed QUADRATICALLY mod a ~2³¹ prime and the weight taken from the
+    * HIGH bits (÷2¹⁷ before the final mod 17): the quadratic breaks
+    * affinity in d, and the high-bit extraction kills the small-modulus
+    * leak where polynomial differences divisible by 17 collapse whole
+    * weight vectors (an affine or low-bit form measurably collides —
+    * 44 duplicate planes per 8000). 8000/8000 planes distinct, weights
+    * centered in [-8, 8]; still pure integer arithmetic (Long-safe:
+    * k ≤ 8.1e8 ⇒ k² + k·C < 2.8e18 < 2⁶³), so Spark, the codegen'd
+    * [[graft.expressions.LshBands]], and the DuckDB oracle agree
+    * bit-for-bit. AdaptiveLshSpec pins distinctness and centering. */
+  def adaptivePlaneWeight(p: Int, d: Int): Int = {
+    val k = p.toLong * 104729L + d.toLong
+    ((((k * k + k * 2654435761L) % 2038074743L) / 131072L) % 17L).toInt - 8
+  }
+
+  /** Band `band` of a multi-band adaptive signature with `rows` planes
+    * per band: bit i comes from plane p = band·rows+i over
+    * [[adaptivePlaneWeight]], so bands draw genuinely distinct
+    * hyperplane sets (the OR-amplification that recovers recall when
+    * `rows` grows with the corpus). This is the interpreted reference
+    * formulation; the fused codegen twin [[graft.expressions.LshBands]]
+    * (spec-proven bit-equal) is what the adaptive call sites run — one
+    * plane here is a closure-dispatched 64-element fold, and adaptive
+    * signatures need bands·rows of them per row. */
+  def lshBandBucket(emb: Column, band: Int, rows: Int, dims: Int): Column =
+    (0 until rows).map { i =>
+      val p = band * rows + i
+      val w = array((0 until dims).map(d => lit(adaptivePlaneWeight(p, d).toDouble)): _*)
+      when(dot(emb, w) > 0.0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
 }

@@ -54,6 +54,64 @@ object VectorQueries extends QueryPack {
       "score",
       VectorOps.timeDecayScore(col("dist"), col("vec_id").cast("double") * 60.0))
 
+  /** Adaptive-LSH sizing, two dials derived from ONE measured corpus
+    * count:
+    *
+    *  - rows-per-band: the smallest r ≥ 4 with TARGET·2^r ≥ n, so
+    *    expected bucket population stays ≤ TARGET however big the
+    *    corpus — candidate volume per band is Θ(TARGET·n), never
+    *    Θ(n²/2^r). Integer shift comparison (no float log2), so Spark
+    *    and the DuckDB oracle derive the identical r from the identical
+    *    count(*).
+    *  - bands: longer signatures lose recall, and the honest remedy is
+    *    the classic OR-amplification law, not a fixed table count. At
+    *    the near-dup design similarity s* = 0.9 a neighbor agrees with
+    *    each hyperplane sign w.p. c* = 1 − acos(0.9)/π ≈ 0.8564, so
+    *    L = ⌈ln 10 / c*^r⌉ bands hold design recall 1−(1−c*^r)^L ≥ 0.9
+    *    at EVERY scale (AdaptiveLshSpec proves it with planted
+    *    near-dups under big-n parameters). L grows like n^ρ with
+    *    ρ = log₂(1/c*) ≈ 0.22 — the provably sub-quadratic Θ(n^{1+ρ})
+    *    total, vs Θ(n²/2⁸) for the frozen PLANES=8 contract. At corpus
+    *    scales where n^ρ bands exceed budget, the IVF/PQ family is the
+    *    serve path; this is the join-native dedup complement.
+    *
+    * The Scala float math behind L is evaluated ONCE here and embedded
+    * into the oracle SQL as an r-indexed CASE table, so both engines use
+    * the identical integers with zero cross-engine float risk. */
+  private[queries] val LSH_TARGET_BUCKET = 16L
+
+  private[graft] def adaptiveRows(n: Long): Int =
+    (4 to 30).find(r => (LSH_TARGET_BUCKET << r) >= n).getOrElse(30)
+
+  private[graft] def adaptiveBands(r: Int): Int = {
+    val cStar = 1.0 - math.acos(0.9) / math.Pi
+    math.max(4, math.ceil(math.log(10.0) / math.pow(cStar, r)).toInt)
+  }
+
+  /** Verified similarity over the adaptive-LSH candidate pairs
+    * (a_id < b_id, deduped across bands): the shared candidate machinery
+    * of `ann_lsh_adaptive` / `knn_join_lsh_adaptive`. The corpus count
+    * that sizes r is a one-row driver reduction (the sanctioned
+    * router-side class — same as ann_serve_from_store's probe-cell
+    * list); everything after is one signature map pass, an id-only
+    * candidate join, and a verify hash-join. */
+  private def adaptivePairSims(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val r = adaptiveRows(e.count())
+    val sigs = e.select(col("vec_id"),
+      posexplode(graft.expressions.LshBands.lshBands(
+        col("embedding"), adaptiveBands(r), r, DIMS)).as(Seq("band", "bucket")))
+    val a = sigs.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
+    val b = sigs.select(col("band"), col("bucket"), col("vec_id").as("b_id"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosineSim(col("a_emb"), col("b_emb")).as("sim"))
+  }
+
   /** All-pairs frame over the codegen'd cosine: one fused dot/norm/norm
     * loop per pair inside whole-stage codegen (bit-identical to the HOF
     * fold). The non-equi self-join plans as a nested-loop join that
@@ -103,6 +161,61 @@ object VectorQueries extends QueryPack {
        |              ELSE ${dotSql("a.embedding", "b.embedding")} / (a.n * b.n) END AS sim
        |  FROM norms a, norms b WHERE a.vec_id < b.vec_id
        |)""".stripMargin
+
+  /** Oracle twin of the adaptive-LSH candidate machinery: the SAME
+    * integer r derivation (shift compare over count(*), no float log2),
+    * plane weights from the shared integer formula, each plane's dot an
+    * ascending-d ordered fold (bit-parity with the fused
+    * [[graft.expressions.LshBands]] loop), buckets per band, and the
+    * cross-band-deduped a<b candidate pairs with verified cosine. */
+  private lazy val ADAPTIVE_LSH_CTES: String = {
+    // the r → bands table, evaluated by the SAME Scala function the
+    // Spark plan uses — both engines see identical integers
+    val bandsCase = (4 to 30)
+      .map(r => s"WHEN $r THEN ${adaptiveBands(r)}").mkString(" ")
+    s"""nn AS (SELECT count(*) AS n FROM embeddings),
+       |par AS (
+       |  SELECT r, CASE r $bandsCase END AS nb FROM (
+       |    SELECT min(r) AS r
+       |    FROM (SELECT unnest(range(4, 31)) AS r) rs, nn
+       |    WHERE (CAST($LSH_TARGET_BUCKET AS BIGINT) << r) >= nn.n
+       |  )
+       |), pd AS (
+       |  SELECT bs.band, irows.i, bs.band * par.r + irows.i AS p
+       |  FROM (SELECT unnest(range(0, 256)) AS band) bs,
+       |       (SELECT unnest(range(0, 31)) AS i) irows, par
+       |  WHERE irows.i < par.r AND bs.band < par.nb
+       |), dots AS (
+       |  SELECT vec_id, band, i,
+       |         list_reduce(list(x * w ORDER BY d), (a, b) -> a + b) AS dp
+       |  FROM (
+       |    SELECT e.vec_id, pd.band, pd.i, ds.d,
+       |           CAST(e.embedding[ds.d + 1] AS DOUBLE) AS x,
+       |           CAST(((((pd.p * 104729 + ds.d) * (pd.p * 104729 + ds.d)
+       |                    + (pd.p * 104729 + ds.d) * 2654435761) % 2038074743)
+       |                  // 131072) % 17 - 8 AS DOUBLE) AS w
+       |    FROM embeddings e, pd, (SELECT unnest(range(0, $DIMS)) AS d) ds
+       |  ) GROUP BY vec_id, band, i
+       |), sigs AS (
+       |  SELECT vec_id, band,
+       |         sum(CASE WHEN dp > 0.0 THEN (1 << i) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY vec_id, band
+       |), apairs AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id
+       |), anorms AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS n
+       |  FROM embeddings
+       |), asims AS (
+       |  SELECT p.a_id, p.b_id,
+       |         CASE WHEN a.n = 0.0 OR b.n = 0.0 THEN 0.0
+       |              ELSE ${dotSql("a.embedding", "b.embedding")} / (a.n * b.n) END AS sim
+       |  FROM apairs p
+       |  JOIN anorms a ON a.vec_id = p.a_id
+       |  JOIN anorms b ON b.vec_id = p.b_id
+       |)""".stripMargin
+  }
 
   /** Oracle twin of the PCA corpus passes: exploded elements, decimal-
     * exact per-dim means, centered values, covariance cells, and the
@@ -460,6 +573,43 @@ object VectorQueries extends QueryPack {
         .withColumn("sim", cosineSim(col("a_emb"), col("b_emb")))
         .filter(col("sim") > 0.3)
         .select(col("a_id"), col("b_id"), col("a_bucket").as("bucket"), col("sim"))
+    }),
+
+    // -- superset: the SCALE-ADAPTIVE LSH near-dup — the production mode
+    //    the fixed-plane baselines above deliberately lack. Plane count
+    //    per band grows with a MEASURED corpus count (smallest r ≥ 4 with
+    //    TARGET·2^r ≥ n, integer-exact in both engines) so expected
+    //    bucket population stays ~TARGET regardless of n: candidate
+    //    volume is Θ(bands·TARGET·n) where the PLANES=8 contract pins
+    //    Θ(n²/2⁸). Recall lost to the longer signatures is bought back
+    //    by OR-amplification over DISJOINT hyperplane sets, with the
+    //    band count following the honest n^ρ law (ρ ≈ 0.22 at the
+    //    s* = 0.9 near-dup design point — see adaptiveBands), and is
+    //    MEASURED, not assumed: AdaptiveLshSpec proves design recall
+    //    with planted near-dups under big-n parameters and floors the
+    //    fixture kNN recall, the lsh_recall_eval pattern. Plan shape:
+    //    one fused codegen'd
+    //    signature pass (graft.expressions.LshBands), an id-only
+    //    (band, bucket) equi-join + pair distinct — embeddings never
+    //    ride the candidate shuffle — then one hash-join back to
+    //    vectors for the cosine verify. ----------------------------------
+    "ann_lsh_adaptive" -> ((s, dir) =>
+      adaptivePairSims(s, dir).filter(col("sim") > 0.3)
+        .select("a_id", "b_id", "sim")),
+
+    // -- superset: kNN join on the same adaptive candidates — top-3 per
+    //    vector, both orientations of each undirected pair (sim is
+    //    fold-symmetric, so one verify serves both; the union re-reads
+    //    the verified frame, its input exchanges reused). ----------------
+    "knn_join_lsh_adaptive" -> ((s, dir) => {
+      val sims = adaptivePairSims(s, dir)
+      val both = sims
+        .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"), col("sim"))
+        .unionByName(sims
+          .select(col("b_id").as("vec_id"), col("a_id").as("nbr_id"), col("sim")))
+      VectorOps.topKPerQuery(
+        both, col("vec_id"), Seq(col("sim").desc, col("nbr_id")), k = 3)
+        .select("vec_id", "nbr_id", "sim")
     }),
 
     // -- superset: product quantization — the other standard embedding
@@ -1188,6 +1338,21 @@ object VectorQueries extends QueryPack {
          |SELECT vec_id, nbr_id, sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rn
          |  FROM cands
+         |) WHERE rn <= 3""".stripMargin,
+
+    "ann_lsh_adaptive" ->
+      s"""WITH $ADAPTIVE_LSH_CTES
+         |SELECT a_id, b_id, sim FROM asims WHERE sim > 0.3""".stripMargin,
+
+    "knn_join_lsh_adaptive" ->
+      s"""WITH $ADAPTIVE_LSH_CTES, bothdir AS (
+         |  SELECT a_id AS vec_id, b_id AS nbr_id, sim FROM asims
+         |  UNION ALL
+         |  SELECT b_id AS vec_id, a_id AS nbr_id, sim FROM asims
+         |)
+         |SELECT vec_id, nbr_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rn
+         |  FROM bothdir
          |) WHERE rn <= 3""".stripMargin,
 
     "ann_lsh_bucketed" ->

@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.LshBands
+import graft.ops.VectorOps
+import graft.queries.VectorQueries
+
+/** The scale-adaptive LSH family (`ann_lsh_adaptive` /
+  * `knn_join_lsh_adaptive`): the claims that make it the production
+  * complement of the frozen PLANES=8 baselines, each proven, not
+  * asserted in prose.
+  *
+  *  1. The fused codegen signature ([[LshBands]]) is bit-equal to the
+  *     compositional HOF formulation per band — same fold order, same
+  *     sign tests — including the fixed-plane degenerate case.
+  *  2. Sizing: rows-per-band is the smallest r ≥ 4 with TARGET·2^r ≥ n
+  *     (integer-exact) and bands follow L = ⌈ln 10 / c*^r⌉ — the
+  *     OR-amplification that holds design recall at s* = 0.9 across
+  *     scales instead of silently decaying with n.
+  *  3. Design recall is SCALE-STABLE: planted near-dup pairs at
+  *     sim ≥ 0.9 are recovered at ≥ the design rate even under the
+  *     big-n parameters of the third scaling decade — testable on small
+  *     data because (r, L) are explicit inputs, no 100 GB run needed.
+  *  4. Candidate volume stays inside the linear-per-band envelope at
+  *     the fixture (the whole point of adaptivity).
+  */
+class AdaptiveLshSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("LshBands expression == HOF band buckets, bit for bit") {
+    val e = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val r = 5
+    val bands = 5
+    val hof = e.select(col("vec_id") +: (0 until bands).map(t =>
+      VectorOps.lshBandBucket(col("embedding"), t, r, 64).as(s"b$t")): _*)
+    val fused = e.select(col("vec_id"),
+      LshBands.lshBands(col("embedding"), bands, r, 64).as("sig"))
+    val h = hof.collect()
+      .map(x => x.getLong(0) -> (1 to bands).map(x.getInt).toSeq).toMap
+    val f = fused.collect()
+      .map(x => x.getLong(0) -> x.getSeq[Int](1).toSeq).toMap
+    assert(h == f, "fused signature diverged from the HOF reference")
+  }
+
+  test("adaptive planes are full-rank: no period-17 repetition") {
+    // The frozen planeWeight formula is ((5p + 3d) mod 17) - 8 —
+    // periodic in p with period 17, so only 17 distinct hyperplanes
+    // exist and adaptive OR-amplification saturates (measured recall
+    // 0.50 where independent-plane theory says 0.96). The adaptive
+    // formula must give distinct weight vectors across the whole plane
+    // range the sizing can emit.
+    val maxPlanes = 30 * VectorQueries.adaptiveBands(30)
+    def wvec(p: Int) = (0 until 64).map(d => VectorOps.adaptivePlaneWeight(p, d))
+    // the legacy formula fails this immediately:
+    assert((0 until 64).map(d => VectorOps.planeWeight(0, d)) ==
+      (0 until 64).map(d => VectorOps.planeWeight(17, d)),
+      "legacy formula unexpectedly full-rank — periodicity claim stale")
+    val distinct = (0 until maxPlanes.min(2000)).map(wvec).distinct.size
+    assert(distinct == maxPlanes.min(2000),
+      s"adaptive planes collide: $distinct distinct of ${maxPlanes.min(2000)}")
+    // weights stay in the documented [-8, 8] envelope, roughly centered
+    val all = (0 until 200).flatMap(wvec)
+    assert(all.forall(w => w >= -8 && w <= 8))
+    assert(math.abs(all.sum.toDouble / all.size) < 1.0, "weights not centered")
+  }
+
+  test("adaptiveRows: smallest r >= 4 with 16 * 2^r >= n, monotone") {
+    assert(VectorQueries.adaptiveRows(1L) == 4)
+    assert(VectorQueries.adaptiveRows(256L) == 4)
+    assert(VectorQueries.adaptiveRows(257L) == 5)
+    assert(VectorQueries.adaptiveRows(500L) == 5)
+    assert(VectorQueries.adaptiveRows(2000L) == 7)
+    assert(VectorQueries.adaptiveRows(20000L) == 11)
+    assert(VectorQueries.adaptiveRows(200000L) == 14)
+    val rs = (1L to 100000L by 997L).map(VectorQueries.adaptiveRows)
+    assert(rs.zip(rs.tail).forall { case (a, b) => a <= b }, "monotone in n")
+    assert((1L to 40L).forall { k =>
+      val n = 1L << k.min(30L)
+      (16L << VectorQueries.adaptiveRows(n)) >= n
+    })
+  }
+
+  test("adaptiveBands: the OR-amplification law holds design recall on paper") {
+    // L = ceil(ln10 / c*^r): 1 - (1 - c*^r)^L >= 1 - e^{-ln 10} = 0.9
+    // for every r the sizing can emit — the analytic identity the
+    // planted-pair test then confirms empirically.
+    val cStar = 1.0 - math.acos(0.9) / math.Pi
+    (4 to 30).foreach { r =>
+      val l = VectorQueries.adaptiveBands(r)
+      val recall = 1.0 - math.pow(1.0 - math.pow(cStar, r), l)
+      assert(recall >= 0.89, f"design recall broke at r=$r: $recall%.3f (L=$l)")
+    }
+    assert(VectorQueries.adaptiveBands(5) == 5)
+    assert(VectorQueries.adaptiveBands(7) == 7)
+    assert(VectorQueries.adaptiveBands(14) == 21)
+  }
+
+  /** Deterministic unit vector family: base vectors are hash-derived;
+    * each planted near-dup perturbs ONE coordinate of its base so that
+    * cosine(base, dup) ≈ 0.92 — above the s* = 0.9 design point. */
+  private def planted(nBase: Int): (Seq[(Long, Array[Float])], Seq[(Long, Long)]) = {
+    val rnd = new scala.util.Random(42)
+    val base = (0 until nBase).map { i =>
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => (x / n).toFloat))
+    }
+    val dups = base.take(nBase / 5).map { case (id, v) =>
+      val d = v.map(_.toDouble)
+      // rotate mass into one coordinate: new = normalize(v + 0.42*e_k)
+      val k = (id % 64).toInt
+      d(k) += 0.42
+      val n = math.sqrt(d.map(x => x * x).sum)
+      (10000L + id, d.map(x => (x / n).toFloat))
+    }
+    val truth = dups.map { case (did, _) => (did - 10000L, did) }
+    (base ++ dups, truth)
+  }
+
+  test("design recall is scale-stable: planted near-dups survive big-n parameters") {
+    import spark.implicits._
+    val (vecs, truth) = planted(400)
+    val df = vecs.toDF("vec_id", "embedding")
+    // verify the plant: every truth pair really is above the design sim
+    val sims = truth.map { case (a, b) =>
+      val va = vecs.find(_._1 == a).get._2.map(_.toDouble)
+      val vb = vecs.find(_._1 == b).get._2.map(_.toDouble)
+      va.zip(vb).map { case (x, y) => x * y }.sum /
+        (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+    }
+    assert(sims.forall(_ >= 0.9), s"plant broke: min sim ${sims.min}")
+    // recover the pairs under THREE parameter regimes: the fixture's
+    // own (r=5), the sf1 decade's (r=11), and the sf10 decade's (r=14).
+    // Recall must hold at each — that is the whole adaptive claim.
+    for (r <- Seq(5, 11, 14)) {
+      val l = VectorQueries.adaptiveBands(r)
+      val sigs = df.select(col("vec_id"),
+        posexplode(LshBands.lshBands(col("embedding"), l, r, 64))
+          .as(Seq("band", "bucket")))
+      val a = sigs.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
+      val b = sigs.select(col("band"), col("bucket"), col("vec_id").as("b_id"))
+      val got = a.join(b, Seq("band", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct().collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val recall = truth.count(got.contains).toDouble / truth.size
+      info(f"r=$r L=$l planted-pair recall: $recall%.3f")
+      assert(recall >= 0.8,
+        f"design recall decayed at r=$r (L=$l): $recall%.3f < 0.8")
+    }
+  }
+
+  test("fixture kNN recall floor (moderate-sim neighbors, honestly bounded)") {
+    // The fixture corpus has NO near-dups (max pair sim 0.48): its exact
+    // top-3 sits at sim ~0.29-0.41, far below the s*=0.9 design point,
+    // where ANY sub-quadratic LSH recalls weakly — the moderate-sim kNN
+    // serve path in this engine is the IVF/PQ family (recall measured by
+    // ann_recall_at_k). The floor here documents the envelope and
+    // catches a collapse (e.g. a broken signature returning recall~0).
+    val approx = SparkEntry.queries("knn_join_lsh_adaptive")(spark, sf)
+      .select(col("vec_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn == 0.0) 0.0 else d / nn
+    }
+    val exact = rows.flatMap { case (id, v) =>
+      rows.filter(_._1 != id)
+        .map { case (oid, ov) => (oid, cos(v, ov)) }
+        .sortBy { case (oid, s) => (-s, oid) }
+        .take(3).map { case (oid, _) => (id, oid) }
+    }.toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    info(f"adaptive kNN recall vs exact top-3 (fixture, sim~0.35): $recall%.3f")
+    assert(recall >= 0.2,
+      f"fixture recall collapsed below the envelope: $recall%.3f")
+  }
+
+  test("candidate volume stays linear-bounded at the fixture") {
+    // The whole point of adaptivity: candidate pairs ~ L·TARGET·n, not
+    // n²/2^planes. The 16x skew headroom still fails any quadratic
+    // regression (all-pairs at n=500 is 124,750 pairs; the bound sits
+    // well below).
+    val e = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val r = VectorQueries.adaptiveRows(n)
+    val l = VectorQueries.adaptiveBands(r)
+    val sigs = e.select(col("vec_id"),
+      posexplode(LshBands.lshBands(col("embedding"), l, r, 64))
+        .as(Seq("band", "bucket")))
+    val perBucket = sigs.groupBy(col("band"), col("bucket")).count()
+    val candPairs = perBucket
+      .select((sum(col("count") * (col("count") - 1)) / 2).cast("long"))
+      .collect().head.getLong(0)
+    assert(candPairs <= 16L * l * n,
+      s"candidate volume $candPairs exceeds the linear envelope (n=$n, r=$r, L=$l)")
+  }
+}

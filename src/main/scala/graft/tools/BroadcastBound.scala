@@ -451,18 +451,59 @@ object BroadcastBound {
           case Some(n) if n <= CAP => ""
           case Some(n) => s"bounded but over cap ($n > $CAP)"
           case None =>
-            val leaves = h.child.collectLeaves().map {
-              case lr: LogicalRelation => lr.relation match {
-                case hf: HadoopFsRelation =>
-                  hf.location.rootPaths.headOption.map(_.toString.split('/').last)
-                    .getOrElse("?")
-                case _ => lr.relation.getClass.getSimpleName
-              }
-              case other => other.getClass.getSimpleName
-            }
-            s"UNBOUNDED hint (leaves: ${leaves.mkString(",").take(80)})"
+            s"UNBOUNDED hint (leaves: ${leafNames(h.child)})"
         })
     }
+  }
+
+  /** Leaf tables of a subtree, for offense messages. */
+  private def leafNames(p: LogicalPlan): String =
+    p.collectLeaves().map {
+      case lr: LogicalRelation => lr.relation match {
+        case hf: HadoopFsRelation =>
+          hf.location.rootPaths.headOption.map(_.toString.split('/').last)
+            .getOrElse("?")
+        case _ => lr.relation.getClass.getSimpleName
+      }
+      case other => other.getClass.getSimpleName
+    }.mkString(",").take(80)
+
+  /** Non-equi joins — the logical shape that plans as
+    * BroadcastNestedLoopJoinExec (or, when nothing is broadcastable, a
+    * CartesianProductExec): a Join with no equality conjunct LINKING the
+    * two sides. PlanAudit used to only list the resulting BNLJs for
+    * eyeball review; this closes the r11-verdict hole by requiring every
+    * such join to carry at least one side provably bounded under the
+    * same [[Bounder]]/[[CAP]] as the hint audit — the side a BNLJ can
+    * safely broadcast while streaming the other. A non-equi join between
+    * two SF-scaled frames (quadratic at scale by construction) now fails
+    * the audit unless the query carries a reviewed
+    * [[PlanAudit.BNLJ_OK]] waiver naming it. */
+  def nonEquiJoinAudit(analyzed: LogicalPlan): Seq[String] = {
+    val bounder = new Bounder()
+    def crossSideEq(j: Join)(e: Expression): Boolean = {
+      def pair(a: Expression, b: Expression): Boolean = {
+        val (l, r) = (j.left.outputSet, j.right.outputSet)
+        a.references.nonEmpty && b.references.nonEmpty &&
+          ((a.references.subsetOf(l) && b.references.subsetOf(r)) ||
+            (a.references.subsetOf(r) && b.references.subsetOf(l)))
+      }
+      e match {
+        case EqualTo(a, b) => pair(a, b)
+        case EqualNullSafe(a, b) => pair(a, b)
+        case _ => false
+      }
+    }
+    analyzed.collect {
+      case j: Join
+          if !j.condition.map(conjuncts).getOrElse(Nil).exists(crossSideEq(j)) =>
+        val lb = bounder.bound(j.left)
+        val rb = bounder.bound(j.right)
+        if (lb.exists(_ <= CAP) || rb.exists(_ <= CAP)) ""
+        else s"NONEQUI ${j.joinType} join, no bounded side (" +
+          s"left=${lb.getOrElse("?")} [${leafNames(j.left)}] " +
+          s"right=${rb.getOrElse("?")} [${leafNames(j.right)}])"
+    }.filter(_.nonEmpty)
   }
 
   /** Sub-execution capture: `localCheckpoint()` (and any other eager
@@ -484,8 +525,9 @@ object BroadcastBound {
     override def onSuccess(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution,
         durationNs: Long): Unit =
-      try audit(qe.analyzed).foreach { case (_, off) =>
-        if (off.nonEmpty) hits.add((labelRef.get(), off))
+      try {
+        (audit(qe.analyzed).map(_._2) ++ nonEquiJoinAudit(qe.analyzed))
+          .foreach(off => if (off.nonEmpty) hits.add((labelRef.get(), off)))
       } catch { case _: Throwable => () }
     override def onFailure(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution,

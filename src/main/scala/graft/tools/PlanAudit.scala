@@ -14,10 +14,12 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
   * Exit is nonzero if any CartesianProductExec appears at all: every
   * intentional cross in the registry broadcasts a scalar or pool-sized
   * frame and therefore plans as BroadcastNestedLoopJoin, so a true
-  * cartesian can only be a regression. BNLJ occurrences are listed for
-  * eyeball review rather than failed — whether a broadcast cross is
-  * sane depends on the broadcast side's cardinality, which the plan
-  * alone doesn't carry.
+  * cartesian can only be a regression. BNLJs are PROVEN, not eyeballed
+  * (r12): every non-equi logical join must carry at least one side
+  * provably bounded by [[BroadcastBound.nonEquiJoinAudit]]'s provenance
+  * tracing, or a reviewed [[BNLJ_OK]] waiver — an unbounded-both-sides
+  * cross introduced by a future change fails the audit instead of
+  * landing silently.
   *
   * Beyond join shapes, the audit asserts the two scan-level properties
   * the checklist cares about on every parquet read in the registry:
@@ -127,21 +129,29 @@ object PlanAudit {
     *    join_shuffle), mirroring join_skew_salted's deliberate skew
     *    shapes. One hint on the part leaf. */
   private[graft] def maxWaivedHints(name: String): Int =
-    BROADCAST_OK.get(name).map(_._1).getOrElse(0)
+    BROADCAST_OK.get(name).map(_._1).getOrElse(0) +
+      BNLJ_OK.get(name).map(_._1).getOrElse(0)
 
-  /** The offenses NOT covered by `name`'s reviewed waiver: an offense
-    * whose text misses the waiver's pattern fails outright; matching
-    * offenses beyond the count budget fail as well. `text` extracts the
-    * offense string (callers carry a surface tag alongside it). */
+  /** The offenses NOT covered by `name`'s reviewed waivers: an offense
+    * whose text misses every waiver's pattern fails outright; matching
+    * offenses beyond a waiver's count budget fail as well. `text`
+    * extracts the offense string (callers carry a surface tag alongside
+    * it). The two waiver maps are applied independently — their patterns
+    * are disjoint by construction (`UNBOUNDED hint` vs `NONEQUI`), so an
+    * unused broadcast waiver can never absorb a non-equi-join offense or
+    * vice versa. */
   private[graft] def unwaived[A](name: String, offenses: Seq[A])(
-      text: A => String): Seq[A] =
-    BROADCAST_OK.get(name) match {
-      case None => offenses
-      case Some((max, pat, _)) =>
-        val rx = pat.r
-        val (m, um) = offenses.partition(o => rx.findFirstIn(text(o)).isDefined)
-        um ++ (if (m.size > max) m else Nil)
-    }
+      text: A => String): Seq[A] = {
+    def apply1(off: Seq[A], w: Option[(Int, String, String)]): Seq[A] =
+      w match {
+        case None => off
+        case Some((max, pat, _)) =>
+          val rx = pat.r
+          val (m, um) = off.partition(o => rx.findFirstIn(text(o)).isDefined)
+          um ++ (if (m.size > max) m else Nil)
+      }
+    apply1(apply1(offenses, BROADCAST_OK.get(name)), BNLJ_OK.get(name))
+  }
 
   private val BROADCAST_OK: Map[String, (Int, String, String)] = Map(
     "join_broadcast" -> ((1, """UNBOUNDED hint \(leaves: part\.parquet\)""",
@@ -151,7 +161,26 @@ object PlanAudit {
     "dedup_shingle_jaccard" -> ((3, """UNBOUNDED hint \(leaves: documents\.parquet\)""",
       "LshJoin size-gated (salted-shuffle fallback)")),
     "multimodal_phash_neardup" -> ((3, """UNBOUNDED hint \(leaves: documents\.parquet\)""",
+      "LshJoin size-gated (salted-shuffle fallback)")),
+    "dedup_fuzzy_minhash" -> ((3, """UNBOUNDED hint \(leaves: documents\.parquet\)""",
       "LshJoin size-gated (salted-shuffle fallback)")))
+
+  /** Queries with REVIEWED exceptions to the bounded-BNLJ rule
+    * ([[BroadcastBound.nonEquiJoinAudit]]): non-equi joins where neither
+    * side is provably bounded. Same counted + pattern-matched fail-closed
+    * discipline as [[BROADCAST_OK]]. Every entry here must be one of the
+    * documented by-contract quadratics (BENCH_NOTES triage) — anything
+    * else is a regression and fails.
+    *
+    *  - dedup_embedding_cosine: the EXACT all-pairs cosine twin — its
+    *    oracle contract IS the unbounded theta self-join (a_id < b_id
+    *    over embeddings²). Triaged quadratic since r10 (26.3× at the
+    *    second decade); the scale complements are semantic_dedup_ivf and
+    *    ann_lsh_adaptive. One offense, embeddings leaves on both sides. */
+  private val BNLJ_OK: Map[String, (Int, String, String)] = Map(
+    "dedup_embedding_cosine" -> ((1,
+      """NONEQUI Inner join, no bounded side \(left=\? \[embeddings\.parquet\] right=\? \[embeddings\.parquet\]\)""",
+      "by-contract exact all-pairs baseline (BENCH_NOTES triage)")))
 
   /** Asserted read widths: query -> table -> max columns the scan may
     * read. Populated for the headline/asserted paths; the audit fails
@@ -300,8 +329,13 @@ object PlanAudit {
           // the verdict is deferred until sub-execution (checkpoint
           // segment) hits are folded in, so one budget covers BOTH
           // surfaces rather than each getting its own allowance.
+          // Bounded-BNLJ rule (r12): every non-equi join — the shape that
+          // plans as BroadcastNestedLoopJoinExec — must have at least one
+          // provably bounded side; offenses ride the same per-query
+          // fail-closed waiver machinery (BNLJ_OK) as the hint rule.
           hintOffenses(name) = BroadcastBound.audit(qe.analyzed)
-            .map(_._2).filter(_.nonEmpty)
+            .map(_._2).filter(_.nonEmpty) ++
+            BroadcastBound.nonEquiJoinAudit(qe.analyzed)
           // sparkPlan (pre-AQE): AdaptiveSparkPlanExec hides children from
           // collect, and the audit wants the statically-planned shapes.
           val plan = qe.sparkPlan
@@ -366,7 +400,8 @@ object PlanAudit {
     if (rows.nonEmpty) {
       val totalShuf = rows.map(_._4).sum
       println(s"== audited ${rows.size} queries: $cartesians cartesian, " +
-        s"${rows.count(_._3 > 0)} with BNLJ, total shuffles $totalShuf, " +
+        s"${rows.count(_._3 > 0)} with BNLJ (each proven-bounded or waived), " +
+        s"total shuffles $totalShuf, " +
         s"max shuffles ${rows.maxBy(_._4)._4} (${rows.maxBy(_._4)._1}), " +
         s"${violations.size} scan violations ==")
     } else {

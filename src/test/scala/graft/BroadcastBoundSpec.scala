@@ -213,6 +213,30 @@ class BroadcastBoundSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("nonEquiJoinAudit flags a both-sides-unbounded non-equi join") {
+    // The synthetic regression the r11 verdict asked the audit to fail:
+    // a theta self-join between two SF-scaled frames — quadratic at
+    // scale, plans as BNLJ, and used to pass on eyeball only.
+    val a = docs.select(col("doc_id").as("x"))
+    val b = docs.select(col("doc_id").as("y"))
+    val bad = a.join(b, col("x") < col("y"))
+    val off = BroadcastBound.nonEquiJoinAudit(bad.queryExecution.analyzed)
+    assert(off.exists(_.contains("NONEQUI")),
+      s"unbounded-both-sides non-equi join must be flagged, got $off")
+  }
+
+  test("nonEquiJoinAudit accepts a bounded-side non-equi join") {
+    val a = docs.select(col("doc_id").as("x")).limit(100)
+    val b = docs.select(col("doc_id").as("y"))
+    val ok = b.join(a, col("x") < col("y"))
+    assert(BroadcastBound.nonEquiJoinAudit(ok.queryExecution.analyzed).isEmpty,
+      "a top-N side is broadcastable: the BNLJ streams the big side")
+    // and an equi-join between two unbounded frames is not this rule's
+    // business (hash-joinable, never a BNLJ)
+    val equi = docs.join(docs.select(col("doc_id"), lit(1).as("z")), "doc_id")
+    assert(BroadcastBound.nonEquiJoinAudit(equi.queryExecution.analyzed).isEmpty)
+  }
+
   test("a waived query's unused slot cannot be ridden by a different hint") {
     // The r10 ADVICE hole: when LshJoin's size gate picks the salted
     // shuffle, 0 of the 3 budgeted hints materialize — a purely counted
@@ -261,8 +285,12 @@ class BroadcastBoundSpec extends AnyFunSuite {
           BroadcastBound.drainWait(listener, 1500)
         listener.setLabel(name)
         topOff(name) =
-          try offenses(fn(spark, sf))
-          catch { case e: Throwable =>
+          try {
+            val df = fn(spark, sf)
+            // both top-level rules: bounded hints AND bounded BNLJs
+            offenses(df) ++
+              BroadcastBound.nonEquiJoinAudit(df.queryExecution.analyzed)
+          } catch { case e: Throwable =>
             errors += s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}"
             Nil
           }

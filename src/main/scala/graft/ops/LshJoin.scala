@@ -32,8 +32,12 @@ import org.apache.spark.sql.functions._
 object LshJoin {
 
   /** How the candidate join was planned; carries the decision to the
-    * verify joins so both stages agree. */
-  case class Plan(candidates: DataFrame, broadcastBuild: Boolean)
+    * verify joins so both stages agree. `carried` lists the verify
+    * payload columns already attached to `candidates` as
+    * `a_<col>`/`b_<col>` (the salted fused-verify path — see
+    * [[candidateJoin]]'s `verifyCols`). */
+  case class Plan(candidates: DataFrame, broadcastBuild: Boolean,
+      carried: Seq[String] = Nil)
 
   /** True when `df`'s optimizer size estimate fits the session's broadcast
     * threshold (and the threshold is positive — `-1` disables broadcasting
@@ -47,19 +51,36 @@ object LshJoin {
   /** Self-join `bands` on `bucket` (plus `extraCond` over aliases `x`/`y`:
     * size prunes, first-collision-band filter), emitting candidate pairs
     * `(a_id, b_id)` with `a_id < b_id`. `bands` must carry `doc_id`,
-    * `bucket`, and whatever `extraCond` references. */
+    * `bucket`, and whatever `extraCond` references.
+    *
+    * `verifyCols` (salted-branch byte cut, r12): names of verify payload
+    * columns present in `bands` (e.g. the sorted token-hash arrays) to
+    * surface on the candidate output as `a_<col>`/`b_<col>` — computed
+    * IN the candidate join stage, so the payload rides the (bucket,
+    * salt) shuffle once per band×salt per DOCUMENT (2 + 2·salts copies
+    * per doc) instead of once per candidate PAIR in a downstream verify
+    * join (the r11 triage: 4.5 GB of paired token arrays at sf10,
+    * ~512 pairs/doc — per-pair shipping is ~30× the fused volume there
+    * and grows with bucket density, while the fused copy count is a
+    * constant). The broadcast branch ignores `verifyCols` and keeps the
+    * banded build lean (payload there is attached by [[verifyJoin]]'s
+    * broadcast lookups, already per-doc); the size gate measures the
+    * LEAN frame in both branches, so carrying payload never flips the
+    * plan choice. */
   def candidateJoin(
       s: SparkSession,
       bands: DataFrame,
       extraCond: Column,
-      salts: Int = 8): Plan = {
+      salts: Int = 8,
+      verifyCols: Seq[String] = Nil): Plan = {
     val pairCond =
       col("x.bucket") === col("y.bucket") &&
         col("x.doc_id") < col("y.doc_id") && extraCond
-    if (fitsBroadcast(s, bands)) {
+    val lean = verifyCols.foldLeft(bands)(_ drop _)
+    if (fitsBroadcast(s, lean)) {
       val nPart = s.sessionState.conf.numShufflePartitions
-      val cand = bands.repartition(nPart).alias("x")
-        .join(broadcast(bands.alias("y")), pairCond)
+      val cand = lean.repartition(nPart).alias("x")
+        .join(broadcast(lean.alias("y")), pairCond)
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       Plan(cand, broadcastBuild = true)
     } else {
@@ -71,16 +92,25 @@ object LshJoin {
         .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
       val cand = x.alias("x")
         .join(y.alias("y"), col("x.salt") === col("y.salt") && pairCond)
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      Plan(cand, broadcastBuild = false)
+        .select(
+          Seq(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")) ++
+            verifyCols.flatMap(c =>
+              Seq(col(s"x.$c").as(s"a_$c"), col(s"y.$c").as(s"b_$c"))): _*)
+      Plan(cand, broadcastBuild = false, carried = verifyCols)
     }
   }
 
   /** Attach both token-set sides to the candidate pairs for the exact
-    * verify. `ta` must be keyed `a_id`, `tb` keyed `b_id`. */
+    * verify. `ta` must be keyed `a_id`, `tb` keyed `b_id`, and their
+    * payload columns named `a_<col>`/`b_<col>`. When the salted branch
+    * already carried the payload through the candidate join
+    * (`Plan.carried`), the pairs are returned as-is — column names and
+    * values identical to the joined form, so callers are branch-blind. */
   def verifyJoin(plan: Plan, ta: DataFrame, tb: DataFrame): DataFrame =
     if (plan.broadcastBuild)
       plan.candidates.join(broadcast(ta), "a_id").join(broadcast(tb), "b_id")
+    else if (plan.carried.nonEmpty)
+      plan.candidates
     else
       plan.candidates.join(ta, "a_id").join(tb, "b_id")
 }

@@ -144,12 +144,16 @@ object TextQueries extends QueryPack {
       df.withColumn(s"mh$i", TextOps.minHash(col("th"), MINHASH_A(i), MINHASH_B(i)))
     }
     def bandKey(j: Int) = concat_ws("_", lit(j) +: (0 until 4).map(k => col(s"mh${4 * j + k}")): _*)
+    // th rides as a verify payload: the salted branch attaches it in the
+    // candidate-join stage (per-doc×salts copies) instead of the r11
+    // per-pair verify shuffle (4.5 GB at sf10 — BENCH_NOTES triage).
     val bands = withMh.select(
-      col("doc_id"), col("n"), bandKey(0).as("b0"),
+      col("doc_id"), col("n"), col("th"), bandKey(0).as("b0"),
       explode(array(bandKey(0), bandKey(1))).as("bucket"))
     val plan = graft.ops.LshJoin.candidateJoin(s, bands,
       col("x.n") * 5 >= col("y.n") * 4 && col("y.n") * 5 >= col("x.n") * 4 &&
-        (col("x.bucket") === col("x.b0") || col("x.b0") =!= col("y.b0")))
+        (col("x.bucket") === col("x.b0") || col("x.b0") =!= col("y.b0")),
+      verifyCols = Seq("th"))
     val ta = base.select(col("doc_id").as("a_id"), col("th").as("a_th"))
     val tb = base.select(col("doc_id").as("b_id"), col("th").as("b_th"))
     graft.ops.LshJoin.verifyJoin(plan, ta, tb)
@@ -1018,8 +1022,111 @@ object TextQueries extends QueryPack {
           expr("levenshtein(ta, tb, CAST(greatest(la, lb) / 5 AS INT))").cast("long"))
         .filter(col("dist") >= 0 && col("dist") <= greatest(col("la"), col("lb")) / 5)
         .select(col("doc_a"), col("doc_b"), col("dist"))
+    }),
+
+    // -- fuzzy dedup, SCALE-ADAPTIVE complement: the same edit-distance
+    //    verify (bigram-L1 prune → threshold levenshtein → dist ≤ 20% of
+    //    the longer doc) behind a CONTENT-KEYED candidate generator —
+    //    character-4-gram MinHash banding instead of the bounded-domain
+    //    (lang, len/8) blocking that makes dedup_fuzzy_editdist the
+    //    registry's by-contract quadratic (108× per decade at sf10).
+    //    Char grams, not word tokens: an in-place typo perturbs ≤8 of
+    //    the ~L grams, so typo-class near-dups keep gram-Jaccard ≥ ~0.9.
+    //    Sizing is the SAME two-dial adaptive recipe as ann_lsh_adaptive
+    //    (a fixed r measurably explodes: at r=4 random-pair collisions
+    //    are n²·E[2·jac⁴] — the first sf10 probe of this operator
+    //    filled the disk with a per-pair text shuffle over ~2e8
+    //    candidates): rows-per-band r from the measured corpus count
+    //    (smallest r ≥ 4 with 16·2^r ≥ n), bands L = ⌈ln 10 / 0.95^r⌉
+    //    so recall ≥ 0.9 at the gram-Jaccard 0.95 design point at every
+    //    scale. Under the sf1-measured gram-jac distribution (median 0,
+    //    q99 0.35) the adaptive r collapses expected random candidates
+    //    to ~3e4 at sf10 — candidates are DISTINCT id pairs, so the
+    //    only per-pair traffic is 16 bytes, and the text verify join
+    //    touches survivors only. FuzzyMinhashSpec proves fixture-pair
+    //    superset vs the banded baseline + planted recall across the
+    //    three decades' (r, L) regimes; the probe rows prove the decade
+    //    ratios. ---------------------------------------------------------
+    "dedup_fuzzy_minhash" -> ((s, dir) => {
+      val d0 = docs(s, dir).select(
+        col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val r = graft.queries.VectorQueries.adaptiveRows(d0.count())
+      val plan = fuzzyCandidates(s, d0, r, fuzzyBands(r))
+      val ta = d0.select(col("doc_id").as("a_id"), col("text").as("ta"),
+        col("n_chars").as("la"))
+      val tb = d0.select(col("doc_id").as("b_id"), col("text").as("tb"),
+        col("n_chars").as("lb"))
+      graft.ops.LshJoin.verifyJoin(plan, ta, tb)
+        .filter(graft.expressions.BigramL1.bigramL1(col("ta"), col("tb")) <=
+          greatest(col("la"), col("lb")) * 4 / 5)
+        .withColumn("dist",
+          expr("levenshtein(ta, tb, CAST(greatest(la, lb) / 5 AS INT))").cast("long"))
+        .filter(col("dist") >= 0 && col("dist") <= greatest(col("la"), col("lb")) / 5)
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"), col("dist"))
     })
   )
+
+  /** The adaptive char-4-gram MinHash candidate generator at EXPLICIT
+    * (r, l) — the query derives (r, l) from the measured corpus count;
+    * FuzzyMinhashSpec drives the big-n parameter regimes directly on
+    * small planted data (the same testable-without-100GB trick as
+    * AdaptiveLshSpec). Returns deduped `(a_id, b_id)` candidate pairs as
+    * an LshJoin.Plan so the verify join inherits the broadcast/salted
+    * decision. `d0` must carry (doc_id, text, lang, n_chars). */
+  private[graft] def fuzzyCandidates(
+      s: SparkSession, d0: DataFrame, r: Int, l: Int): graft.ops.LshJoin.Plan = {
+    val base = d0.select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      array_sort(array_distinct(transform(
+        expr("transform(sequence(1, greatest(length(text) - 3, 1))," +
+          " i -> substring(text, i, 4))"),
+        g => TextOps.polyHash(g)))).as("chs"))
+    val mhCols = (0 until l * r).map(p =>
+      TextOps.minHash(col("chs"), fuzzyA(p), fuzzyB(p)).as(s"mh$p"))
+    val withMh = base.select(
+      Seq(col("doc_id"), col("lang"), col("n_chars").as("n")) ++ mhCols: _*)
+    def bandKey(j: Int) =
+      concat_ws("_", lit(j) +: (0 until r).map(i => col(s"mh${j * r + i}")): _*)
+    val bands = withMh.select(
+      col("doc_id"), col("lang"), col("n"),
+      explode(array((0 until l).map(bandKey): _*)).as("bucket"))
+    // length prune: dist ≥ |la−lb| and dist ≤ max/5 force 5·min ≥ 4·max
+    val plan = graft.ops.LshJoin.candidateJoin(s, bands,
+      col("x.lang") === col("y.lang") &&
+        col("x.n") * 5 >= col("y.n") * 4 && col("y.n") * 5 >= col("x.n") * 4)
+    plan.copy(candidates = plan.candidates.distinct())
+  }
+
+  /** dedup_fuzzy_minhash band count: the OR-amplification law
+    * L = ⌈ln 10 / s*^r⌉ at the gram-Jaccard design point s* = 0.95
+    * (typo-class near-dups: one edit perturbs ≤ 8 of ~n_chars distinct
+    * grams). Same law as VectorQueries.adaptiveBands, different collision
+    * model (minhash agreement probability IS the Jaccard; hyperplane
+    * agreement is 1 − θ/π). Evaluated once in Scala and embedded in the
+    * oracle as an r-indexed CASE table. */
+  private[graft] def fuzzyBands(r: Int): Int =
+    math.max(2, math.ceil(math.log(10.0) / math.pow(0.95, r)).toInt)
+
+  /** Minhash coefficients for hash p — an indexed integer formula (both
+    * engines evaluate it to identical longs) instead of a fixed 8-entry
+    * table, because the adaptive signature needs L·r hashes (≈75 at the
+    * third decade). The k² term is LOAD-BEARING: a purely linear family
+    * (a, b) = k·(c₁, c₂) makes every hash a scalar multiple of one base
+    * function mod P, so the gram minimizing h₀ minimizes ALL of them —
+    * measured at sf0.1 as a 2,481-doc bucket (half the corpus sharing a
+    * full band signature through one common gram). With the quadratic
+    * mix, h_k ∝ h_m (mod P) would need P | k·m·(k−m)·(104729²−7919²),
+    * impossible for the prime P and k, m ≤ 2000 — FuzzyMinhashSpec pins
+    * distinctness and the bucket histogram. a ≠ 0 for the same reason
+    * (both factors of k·(k·104729+7919) are positive and < P). */
+  private[graft] def fuzzyA(p: Int): Long = {
+    val k = (p + 1).toLong
+    (k * k * 104729L + k * 7919L) % P
+  }
+  private[graft] def fuzzyB(p: Int): Long = {
+    val k = (p + 1).toLong
+    (k * k * 7919L + k * 104729L) % P
+  }
 
   def oracleSql: Map[String, String] = Map(
     "text_token_count" ->
@@ -1348,6 +1455,64 @@ object TextQueries extends QueryPack {
         |FROM documents a JOIN documents b
         |  ON a.lang = b.lang AND a.n_chars // 8 = b.n_chars // 8
         | AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.text, b.text) <= greatest(a.n_chars, b.n_chars) / 5""".stripMargin
+        |WHERE levenshtein(a.text, b.text) <= greatest(a.n_chars, b.n_chars) / 5""".stripMargin,
+
+    // Oracle twin of the ADAPTIVE char-4-gram MinHash candidate generator
+    // + edit verify: identical gram extraction (1-based substr, short
+    // texts give one whole-text gram), the identical integer r derivation
+    // (shift compare over count(*) — the house pattern shared with
+    // ann_lsh_adaptive), the r → L band table evaluated by the SAME Scala
+    // function the Spark plan uses, minhash coefficients from the shared
+    // (p+1)·{104729, 7919} mod P formula, a DISTINCT over band collisions
+    // (same pair set as Spark's candidates.distinct()), and the same
+    // integer-vs-double threshold note as dedup_fuzzy_editdist.
+    "dedup_fuzzy_minhash" -> {
+      val bandsCase = (4 to 30)
+        .map(r => s"WHEN $r THEN ${fuzzyBands(r)}").mkString(" ")
+      s"""WITH cg AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         list_distinct(list_transform(
+         |           list_transform(range(1, greatest(length(text) - 3, 1) + 1),
+         |                          i -> substr(text, CAST(i AS INT), 4)),
+         |           g -> ${polySql("g")})) AS chs
+         |  FROM documents
+         |), nn AS (SELECT count(*) AS n FROM documents),
+         |par AS (
+         |  SELECT r, CASE r $bandsCase END AS nb FROM (
+         |    SELECT min(r) AS r
+         |    FROM (SELECT unnest(range(4, 31)) AS r) rs, nn
+         |    WHERE (CAST(16 AS BIGINT) << r) >= nn.n
+         |  )
+         |), pd AS (
+         |  SELECT bs.band, irows.i, bs.band * par.r + irows.i AS p
+         |  FROM (SELECT unnest(range(0, 64)) AS band) bs,
+         |       (SELECT unnest(range(0, 31)) AS i) irows, par
+         |  WHERE irows.i < par.r AND bs.band < par.nb
+         |), mins AS (
+         |  SELECT c.doc_id, pd.band, pd.i,
+         |         list_min(list_transform(c.chs,
+         |           x -> (x * (((pd.p + 1) * (pd.p + 1) * 104729 + (pd.p + 1) * 7919) % $P)
+         |                 + (((pd.p + 1) * (pd.p + 1) * 7919 + (pd.p + 1) * 104729) % $P)) % $P)) AS mh
+         |  FROM cg c, pd
+         |), sigs AS (
+         |  SELECT doc_id, band,
+         |         CAST(band AS VARCHAR) || '_' ||
+         |           array_to_string(list(mh ORDER BY i), '_') AS bucket
+         |  FROM mins GROUP BY doc_id, band
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM sigs x JOIN sigs y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |  JOIN documents dx ON dx.doc_id = x.doc_id
+         |  JOIN documents dy ON dy.doc_id = y.doc_id
+         |  WHERE dx.lang = dy.lang
+         |    AND dx.n_chars * 5 >= dy.n_chars * 4 AND dy.n_chars * 5 >= dx.n_chars * 4
+         |)
+         |SELECT c.a_id AS doc_a, c.b_id AS doc_b,
+         |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+         |FROM cand c
+         |JOIN documents a ON a.doc_id = c.a_id
+         |JOIN documents b ON b.doc_id = c.b_id
+         |WHERE levenshtein(a.text, b.text) <= greatest(a.n_chars, b.n_chars) / 5""".stripMargin
+    }
   )
 }

@@ -130,7 +130,7 @@ object BpeIndexedTrainer {
               corpusBuckets: Int = 16, postingsBuckets: Int = 16): Unit = {
     recoverSwap(s"$root/corpus"); recoverSwap(s"$root/postings")
     def swapIn(resolved: DataFrame, path: String, partCol: String): Unit = {
-      val out = resolved.localCheckpoint()
+      val out = SessionOps.truncate(resolved)
       out.count() // force full materialization before unlinking sources
       val tmp = new File(path + ".compact_tmp")
       val old = new File(path + ".compact_old")
@@ -189,7 +189,7 @@ object BpeIndexedTrainer {
     // corpus store, the postings store, the initial pair count) — left
     // lazy, the caller's lineage (scan + spread + tokenize) would
     // execute three times, making the "amortized full pass" three.
-    val corpusIn = corpus0.localCheckpoint()
+    val corpusIn = SessionOps.truncate(corpus0)
     // writePartitioned, not a bare partitionBy write: a degenerate corpus
     // (no rows / no bigrams) must still leave a READABLE store behind.
     // repartition on the bucket column first: without it every input
@@ -210,7 +210,7 @@ object BpeIndexedTrainer {
           pmod(xxhash64(col("bg")), lit(postingsBuckets)).as("pbkt"))
         .repartition(col("pbkt")),
       pRoot, Seq("pbkt"))
-    var counts = pairCounts(corpusIn).localCheckpoint()
+    var counts = SessionOps.truncate(pairCounts(corpusIn))
     // All three consumers have materialized; every later round reads the
     // STORES, so the input copy is dead — release its blocks.
     SessionOps.releaseQuiet(corpusIn)
@@ -238,11 +238,11 @@ object BpeIndexedTrainer {
           .select(pmod(xxhash64(lit(winnerBg)), lit(postingsBuckets)))
           .head().getLong(0)
         val probeDir = s"$pRoot/pbkt=$pb"
-        val affected = s.read.option("basePath", pRoot).parquet(probeDir)
-          .filter(col("bg") === winnerBg)
-          .groupBy(col("doc_id")).agg(sum(col("d")).as("d"))
-          .filter(col("d") > 0).select(col("doc_id"))
-          .localCheckpoint()
+        val affected = SessionOps.truncate(
+          s.read.option("basePath", pRoot).parquet(probeDir)
+            .filter(col("bg") === winnerBg)
+            .groupBy(col("doc_id")).agg(sum(col("d")).as("d"))
+            .filter(col("d") > 0).select(col("doc_id")))
         val nAffected = affected.count()
 
         // ---- read ONLY the corpus buckets the affected ids hash to ------
@@ -254,18 +254,16 @@ object BpeIndexedTrainer {
           .distinct().collect().map(_.getLong(0)).sorted
         val dirs = bkts.map(b => s"$cRoot/bkt=$b")
         val bucketRows = s.read.option("basePath", cRoot).parquet(dirs.toIndexedSeq: _*)
-        val affectedOld = DedupOps.latestWins(
+        val affectedOld = SessionOps.truncate(DedupOps.latestWins(
             bucketRows, col("doc_id"), Seq(col("ver").desc))
           .join(affected, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), col("text"), col("n_raw"))
-          .localCheckpoint()
+          .select(col("doc_id"), col("text"), col("n_raw")))
 
         // ---- rewrite the slice (framed non-overlapping replace) ---------
-        val rewritten = affectedOld
+        val rewritten = SessionOps.truncate(affectedOld
           .select(col("doc_id"),
             BpeOps.applyMerge(col("text"), w1, w2).as("text"),
-            col("n_raw"))
-          .localCheckpoint()
+            col("n_raw")))
 
         // ---- append: new doc versions into their bucket dirs ------------
         rewritten
@@ -280,13 +278,12 @@ object BpeIndexedTrainer {
           c.select(col("doc_id"),
             explode(array_distinct(bigrams(col("text")))).as("bg"))
             .withColumn("d", lit(d))
-        val pDelta = docBigramSet(affectedOld, -1)
+        val pDelta = SessionOps.truncate(docBigramSet(affectedOld, -1)
           .unionByName(docBigramSet(rewritten, 1))
           .groupBy(col("doc_id"), col("bg")).agg(sum(col("d")).as("d"))
           .filter(col("d") =!= 0)
           .select(col("bg"), col("doc_id"), col("d").cast("int").as("d"),
-            pmod(xxhash64(col("bg")), lit(postingsBuckets)).as("pbkt"))
-          .localCheckpoint()
+            pmod(xxhash64(col("bg")), lit(postingsBuckets)).as("pbkt")))
         val pRows = pDelta.count()
         pDelta.repartition(col("pbkt"))
           .write.mode("append").partitionBy("pbkt").parquet(pRoot)
@@ -295,12 +292,11 @@ object BpeIndexedTrainer {
         def occ(c: DataFrame, d: Int): DataFrame =
           c.select(explode(bigrams(col("text"))).as("bg"), lit(d.toLong).as("cnt"))
         val prevCounts = counts
-        counts = counts.unionByName(
+        counts = SessionOps.truncate(counts.unionByName(
             occ(affectedOld, -1).unionByName(occ(rewritten, 1))
               .groupBy(col("bg")).agg(sum(col("cnt")).as("cnt")))
           .groupBy(col("bg")).agg(sum(col("cnt")).as("cnt"))
-          .filter(col("cnt") > 0)
-          .localCheckpoint()
+          .filter(col("cnt") > 0))
         // localCheckpoint is eager, so the superseded table is dead here.
         SessionOps.releaseQuiet(prevCounts)
 

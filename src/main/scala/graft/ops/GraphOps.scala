@@ -55,8 +55,10 @@ object GraphOps {
     * so the invariant `comp(v) = min id of some vertex reachable from v`
     * holds throughout and the fixpoint is the component min. The only
     * driver-side work is the loop and a sum(comp) convergence probe;
-    * localCheckpoint truncates per-round lineage so plan size stays O(1)
-    * in rounds (reliable checkpoint on a real cluster).
+    * [[SessionOps.truncate]] truncates per-round lineage so plan size
+    * stays O(1) in rounds — localCheckpoint by default, the conf-switched
+    * reliable (directory-backed) checkpoint for executor-loss durability
+    * on a real cluster.
     *
     * Two scale decisions shape the loop:
     *
@@ -91,7 +93,7 @@ object GraphOps {
     // dispatch without reducing the upstream build below the session
     // parallelism (profiled: the 64-task pre-loop stages, not the loop,
     // dominated dedup_cluster_cc's wall time).
-    val raw = edges.select(col("src"), col("dst")).coalesce(n).localCheckpoint()
+    val raw = SessionOps.truncate(edges.select(col("src"), col("dst")).coalesce(n))
     val edgeCount = raw.count()
     val comp =
       withLoopParallelism(sess, edgeCount) { nLoop =>
@@ -102,7 +104,7 @@ object GraphOps {
         // reshuffling the edges — at 100 TB the edge table is the
         // near-dup pair set, the largest input of the loop, and this
         // converts O(rounds) edge shuffles into one.
-        val e = raw.repartition(nLoop, col("src")).localCheckpoint()
+        val e = SessionOps.truncate(raw.repartition(nLoop, col("src")))
         // e supersedes the un-partitioned copy: release raw's blocks, or
         // the loop carries TWO materialized copies of its largest input.
         release(raw)
@@ -110,9 +112,9 @@ object GraphOps {
         // of them under the symmetry contract). distinct() hash-
         // partitions by id, the same shape groupBy(id) emits each round,
         // so round 1 is shaped like every later round.
-        var state = e.select(col("src").as("id")).distinct()
-          .select(col("id"), col("id").as("comp"))
-          .localCheckpoint()
+        var state = SessionOps.truncate(
+          e.select(col("src").as("id")).distinct()
+            .select(col("id"), col("id").as("comp")))
         // comp labels only ever decrease, so the label sum is a strictly
         // decreasing convergence measure — no change-detection join, and
         // via checkpointSum not even a separate pass: the sum rides the
@@ -192,9 +194,8 @@ object GraphOps {
     * the just-cached blocks) if it hasn't landed. */
   private def checkpointSum(df: DataFrame): (DataFrame, BigDecimal) = {
     val obs = org.apache.spark.sql.Observation()
-    val ck = df
-      .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("label_sum"))
-      .localCheckpoint()
+    val ck = SessionOps.truncate(df
+      .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("label_sum")))
     val s =
       try {
         val row = scala.concurrent.Await.result(

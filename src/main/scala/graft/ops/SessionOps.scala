@@ -42,6 +42,57 @@ object SessionOps {
     } catch { case _: Throwable => () }
   }
 
+  /** Conf key: route the iterative loops' lineage-truncation checkpoints
+    * through RELIABLE (directory-backed) `Dataset.checkpoint()` instead
+    * of `localCheckpoint()`. */
+  val RELIABLE_KEY = "spark.graft.checkpoint.reliable"
+
+  /** Conf key: checkpoint directory for the reliable mode (used only when
+    * the SparkContext has none set yet). */
+  val RELIABLE_DIR_KEY = "spark.graft.checkpoint.dir"
+
+  /** Lineage-truncation checkpoint with a conf-switched durability mode —
+    * the ONE call the iterative operators (CC loop, BPE trainers) make,
+    * so the cluster-durability decision is a config, not a code edit.
+    *
+    *  - default: `localCheckpoint()` — blocks live on executors. Fast
+    *    (no filesystem round-trip), correct on local[*]; on a real
+    *    cluster an executor loss makes the truncated lineage
+    *    unrecomputable, killing the job (Spark's own documented
+    *    trade-off).
+    *  - [[RELIABLE_KEY]]=true: `checkpoint()` against the context's
+    *    checkpoint dir ([[RELIABLE_DIR_KEY]] is set on the context
+    *    lazily if none is configured) — files survive executor loss, the
+    *    loop resumes from the last round's checkpoint on task retry.
+    *    The cost is one write+read of the frame per round: at 100 TB
+    *    that is the standard price of a restartable iterative job, paid
+    *    only when the mode is ON.
+    *
+    * Both modes eagerly materialize and truncate lineage, so loop-plan
+    * growth, release contracts ([[releaseQuiet]] — a no-op on the
+    * reliable files, which the checkpoint cleaner owns), and round
+    * structure are identical; ReliableCheckpointSpec runs a CC fixpoint
+    * and a BPE round through the reliable path and asserts bit-equal
+    * results plus actual checkpoint files on disk. */
+  def truncate(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val reliable =
+      try s.conf.get(RELIABLE_KEY, "false").toBoolean
+      catch { case _: Throwable => false }
+    if (!reliable) df.localCheckpoint()
+    else {
+      if (s.sparkContext.getCheckpointDir.isEmpty) {
+        val dir = try s.conf.get(RELIABLE_DIR_KEY) catch {
+          case _: Throwable =>
+            new java.io.File(
+              System.getProperty("java.io.tmpdir"), "graft-ckpt").toString
+        }
+        s.sparkContext.setCheckpointDir(dir)
+      }
+      df.checkpoint()
+    }
+  }
+
   /** Spark logs "RDD N was locally checkpointed, its lineage has been
     * truncated and cannot be recomputed after unpersisting" on EVERY
     * direct unpersist of a localCheckpoint RDD. Here the unrecomputable

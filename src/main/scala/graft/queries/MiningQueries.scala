@@ -262,7 +262,8 @@ object MiningQueries extends QueryPack {
     * against a from-scratch recount trainer, on corpora that force each
     * branch — chained, tied, overlapping, exhausted).
     *
-    * localCheckpoint per round: round k's corpus is the round-(k-1)
+    * SessionOps.truncate (localCheckpoint / conf-switched reliable
+    * checkpoint) per round: round k's corpus is the round-(k-1)
     * rewrite applied ONCE — without it Catalyst re-executes the whole
     * rewrite chain from the raw scan inside every later round (1+2+3
     * rewrites instead of 3), the same re-executed-subtree trap as
@@ -278,7 +279,7 @@ object MiningQueries extends QueryPack {
       : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     def pairCounts(c: DataFrame): DataFrame = graft.ops.BpeOps.pairCounts(c)
-    var corpus = corpus0.localCheckpoint()
+    var corpus = graft.ops.SessionOps.truncate(corpus0)
     val nDocs = corpus.count()
     // Checkpoints created by the PREVIOUS round, releasable as soon as
     // the current round has materialized its replacements — without the
@@ -316,7 +317,7 @@ object MiningQueries extends QueryPack {
       val oldCorpus = corpus
       val oldCounts = counts
       corpus = oldCorpus.select(col("doc_id"), rewritten, col("n_raw"))
-      if (step < k) corpus = corpus.localCheckpoint()
+      if (step < k) corpus = graft.ops.SessionOps.truncate(corpus)
       val (newCounts, newCountsCkpt) =
         if (DELTA_GATE * cnt < nDocs) {
           // Delta branch: the filter predicate is the exact
@@ -343,7 +344,7 @@ object MiningQueries extends QueryPack {
           val merged = oldCounts.unionByName(delta)
             .groupBy(col("bg")).agg(sum(col("cnt")).as("cnt"))
             .filter(col("cnt") > 0)
-          if (step < k) (merged.localCheckpoint(), true) else (merged, false)
+          if (step < k) (graft.ops.SessionOps.truncate(merged), true) else (merged, false)
         } else (pairCounts(corpus), false)
       counts = newCounts
       if (step < k) {

@@ -22,13 +22,47 @@ object EnrichOps {
     * words (deterministic stand-in for the VADER lexicon; same ±4 valence
     * scale — "good" 1.9 / "great" 3.1 / "bad" −2.5 / "terrible" −2.1 are
     * the published VADER values). */
-  val lexicon: Seq[(String, Double)] = Seq(
+  val builtinLexicon: Seq[(String, Double)] = Seq(
     "fast" -> 2.0, "big" -> 1.0, "value" -> 1.5, "spark" -> 2.0,
     "merge" -> 0.5, "stream" -> 1.0,
     "good" -> 1.9, "great" -> 3.1,
     "slow" -> -2.0, "small" -> -0.5, "dup" -> -1.5, "error" -> -3.0,
     "filter" -> -0.5, "scan" -> -1.0,
     "bad" -> -2.5, "terrible" -> -2.1)
+
+  /** Parse a lexicon file in the PUBLISHED VADER format (Hutto & Gilbert
+    * 2014, MIT — `vader_lexicon.txt`): one entry per line,
+    * `token<TAB>mean_valence<TAB>stddev<TAB>[raw ratings]`; only the
+    * first two fields matter here. Malformed lines are skipped (the
+    * published file has none; a hand-edited one might). */
+  def lexiconFromFile(path: String): Seq[(String, Double)] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines().flatMap { line =>
+      val f = line.split("\t")
+      if (f.length >= 2)
+        try Some(f(0) -> f(1).toDouble) catch { case _: NumberFormatException => None }
+      else None
+    }.toVector
+    finally src.close()
+  }
+
+  /** The EFFECTIVE lexicon every sentiment operator (and the oracle-SQL
+    * generator — both read this val, so cross-engine parity holds for
+    * any drop-in) uses: the published vader_lexicon.txt dropped at
+    * `GRAFT_VADER_LEXICON` (env) or `-Dgraft.vader.lexicon` when present,
+    * else [[builtinLexicon]]. The full file is ~7,500 entries — viable
+    * because [[valence]] looks tokens up through one constant-folded map
+    * literal, not a per-word CASE chain (this sandbox has no network
+    * egress, so the file itself cannot be vendored verbatim without
+    * fabricating valences; the loader + published-format parser make the
+    * drop a pure data operation, spec-proven on a synthetic file in the
+    * same format). Resolved once per JVM. */
+  val lexicon: Seq[(String, Double)] =
+    sys.env.get("GRAFT_VADER_LEXICON")
+      .orElse(sys.props.get("graft.vader.lexicon")) match {
+      case Some(p) => lexiconFromFile(p)
+      case None => builtinLexicon
+    }
 
   /** VADER mechanism constants (public algorithm, Hutto & Gilbert 2014):
     * booster/dampener increments (B_INCR/B_DECR), the negation flip
@@ -43,10 +77,19 @@ object EnrichOps {
     Seq("not", "never", "no", "cannot", "nothing", "neither", "without")
   val N_SCALAR = -0.74
 
-  private def valence(t: Column): Column =
-    lexicon.foldRight(lit(0.0): Column) { case ((w, v), els) =>
-      when(t === w, lit(v)).otherwise(els)
-    }
+  /** Token → valence through ONE constant-folded map literal: a CreateMap
+    * of literal children is foldable, so Catalyst folds it to a single
+    * Literal(MapData) at optimization time and each row pays one hash
+    * lookup — where the previous per-word when-chain was O(|lexicon|)
+    * comparisons per token AND O(|lexicon|) plan nodes per call site,
+    * unusable at the published lexicon's 7,500 entries.
+    * EnrichLexiconSpec pins bit-equality against the when-chain form. */
+  private[graft] def valenceVia(lex: Seq[(String, Double)])(t: Column): Column = {
+    val m = map(lex.flatMap { case (w, v) => Seq(lit(w), lit(v)) }: _*)
+    coalesce(element_at(m, t), lit(0.0))
+  }
+
+  private def valence(t: Column): Column = valenceVia(lexicon)(t)
 
   private def boosterVal(t: Column): Column =
     boosters.foldRight(lit(0.0): Column) { case ((w, b), els) =>

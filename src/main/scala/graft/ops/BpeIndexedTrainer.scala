@@ -57,10 +57,15 @@ import org.apache.spark.sql.functions._
   *
   * Not registry-wired: the registry's `phrase_merges_bpe` keeps its
   * k=3 head-winner recount plan (frozen registry; the gate in
-  * `bpeTrainOn` already picks the cheapest regime there). This trainer
-  * is the demonstrated scale path for a real 50k-merge vocabulary run,
-  * where almost every round's winner is tail-rare and O(affected)
-  * beats any corpus scan.
+  * `bpeTrainOn` already picks the cheapest regime there). Scale
+  * placement is MEASURED, not prose (r12, BPE_CROSSOVER_r12{,_sf10}
+  * .json): at sf1 and sf10 this trainer LOSES to the recount trainer at
+  * every measured (k, corpus) cell — its per-round constant (postings
+  * probe, append writes, ~6 extra jobs ≈ 4–7 s) exceeds a full corpus
+  * recount pass below multi-GB corpora — so [[BpeOps.pickIndexedTrainer]]
+  * selects it only beyond the extrapolated ~10 GB break-even, where a
+  * corpus pass costs more than the fixed round overhead and O(affected)
+  * wins every tail round.
   */
 object BpeIndexedTrainer {
 

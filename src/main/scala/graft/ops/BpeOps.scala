@@ -63,4 +63,30 @@ object BpeOps {
       .collect().headOption
       .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
         r.getAs[Long]("cnt")))
+
+  /** Recount-vs-indexed trainer pick, wired to the MEASURED crossover
+    * (BPE_CROSSOVER_r12{,_sf10}.json — the r11 verdict asked for the
+    * measurement to replace the in-code prose heuristic, and the
+    * measurement REFUTED the prose): from-scratch A/B at sf1 (50k docs,
+    * ~0.2 GB) and sf10 (500k docs, ~2.1 GB) shows the indexed trainer
+    * LOSING at every measurable configuration — its per-round constant
+    * (postings probe + append writes + ~6 extra jobs ≈ 4–7 s) exceeds a
+    * full corpus recount pass (0.5 s/round at sf1, 1.6 s at sf10), and
+    * the gap is k-independent, so there is no crossover in merge count
+    * at these corpus sizes. The crossover dimension is CORPUS BYTES:
+    * recount's per-round pass grows ~linearly (≈ 0.55 s/GB measured
+    * across the two points) while the indexed round cost is dominated
+    * by its fixed overhead, giving an extrapolated break-even around
+    * 10 GB — beyond what this machine holds, hence a threshold, not a
+    * measured point, and the threshold is deliberately placed AT the
+    * extrapolation, not below it. BpeTrainerSpec's gate test asserts
+    * the committed artifacts actually support this direction (indexed
+    * slower at every measured cell) and that the threshold sits beyond
+    * the largest measured corpus. */
+  val TRAINER_CROSSOVER_BYTES: Long = 10L * 1024 * 1024 * 1024
+
+  /** True when a k-merge training run over `corpusBytes` should take the
+    * LSM postings-indexed trainer instead of the recount/delta trainer. */
+  def pickIndexedTrainer(corpusBytes: Long): Boolean =
+    corpusBytes >= TRAINER_CROSSOVER_BYTES
 }

@@ -205,4 +205,36 @@ class BpeIndexedTrainerSpec extends AnyFunSuite {
     // the store to exhaustion.
     check(Seq("p q r s", "p q r t", "p q u v", "z p q r"), 4L)
   }
+
+  test("trainer pick is wired to the MEASURED crossover artifacts") {
+    // r12: the recount-vs-indexed decision must follow the committed
+    // measurement (BPE_CROSSOVER_r12{,_sf10}.json), not prose. The
+    // artifacts show the indexed trainer slower at EVERY measured
+    // (k, corpus) cell — so the gate must (a) be consistent with that
+    // direction (recount below the threshold), and (b) place the
+    // threshold beyond the largest measured corpus (~2.1 GB at sf10),
+    // where the extrapolated recount-pass cost overtakes the indexed
+    // round constant. A future re-measurement that flips a cell should
+    // update the artifact AND this constant together — this test forces
+    // the pairing.
+    def cells(path: String): Seq[(Double, Double)] = {
+      val f = new java.io.File(path)
+      assert(f.exists(), s"crossover artifact missing: $path")
+      val s = scala.io.Source.fromFile(f, "UTF-8").mkString
+      val rx = """"recount_s":([0-9.]+),"indexed_s":([0-9.]+)""".r
+      rx.findAllMatchIn(s).map(m => (m.group(1).toDouble, m.group(2).toDouble)).toSeq
+    }
+    val all = cells("BPE_CROSSOVER_r12.json") ++ cells("BPE_CROSSOVER_r12_sf10.json")
+    assert(all.size >= 5, s"expected >= 5 measured cells, got ${all.size}")
+    all.foreach { case (recount, indexed) =>
+      assert(indexed > recount,
+        f"a measured cell favors the indexed trainer ($indexed%.2f < $recount%.2f) " +
+          "— re-derive TRAINER_CROSSOVER_BYTES from the new artifact")
+    }
+    val gb = 1024L * 1024 * 1024
+    assert(graft.ops.BpeOps.TRAINER_CROSSOVER_BYTES > 3 * gb,
+      "threshold must sit beyond the largest measured corpus (~2.1 GB)")
+    assert(!graft.ops.BpeOps.pickIndexedTrainer(2 * gb))
+    assert(graft.ops.BpeOps.pickIndexedTrainer(16 * gb))
+  }
 }

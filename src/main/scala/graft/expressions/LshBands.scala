@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
   * of DuckDB's ordered `list_reduce`, so bucket ids are bit-identical to
   * the oracle (the only float sensitivity is the sign test, which
   * inherits the fold order). Arrays shorter than `dims` fold over the
-  * prefix, like the HOF zip_with. LshBandsSpec asserts bit-equality
+  * prefix, like the HOF zip_with. AdaptiveLshSpec asserts bit-equality
   * against the HOF formulation per band on the fixture.
   */
 case class LshBands(child: Expression, bands: Int, rows: Int, dims: Int)

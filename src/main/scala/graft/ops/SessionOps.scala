@@ -31,13 +31,33 @@ object SessionOps {
     * checkpoint's other consumers still read — callers pass the
     * superseded checkpoint itself, per the contract above.
     * SessionOpsSpec asserts both paths against
-    * `sc.getPersistentRDDs`. */
+    * `sc.getPersistentRDDs`.
+    *
+    * RELIABLE checkpoints ([[truncate]] with [[RELIABLE_KEY]]=true) get a
+    * third path: their materialization is FILES, and Spark never deletes
+    * them (the optional ContextCleaner hook is off by default and GC-
+    * nondeterministic anyway) — so a k-round trainer loop in reliable
+    * mode would retire k full copies of its state to disk and keep all
+    * of them for the application's lifetime; at a 50k-merge BPE run that
+    * is 50k corpus copies. A superseded frame is dead by the caller
+    * contract, so its checkpoint directory is deleted here, bounding
+    * reliable-mode disk at the live-frames working set exactly like the
+    * block release bounds executor memory. Reliable-only by
+    * construction: `getCheckpointFile` returns None for local
+    * checkpoints (only `ReliableRDDCheckpointData` carries a
+    * directory). Failures stay swallowed. */
   def releaseQuiet(df: DataFrame): Unit = {
     silenceTruncationWarn
     try df.unpersist(blocking = false) catch { case _: Throwable => () }
     try df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
+        lr.rdd.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(path, true)
+          ()
+        }
       case _ => ()
     } catch { case _: Throwable => () }
   }
@@ -69,11 +89,12 @@ object SessionOps {
     *    only when the mode is ON.
     *
     * Both modes eagerly materialize and truncate lineage, so loop-plan
-    * growth, release contracts ([[releaseQuiet]] — a no-op on the
-    * reliable files, which the checkpoint cleaner owns), and round
-    * structure are identical; ReliableCheckpointSpec runs a CC fixpoint
-    * and a BPE round through the reliable path and asserts bit-equal
-    * results plus actual checkpoint files on disk. */
+    * growth, release contracts ([[releaseQuiet]] — which also DELETES a
+    * superseded reliable checkpoint's files, bounding reliable-mode disk
+    * at the live working set), and round structure are identical;
+    * ReliableCheckpointSpec runs a CC fixpoint and a BPE round through
+    * the reliable path and asserts bit-equal results plus actual
+    * checkpoint files on disk. */
   def truncate(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     val reliable =

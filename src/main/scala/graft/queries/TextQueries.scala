@@ -174,8 +174,8 @@ object TextQueries extends QueryPack {
     * exchange reuse does not fuse the two SMJs) — profiled as the
     * dominant cost of this query, ~2× the CC loop itself. */
   private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
-      .localCheckpoint()
+    val pairs = graft.ops.SessionOps.truncate(
+      jaccardPairs(s, dir).select(col("a_id"), col("b_id")))
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
     val vertices = docs(s, dir).select(col("doc_id").as("id"))
@@ -504,7 +504,10 @@ object TextQueries extends QueryPack {
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
-      val ew = edges.join(deg, "src").localCheckpoint()
+      // truncate, not bare localCheckpoint: the loop input pin follows the
+      // same conf-switched durability contract as the CC loop's edge pin
+      // (SessionOps.truncate — reliable mode survives executor loss).
+      val ew = graft.ops.SessionOps.truncate(edges.join(deg, "src"))
       var r = ew.select(col("src").as("doc_id")).distinct()
         .withColumn("pr", lit(1.0))
       for (_ <- 1 to PR_ITERS) {
@@ -585,21 +588,31 @@ object TextQueries extends QueryPack {
       // their parallelism comes from the MEASURED edge count (capped at
       // the session setting) — without this every one of the 6 rounds'
       // 3 stages pays the full session task count in pure dispatch.
-      var sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .coalesce(n)
-        .localCheckpoint()
+      // Loop checkpoints route through SessionOps.truncate (the CC-loop /
+      // BPE-trainer durability contract: localCheckpoint by default, the
+      // conf-switched reliable checkpoint on a real cluster), and every
+      // superseded round's blocks are RELEASED once its replacement is
+      // materialized — without the release the peel pins one edge-list
+      // copy per round for the loop's lifetime, the exact heap-pressure
+      // class the r11 sf10 probe hit in the CC loop.
+      var sym = graft.ops.SessionOps.truncate(
+        pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+          .coalesce(n))
       val edgeCount = sym.count()
       graft.ops.GraphOps.withLoopParallelism(s, edgeCount) { nLoop =>
-        sym = sym.repartition(nLoop, col("src")).localCheckpoint()
+        val unpart = sym
+        sym = graft.ops.SessionOps.truncate(sym.repartition(nLoop, col("src")))
+        graft.ops.SessionOps.releaseQuiet(unpart)
         for (_ <- 1 to KCORE_ROUNDS) {
           val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
             .filter(col("deg") >= KCORE_K).select("src")
-          sym = sym
+          val prev = sym
+          sym = graft.ops.SessionOps.truncate(sym
             .join(keep, Seq("src"), "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-            .select(col("src"), col("dst"))
-            .localCheckpoint()
+            .select(col("src"), col("dst")))
+          graft.ops.SessionOps.releaseQuiet(prev)
         }
       }
       sym.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))

@@ -59,6 +59,33 @@ class ReliableCheckpointSpec extends AnyFunSuite {
     assert(ckptFiles(dir) > 0, s"no reliable checkpoint files under $dir")
   }
 
+  test("k-core peel: reliable mode bit-equal, superseded rounds released") {
+    // graph_kcore's peel loop routes its per-round lineage truncation
+    // through SessionOps.truncate like the CC loop (r12) — prove the
+    // reliable mode end-to-end on the registry query, and prove the
+    // release discipline: the peel must not grow the persistent-RDD set
+    // by one edge-list copy per round (KCORE_ROUNDS retained copies was
+    // the gap this spec's round closed).
+    val q = SparkEntry.queries("graph_kcore")
+    def run(): Set[(Long, Long)] =
+      q(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // stage the pair store OUTSIDE the measured window — its inline
+    // build caches the token sets, which is index-time cost, not peel
+    // state (the bench warmup does the same staging)
+    graft.queries.TextQueries.jaccardPairsStore(spark, "/root/testdata/sf0.001")
+      .count()
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val local = run()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.size <= 1,
+      s"k-core peel leaked ${leaked.size} persisted RDDs (release per round missing)")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rck-kcore").toString
+    val reliable = withReliable(dir) { run() }
+    assert(reliable == local, "k-core degrees diverged between checkpoint modes")
+    assert(ckptFiles(dir) > 0, s"no reliable checkpoint files under $dir")
+  }
+
   test("BPE rounds: reliable mode bit-equal merges, files on disk") {
     import spark.implicits._
     val corpus = Seq(

@@ -60,6 +60,41 @@ class SessionOpsSpec extends AnyFunSuite {
     SessionOps.releaseQuiet(ck)
   }
 
+  test("releaseQuiet deletes a superseded RELIABLE checkpoint's files") {
+    // In reliable mode a k-round loop writes one full state copy to the
+    // checkpoint dir per round; Spark never deletes them. releaseQuiet
+    // must bound that: superseded checkpoint -> directory gone; the
+    // live checkpoint's files stay.
+    val sc = spark.sparkContext
+    val prevDir = sc.getCheckpointDir
+    val dir = java.nio.file.Files.createTempDirectory("graft-relrel").toString
+    sc.setCheckpointDir(dir)
+    spark.conf.set(SessionOps.RELIABLE_KEY, "true")
+    try {
+      def files(): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.startsWith("part-")) 1 else 0
+        walk(new java.io.File(dir))
+      }
+      val round1 = SessionOps.truncate(spark.range(50).toDF("x"))
+      val afterR1 = files()
+      assert(afterR1 > 0, "reliable truncate wrote no checkpoint files")
+      val round2 = SessionOps.truncate(round1.selectExpr("x + 1 as x"))
+      val afterR2 = files()
+      assert(afterR2 > afterR1, "second round wrote no checkpoint files")
+      SessionOps.releaseQuiet(round1)
+      assert(files() == afterR2 - afterR1,
+        "superseded reliable checkpoint's files were not deleted")
+      assert(round2.count() == 50L, "live checkpoint must survive the release")
+      SessionOps.releaseQuiet(round2)
+      assert(files() == 0, "released live checkpoint's files must be gone")
+    } finally {
+      spark.conf.set(SessionOps.RELIABLE_KEY, "false")
+      prevDir.foreach(sc.setCheckpointDir)
+    }
+  }
+
   test("iterative fold keeps the persistent-RDD count flat") {
     // The shape every trainer loop has: round N checkpoints its state,
     // releases round N-1. The persistent set must not grow with rounds

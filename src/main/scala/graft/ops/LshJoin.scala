@@ -66,7 +66,14 @@ object LshJoin {
     * banded build lean (payload there is attached by [[verifyJoin]]'s
     * broadcast lookups, already per-doc); the size gate measures the
     * LEAN frame in both branches, so carrying payload never flips the
-    * plan choice. */
+    * plan choice.
+    *
+    * Decision rule, MEASURED both ways (BENCH_NOTES r12): fuse when
+    * expected candidate pairs per document exceed the per-doc copy count
+    * (bands + bands·salts), ship per-pair otherwise. dedup_minhash_lsh
+    * fuses (~512 pairs/doc at sf10 vs 18 copies: 7.1× fewer bytes);
+    * dedup_shingle_jaccard does NOT (2.6k pairs total at sf1 vs 36
+    * copies/doc: fusing measured 3.4× MORE bytes and slower walls). */
   def candidateJoin(
       s: SparkSession,
       bands: DataFrame,

@@ -14,9 +14,16 @@ import org.apache.spark.sql.types.DecimalType
   *     IEEE-754-deterministic given identical inputs — no rounding needed.
   *  2. Order-dependent aggregates (sum/avg over many doubles) differ between
   *     engines by summation order. We accumulate in DECIMAL (exact integer
-  *     arithmetic, order-insensitive) and cast the final value to double —
-  *     the decimal→double conversion is uniquely defined, so both engines
-  *     agree bit-for-bit. Input data is ≤2-decimal so DECIMAL(·,2) is exact.
+  *     arithmetic, order-insensitive) and cast the final value to double.
+  *     Caveat (measured, r12): the decimal→double conversion is uniquely
+  *     defined only when it is CORRECTLY ROUNDED — Spark's is
+  *     (BigDecimal.doubleValue), but DuckDB's native cast two-step-rounds
+  *     (int128→double, then the scale divide) and goes off by 1 ulp once
+  *     the unscaled value passes 2^53. Plain 2 dp sums stay far below
+  *     that at any tested SF; 4 dp PRODUCT moments (Σx², Σxy) do not, so
+  *     their oracle casts route DECIMAL→VARCHAR→DOUBLE (DuckDB's strtod
+  *     is correctly rounded) — see stats_corr_exact.
+  *     Input data is ≤2-decimal so DECIMAL(·,2) is exact.
   *  3. Transcendentals (exp/ln/pow) may differ by 1 ulp between libm and
   *     java.lang.Math. `r6` quantizes via a floor-trick computed in plain
   *     IEEE ops (NOT Spark's `round`, whose BigDecimal/string semantics

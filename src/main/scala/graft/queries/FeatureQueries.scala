@@ -287,7 +287,7 @@ object FeatureQueries extends QueryPack {
       """WITH stats AS (
         |  SELECT event_type,
         |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
-        |         sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         sqrt((CAST(count(*) AS DOUBLE) * CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
         |               - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE))
         |              / (CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) - 1.0))) AS std
         |  FROM events GROUP BY event_type

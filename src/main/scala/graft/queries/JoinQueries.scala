@@ -496,8 +496,13 @@ object JoinQueries extends QueryPack {
     // statistics from EXACT moments are order-insensitive: Σx, Σy, Σxy,
     // Σx², Σy² accumulate in DECIMAL (2 dp inputs → 4 dp products, exact),
     // and the closed forms are then element-wise IEEE double arithmetic —
-    // bit-identical across engines. Same single partial-agg shuffle as the
-    // built-ins; mergeable moments are exactly what a 100 TB corr needs.
+    // bit-identical across engines PROVIDED the one decimal→double cast is
+    // correctly rounded on both. Spark's is (BigDecimal.doubleValue);
+    // DuckDB's native cast is not once the unscaled value passes 2^53
+    // (measured at sf0.001 — see the oracle's VARCHAR-route note), so the
+    // oracle casts product moments through VARCHAR. Same single
+    // partial-agg shuffle as the built-ins; mergeable moments are exactly
+    // what a 100 TB corr needs.
     "stats_corr_exact" -> ((s, dir) => {
       val d2 = DecimalType(18, 2)
       val x = col("l_quantity")
@@ -528,7 +533,8 @@ object JoinQueries extends QueryPack {
     // one keyed agg: six conditional DECIMAL moments (2 dp inputs → 4 dp
     // squares, exact and order-free), then closed-form element-wise IEEE
     // arithmetic — no quantization needed (sqrt is IEEE-exact), same
-    // parity argument as stats_corr_exact. Mergeable moments are what a
+    // parity argument as stats_corr_exact, including its VARCHAR-routed
+    // square-moment casts in the oracle (the DuckDB decimal→double hole). Mergeable moments are what a
     // 100 TB experiment readout needs: no per-cohort collect, no second
     // scan, partial aggregation all the way down. -------------------------
     "stats_welch_ttest" -> ((s, dir) => {
@@ -1531,15 +1537,24 @@ object JoinQueries extends QueryPack {
          |       ${graft.ops.LayoutOps.zorder2Sql("ux", "hx")} AS zkey
          |FROM scaled""".stripMargin,
 
+    // The product-moment sums route DECIMAL -> VARCHAR -> DOUBLE: DuckDB's
+    // native DECIMAL->DOUBLE cast is TWO-step rounded (int128 to double,
+    // then the scale divide), off by 1 ulp once the unscaled value passes
+    // 2^53 — measured at sf0.001, where syy's 14193573937671737/2000 cast
+    // to ...835.869 instead of the correctly-rounded ...835.868 Spark's
+    // BigDecimal.doubleValue() produces, flipping corr's last bit. The
+    // string route is correctly rounded (strtod), restoring bit parity at
+    // every SF. Scale-2 plain sums stay on the native cast (their unscaled
+    // values sit far below 2^53 at any tested SF).
     "stats_corr_exact" ->
       """WITH m AS (
         |  SELECT l_returnflag,
         |         count(*) AS n,
         |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
         |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |       (n * sxy - sx * sy) /
@@ -1554,8 +1569,8 @@ object JoinQueries extends QueryPack {
         |         CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
         |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sa,
         |         CAST(sum(CASE WHEN user_id % 2 <> 0 THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sb,
-        |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(36,4)) END) AS DOUBLE) AS saa,
-        |         CAST(sum(CASE WHEN user_id % 2 <> 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(36,4)) END) AS DOUBLE) AS sbb
+        |         CAST(CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(36,4)) END) AS VARCHAR) AS DOUBLE) AS saa,
+        |         CAST(CAST(sum(CASE WHEN user_id % 2 <> 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(36,4)) END) AS VARCHAR) AS DOUBLE) AS sbb
         |  FROM events GROUP BY event_type
         |), v AS (
         |  SELECT event_type, n_a, n_b,

@@ -121,8 +121,10 @@ object SeriesQueries extends QueryPack {
     //    series drift positive). The lag pairs come from one window over
     //    the (ts, event_id) total order; the Pearson moments then
     //    accumulate as DECIMAL(18,2) products (exact at any order — the
-    //    stats_corr_exact recipe), so the final doubles are bit-identical
-    //    cross-engine. One shuffle for the lag, one 5-row aggregate. ------
+    //    stats_corr_exact recipe, including its VARCHAR-routed
+    //    square-moment oracle casts), so the final doubles are
+    //    bit-identical cross-engine. One shuffle for the lag, one 5-row
+    //    aggregate. ------------------------------------------------------
     "stats_autocorr" -> ((s, dir) => {
       import org.apache.spark.sql.types.DecimalType
       val d2 = DecimalType(18, 2)
@@ -291,9 +293,9 @@ object SeriesQueries extends QueryPack {
         |         count(*) AS n,
         |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
         |         CAST(sum(CAST(prev AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(prev AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-        |         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-        |         CAST(sum(CAST(prev AS DECIMAL(18,2)) * CAST(prev AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |         CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(prev AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |         CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |         CAST(CAST(sum(CAST(prev AS DECIMAL(18,2)) * CAST(prev AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy
         |  FROM lagged WHERE prev IS NOT NULL
         |  GROUP BY event_type
         |)

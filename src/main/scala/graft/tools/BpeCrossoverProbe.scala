@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * corpus-sized once the delta gate stops firing) and the LSM
   * postings-indexed trainer (`BpeIndexedTrainer.train`, ~2 full passes
   * to build the index, then O(affected-slice) rounds) — and emits one
-  * JSON line per k. The indexed trainer's fixed build cost means small
-  * k favors recount and large k favors the index; the k where the
-  * curves cross is the measured constant `BpeOps.TRAINER_CROSSOVER_K`
-  * is wired to (BpeTrainerSpec asserts the constant sits inside the
-  * artifact's measured bracket).
+  * JSON line per k. The measurement REFUTED the k-dimension hypothesis
+  * this tool was built to test: the indexed trainer loses at every
+  * measured (k, corpus) cell — its per-round fixed overhead exceeds a
+  * full recount pass below multi-GB corpora — so the wired constant is
+  * `BpeOps.TRAINER_CROSSOVER_BYTES` (corpus bytes, extrapolated
+  * ~10 GiB), not a k threshold, and `crossover_k` in the artifact
+  * records -1 (beyond measured range). BpeTrainerSpec's gate asserts
+  * the committed artifacts still support that direction.
   *
   * Usage: runMain graft.tools.BpeCrossoverProbe [sfDir k1,k2,... buckets]
   * Env:   BPE_CROSSOVER_OUT=<path> writes the JSON artifact

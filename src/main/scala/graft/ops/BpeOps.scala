@@ -89,4 +89,41 @@ object BpeOps {
     * LSM postings-indexed trainer instead of the recount/delta trainer. */
   def pickIndexedTrainer(corpusBytes: Long): Boolean =
     corpusBytes >= TRAINER_CROSSOVER_BYTES
+
+  /** k-merge BPE training with the execution REGIME picked by the
+    * measured crossover — the actual wiring of [[pickIndexedTrainer]],
+    * so a caller that just wants "train k merges on this corpus" never
+    * re-derives the regime choice:
+    *
+    *  - below [[TRAINER_CROSSOVER_BYTES]]: the recount/delta trainer
+    *    (per-round corpus bigram pass — cheaper than the indexed round's
+    *    4-7 s fixed overhead at EVERY measured cell of
+    *    BPE_CROSSOVER_r12{,_sf10}.json);
+    *  - at/above it: [[BpeIndexedTrainer.train]] against `scratchRoot`
+    *    (one-time index build, then O(affected-slice) rounds — the only
+    *    regime whose round cost does not scale with corpus bytes).
+    *
+    * `corpusBytes` < 0 (the default) derives the size from the
+    * optimizer's estimate for the corpus plan — the same estimator the
+    * LshJoin broadcast gate trusts; pass an explicit value when the
+    * caller knows better (a catalog stat at 100 TB). Returns
+    * (merges, final rewritten corpus). Both regimes are bit-equal
+    * (BpeTrainerSpec / BpeIndexedTrainerSpec 17-case equality); the
+    * dispatch itself is spec-pinned in both directions via forced byte
+    * counts. */
+  def trainAuto(s: org.apache.spark.sql.SparkSession, corpus0: DataFrame,
+      k: Long, scratchRoot: String, corpusBytes: Long = -1L)
+      : (DataFrame, DataFrame) = {
+    val bytes =
+      if (corpusBytes >= 0L) corpusBytes
+      else corpus0.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
+    if (pickIndexedTrainer(bytes)) {
+      val (m, c, _, _) = BpeIndexedTrainer.train(s, corpus0, k, scratchRoot)
+      (m, c)
+    } else {
+      val (m, c, _) = graft.queries.MiningQueries.bpeTrainOn(s, corpus0, k)
+      (m, c)
+    }
+  }
 }

@@ -237,4 +237,33 @@ class BpeIndexedTrainerSpec extends AnyFunSuite {
     assert(!graft.ops.BpeOps.pickIndexedTrainer(2 * gb))
     assert(graft.ops.BpeOps.pickIndexedTrainer(16 * gb))
   }
+
+  test("trainAuto dispatches on the measured crossover, bit-equal both ways") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b a b c d", 6L), (2L, "a b a b", 4L), (3L, "c d a b", 4L))
+      .toDF("doc_id", "text", "n_raw")
+    def run(forcedBytes: Long): Seq[(Long, String, String, Long)] = {
+      val root = java.nio.file.Files.createTempDirectory("graft-auto").toString
+      val (m, c) = graft.ops.BpeOps.trainAuto(
+        spark, corpus, 2L, root, corpusBytes = forcedBytes)
+      val merges = m.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      // the final corpus must reflect both merges in either regime
+      assert(c.filter(col("text").contains("a b")).count() == 0,
+        "returned corpus missing the applied merges")
+      merges
+    }
+    val small = run(1L)                      // forces the recount trainer
+    val big = run(Long.MaxValue)             // forces the indexed trainer
+    assert(small == big,
+      s"trainAuto regimes diverged: recount=$small indexed=$big")
+    assert(small.nonEmpty && small.head._2 == "a" && small.head._3 == "b")
+    // default sizing (optimizer estimate of a 3-row local corpus) must
+    // pick the recount branch — i.e. match the forced-small result
+    val root = java.nio.file.Files.createTempDirectory("graft-auto").toString
+    val (m, _) = graft.ops.BpeOps.trainAuto(spark, corpus, 2L, root)
+    assert(m.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq == small)
+  }
 }

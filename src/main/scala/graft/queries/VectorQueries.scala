@@ -599,10 +599,18 @@ object VectorQueries extends QueryPack {
 
     // -- superset: kNN join on the same adaptive candidates — top-3 per
     //    vector, both orientations of each undirected pair (sim is
-    //    fold-symmetric, so one verify serves both; the union re-reads
-    //    the verified frame, its input exchanges reused). ----------------
+    //    fold-symmetric, so one verify serves both). The verified pair
+    //    frame is MATERIALIZED once before the orientation union — the
+    //    clusterLabels lesson: the union's two branches otherwise each
+    //    embed the whole signature+candidate+verify subtree, and whether
+    //    exchange reuse fuses them is an optimizer gamble (it happens to
+    //    hold today inside the top-k RDD boundary, but nothing gates it);
+    //    the checkpoint makes single-build a construction guarantee at
+    //    the cost of holding the ~24-byte-per-pair frame, which the query
+    //    fully consumes anyway. AdaptiveLshSpec pins the shape: both
+    //    union branches read the SAME materialized RDD. ------------------
     "knn_join_lsh_adaptive" -> ((s, dir) => {
-      val sims = adaptivePairSims(s, dir)
+      val sims = graft.ops.SessionOps.truncate(adaptivePairSims(s, dir))
       val both = sims
         .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"), col("sim"))
         .unionByName(sims

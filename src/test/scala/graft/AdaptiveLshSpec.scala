@@ -186,6 +186,24 @@ class AdaptiveLshSpec extends AnyFunSuite {
       f"fixture recall collapsed below the envelope: $recall%.3f")
   }
 
+  test("knn_join_lsh_adaptive: one verify build feeds both union branches") {
+    // The query comment's cost claim, executed: the verified pair frame
+    // is materialized ONCE and the orientation union's two branches read
+    // that same materialization — the n^1.22-optimal candidate build can
+    // never run twice, regardless of exchange-reuse optimizer behavior
+    // (which this shape previously gambled on). Shape assertion: the
+    // analyzed plan's LogicalRDD leaves share one underlying RDD.
+    val df = SparkEntry.queries("knn_join_lsh_adaptive")(spark, sf)
+    val rddIds = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+    assert(rddIds.size == 2,
+      s"expected the union's two branches as LogicalRDD leaves, got $rddIds")
+    assert(rddIds.distinct.size == 1,
+      s"union branches read DIFFERENT materializations: $rddIds")
+    assert(df.count() > 0)
+  }
+
   test("candidate volume stays linear-bounded at the fixture") {
     // The whole point of adaptivity: candidate pairs ~ L·TARGET·n, not
     // n²/2^planes. The 16x skew headroom still fails any quadratic

@@ -27,9 +27,14 @@ import org.apache.spark.sql.types._
   * left-to-right from 0.0, the exact fold order of the HOF version and
   * of DuckDB's ordered `list_reduce`, so bucket ids are bit-identical to
   * the oracle (the only float sensitivity is the sign test, which
-  * inherits the fold order). Arrays shorter than `dims` fold over the
-  * prefix, like the HOF zip_with. AdaptiveLshSpec asserts bit-equality
-  * against the HOF formulation per band on the fixture.
+  * inherits the fold order). Arrays whose length ≠ `dims` produce the
+  * ALL-ZERO signature: the HOF zip_with null-pads the shorter side, so
+  * its dot is NULL and every sign test fails (bit 0), and the SQL
+  * oracle's out-of-range `embedding[d + 1]` lookups propagate NULL the
+  * same way — an earlier draft folded the prefix instead, which matched
+  * neither off the 64-dim fixture (caught by the randomized
+  * length-sweep property in AdaptiveLshSpec, which asserts bit-equality
+  * against the HOF formulation at lengths 1..dims+8).
   */
 case class LshBands(child: Expression, bands: Int, rows: Int, dims: Int)
     extends UnaryExpression {
@@ -52,7 +57,10 @@ case class LshBands(child: Expression, bands: Int, rows: Int, dims: Int)
 
   override protected def nullSafeEval(a: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
-    val lim = math.min(xs.numElements(), dims)
+    // length mismatch -> all-zero signature (the HOF/oracle null
+    // propagation; see class doc)
+    if (xs.numElements() != dims) return new GenericArrayData(new Array[Int](bands))
+    val lim = dims
     val out = new Array[Int](bands)
     var t = 0
     while (t < bands) {
@@ -100,8 +108,11 @@ case class LshBands(child: Expression, bands: Int, rows: Int, dims: Int)
           s"if ($a.isNullAt($d)) { ${ev.isNull} = true; break bandsLoop$out; }"
         else ""
       s"""
-         |int $lim = java.lang.Math.min($a.numElements(), $dims);
+         |int $lim = $dims;
          |int[] $out = new int[$bands];
+         |// length mismatch -> all-zero signature (HOF/oracle null
+         |// propagation; see class doc)
+         |if ($a.numElements() == $dims)
          |bandsLoop$out:
          |for (int $t = 0; $t < $bands; $t++) {
          |  int $bucket = 0;

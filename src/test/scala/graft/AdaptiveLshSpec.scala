@@ -47,6 +47,38 @@ class AdaptiveLshSpec extends AnyFunSuite {
     assert(h == f, "fused signature diverged from the HOF reference")
   }
 
+  test("LshBands == HOF at every input length (randomized sweep)") {
+    // The fixture test above only sees 64-dim vectors; this sweep pins the
+    // boundary semantics: a length-MISMATCHED array must produce the
+    // all-zero signature in BOTH formulations (zip_with null-pads the
+    // shorter side, so the HOF dot is NULL and every sign test fails —
+    // the SQL oracle's out-of-range lookups propagate NULL identically).
+    // An earlier fused draft folded the prefix instead and diverged off
+    // the fixture — exactly what this property exists to catch.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 120).map { i =>
+      val len = 1 + rnd.nextInt(72)
+      (i.toLong, Array.fill(len)(rnd.nextGaussian().toFloat))
+    } ++ Seq(
+      (1000L, Array.fill(64)(0.0f)),                       // zero vector, exact dims
+      (1001L, Array.fill(64)(rnd.nextGaussian().toFloat))) // exact dims
+    val df = rows.toDF("vec_id", "embedding")
+    val r = 4
+    val bands = 3
+    val hof = df.select(col("vec_id") +: (0 until bands).map(t =>
+      VectorOps.lshBandBucket(col("embedding"), t, r, 64).as(s"b$t")): _*)
+      .collect().map(x => x.getLong(0) -> (1 to bands).map(x.getInt).toSeq).toMap
+    val fused = df.select(col("vec_id"),
+      LshBands.lshBands(col("embedding"), bands, r, 64).as("sig"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Int](1).toSeq).toMap
+    assert(hof == fused, "fused signature diverged from the HOF across lengths")
+    rows.filter(_._2.length != 64).take(5).foreach { case (id, _) =>
+      assert(fused(id) == Seq.fill(bands)(0),
+        s"length-mismatched vector $id must give the all-zero signature")
+    }
+  }
+
   test("adaptive planes are full-rank: no period-17 repetition") {
     // The frozen planeWeight formula is ((5p + 3d) mod 17) - 8 —
     // periodic in p with period 17, so only 17 distinct hyperplanes

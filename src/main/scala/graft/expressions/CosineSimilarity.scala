@@ -21,7 +21,17 @@ import org.apache.spark.sql.types._
   * the exact fold order of the HOF version and of DuckDB's list_reduce, so
   * results remain bit-identical to the oracle. Zero-norm input → 0.0
   * (rag_engine.py:154's metric never sees zero vectors; we define the
-  * guard). Mismatched lengths fold over the common prefix.
+  * guard).
+  *
+  * Mismatched lengths fold over the common prefix BY DEFINITION — a
+  * deliberate divergence from the HOF/oracle formulations, which
+  * null-pad through zip_with/list_zip and return NULL (matching them
+  * would force `nullable = true` unconditionally, changing the schema
+  * of every sim column for an input the engine contract rules out).
+  * The contract that makes all three formulations bit-equal is
+  * equal-length arrays; CustomExprSpec pins both the contract on the
+  * fixture (every embedding exactly DIMS elements) and the defined
+  * prefix behavior off it.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

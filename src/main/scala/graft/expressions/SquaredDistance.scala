@@ -23,7 +23,10 @@ import org.apache.spark.sql.types._
   * left-to-right in index order — the exact fold of the HOF version and
   * of the DuckDB oracle's `list_reduce(list_transform(list_zip(...)))`,
   * so results stay bit-identical. Mismatched lengths fold the common
-  * prefix (all call sites zip equal-length subvectors).
+  * prefix BY DEFINITION (all call sites zip equal-length subvectors) —
+  * see [[CosineSimilarity]]'s class doc for why this deliberately
+  * diverges from the null-padding HOF/oracle off that contract, and
+  * CustomExprSpec for the pinned contract + prefix behavior.
   */
 case class SquaredDistance(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -39,6 +39,28 @@ class CustomExprSpec extends AnyFunSuite {
     assert(got(2).getDouble(0) == 0.0)
   }
 
+  test("CosineSimilarity: equal-length contract on the fixture, prefix off it") {
+    // The native expression and the HOF/oracle agree bit-for-bit ONLY on
+    // equal-length arrays: off that contract the HOF null-pads (NULL out)
+    // while the native folds the common prefix BY DEFINITION (matching
+    // the HOF would force nullable=true on every sim column — see the
+    // class doc). Pin both halves: (1) the fixture satisfies the
+    // contract (every embedding exactly 64 elements); (2) the defined
+    // prefix behavior off-contract.
+    val e = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(e.filter(size($"embedding") =!= 64).count() == 0,
+      "embedding table violates the equal-length contract")
+    val off = Seq((Array(3.0f), Array(3.0f, 4.0f)))
+      .toDF("a", "b").select(cosineSim($"a", $"b").as("c")).collect()
+    assert(off(0).getDouble(0) == 1.0,
+      "defined mismatch semantics: fold the common prefix (here [3]x[3])")
+    // and the HOF reference NULLs out on the same input — the divergence
+    // is real and deliberate, not an untested assumption
+    val hof = Seq((Array(3.0f), Array(3.0f, 4.0f)))
+      .toDF("a", "b").select(VectorOps.cosine($"a", $"b").as("c")).collect()
+    assert(hof(0).isNullAt(0), "HOF unexpectedly stopped null-padding")
+  }
+
   test("SquaredDistance: bit-identical to the HOF fold on real embeddings") {
     import graft.expressions.SquaredDistance.squaredDist
     val e = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -112,7 +112,7 @@ case class LshBands(child: Expression, bands: Int, rows: Int, dims: Int)
          |int[] $out = new int[$bands];
          |// length mismatch -> all-zero signature (HOF/oracle null
          |// propagation; see class doc)
-         |if ($a.numElements() == $dims)
+         |if ($a.numElements() == $dims) {
          |bandsLoop$out:
          |for (int $t = 0; $t < $bands; $t++) {
          |  int $bucket = 0;
@@ -129,6 +129,7 @@ case class LshBands(child: Expression, bands: Int, rows: Int, dims: Int)
          |    if ($dp > 0.0) $bucket |= (1 << $i);
          |  }
          |  $out[$t] = $bucket;
+         |}
          |}
          |if (!${ev.isNull}) {
          |  ${ev.value} =

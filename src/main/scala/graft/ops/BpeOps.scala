@@ -105,8 +105,16 @@ object BpeOps {
     *
     * `corpusBytes` < 0 (the default) derives the size from the
     * optimizer's estimate for the corpus plan — the same estimator the
-    * LshJoin broadcast gate trusts; pass an explicit value when the
-    * caller knows better (a catalog stat at 100 TB). Returns
+    * LshJoin broadcast gate trusts — EXCEPT when the plan carries joins
+    * or generators: size-in-bytes estimates MULTIPLY through those
+    * nodes, so a small corpus behind a join/explode-bearing plan can be
+    * grossly overestimated and silently misrouted to the indexed
+    * trainer far below the measured ~10 GiB crossover (bit-equal either
+    * way, but a large perf regression). For such plans the estimate is
+    * clamped to the sum of the plan's LEAF relation sizes — an upper
+    * bound on corpus bytes actually read, immune to the multiplication.
+    * Pass an explicit value when the caller knows better (a catalog
+    * stat at 100 TB). Returns
     * (merges, final rewritten corpus). Both regimes are bit-equal
     * (BpeTrainerSpec / BpeIndexedTrainerSpec 17-case equality); the
     * dispatch itself is spec-pinned in both directions via forced byte
@@ -116,8 +124,7 @@ object BpeOps {
       : (DataFrame, DataFrame) = {
     val bytes =
       if (corpusBytes >= 0L) corpusBytes
-      else corpus0.queryExecution.optimizedPlan.stats.sizeInBytes
-        .min(BigInt(Long.MaxValue)).toLong
+      else estimateBytes(corpus0)
     if (pickIndexedTrainer(bytes)) {
       val (m, c, _, _) = BpeIndexedTrainer.train(s, corpus0, k, scratchRoot)
       (m, c)
@@ -125,5 +132,22 @@ object BpeOps {
       val (m, c, _) = graft.queries.MiningQueries.bpeTrainOn(s, corpus0, k)
       (m, c)
     }
+  }
+
+  /** Corpus-byte estimate for [[trainAuto]]'s regime dispatch: the
+    * optimizer's size-in-bytes, clamped to the sum of leaf relation
+    * sizes whenever the plan contains a join or generator (see the
+    * trainAuto scaladoc for why the raw estimate misroutes there). */
+  private[graft] def estimateBytes(corpus0: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    val plan = corpus0.queryExecution.optimizedPlan
+    val raw = plan.stats.sizeInBytes
+    val multiplicative =
+      plan.collectFirst { case j: Join => j; case g: Generate => g }.nonEmpty
+    val est =
+      if (!multiplicative) raw
+      else raw.min(
+        plan.collectLeaves().map(_.stats.sizeInBytes).foldLeft(BigInt(0))(_ + _))
+    est.min(BigInt(Long.MaxValue)).toLong
   }
 }

@@ -68,12 +68,21 @@ object LshJoin {
     * LEAN frame in both branches, so carrying payload never flips the
     * plan choice.
     *
-    * Decision rule, MEASURED both ways (BENCH_NOTES r12): fuse when
-    * expected candidate pairs per document exceed the per-doc copy count
+    * Decision rule, MEASURED both ways (BENCH_NOTES r12) and since r13
+    * applied MECHANICALLY by [[shouldFuseVerify]]: fuse when expected
+    * candidate pairs per document exceed the per-doc copy count
     * (bands + bands·salts), ship per-pair otherwise. dedup_minhash_lsh
     * fuses (~512 pairs/doc at sf10 vs 18 copies: 7.1× fewer bytes);
     * dedup_shingle_jaccard does NOT (2.6k pairs total at sf1 vs 36
-    * copies/doc: fusing measured 3.4× MORE bytes and slower walls). */
+    * copies/doc: fusing measured 3.4× MORE bytes and slower walls).
+    * Callers therefore pass verifyCols as the AVAILABLE payload — the
+    * salted branch decides per-corpus whether to carry it; the measured
+    * r12 refusals are pinned as real-data fixtures in LshJoinSpec.
+    * CONTRACT: a verifyCol must not be referenced by `extraCond` — the
+    * broadcast branch joins the LEAN frames (payload dropped), so a
+    * condition over a payload column would not resolve there
+    * (multimodal_phash_neardup keeps `ph` out of verifyCols for exactly
+    * this reason). */
   def candidateJoin(
       s: SparkSession,
       bands: DataFrame,
@@ -91,6 +100,10 @@ object LshJoin {
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       Plan(cand, broadcastBuild = true)
     } else {
+      val carry =
+        if (verifyCols.isEmpty) Nil
+        else if (shouldFuseVerify(lean, salts)) verifyCols
+        else Nil
       // Probe picks ONE salt (deterministic in doc_id); build replicated
       // to ALL salts. The join's shuffle keys become (bucket, salt).
       val x = bands
@@ -101,11 +114,45 @@ object LshJoin {
         .join(y.alias("y"), col("x.salt") === col("y.salt") && pairCond)
         .select(
           Seq(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")) ++
-            verifyCols.flatMap(c =>
+            carry.flatMap(c =>
               Seq(col(s"x.$c").as(s"a_$c"), col(s"y.$c").as(s"b_$c"))): _*)
-      Plan(cand, broadcastBuild = false, carried = verifyCols)
+      Plan(cand, broadcastBuild = false, carried = carry)
     }
   }
+
+  /** The fuse-vs-ship decision, derived from the banded frame's OWN
+    * bucket-size stats instead of hand-applied prose (BENCH_NOTES:1542
+    * records the hand rule nearly fusing shingle — refused only because
+    * it was measured). Fusing ships one payload copy per probe band row
+    * plus `salts` copies per build band row = bandRows·(1+salts) total;
+    * per-pair shipping pays one payload pair per candidate, bounded
+    * above by the bucket-collision count Σ_b sz_b·(sz_b−1)/2 (extraCond
+    * prunes some — the bound is conservative TOWARD fusing, and both
+    * measured fixtures sit orders of magnitude from the boundary). So:
+    * fuse ⟺ Σ sz·(sz−1)/2 > bandRows·(1+salts) — the per-document prose
+    * rule (pairs/doc > bands + bands·salts) with nDocs cancelled.
+    *
+    * Cost: ONE narrow count-by-bucket aggregation over the band keys,
+    * paid only on the salted branch (the broadcast branch never carries
+    * payload) — at the scale where that branch is taken, one pass over
+    * the key column is noise next to the pair join it sizes. */
+  private[graft] def shouldFuseVerify(lean: DataFrame, salts: Int): Boolean = {
+    val r = lean.select(col("bucket")).groupBy("bucket")
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)).as("pairs"),
+        coalesce(sum(col("c")), lit(0L)).as("bandRows"))
+      .head()
+    fuseRule(r.getDouble(0), r.getLong(1), salts)
+  }
+
+  /** The pure inequality behind [[shouldFuseVerify]], separated so the
+    * MEASURED r12 A/B outcomes (minhash fuses, shingle ships) stay
+    * pinned as arithmetic fixtures in LshJoinSpec even as the live
+    * corpora drift. */
+  private[graft] def fuseRule(
+      bucketPairs: Double, bandRows: Long, salts: Int): Boolean =
+    bucketPairs > bandRows.toDouble * (1 + salts)
 
   /** Attach both token-set sides to the candidate pairs for the exact
     * verify. `ta` must be keyed `a_id`, `tb` keyed `b_id`, and their

@@ -45,7 +45,14 @@ object SessionOps {
     * block release bounds executor memory. Reliable-only by
     * construction: `getCheckpointFile` returns None for local
     * checkpoints (only `ReliableRDDCheckpointData` carries a
-    * directory). Failures stay swallowed. */
+    * directory). Failures stay swallowed, but the file delete is the one
+    * step that can DESTROY data on a contract violation (releasing a
+    * frame whose checkpoint another consumer still reads, or a frame
+    * over a user-created checkpoint), so it is (a) guarded to paths
+    * under the context's own checkpoint dir — a checkpoint that lives
+    * anywhere else was not made by [[truncate]] and is never touched —
+    * and (b) logged at warn (delete + any swallowed failure), leaving a
+    * diagnostic trail where the r12 version escalated silently. */
   def releaseQuiet(df: DataFrame): Unit = {
     silenceTruncationWarn
     try df.unpersist(blocking = false) catch { case _: Throwable => () }
@@ -53,14 +60,33 @@ object SessionOps {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
         lr.rdd.getCheckpointFile.foreach { p =>
-          val path = new org.apache.hadoop.fs.Path(p)
-          path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-            .delete(path, true)
-          ()
+          val sc = df.sparkSession.sparkContext
+          val ckptRoot = sc.getCheckpointDir
+          val fs = new org.apache.hadoop.fs.Path(p)
+            .getFileSystem(sc.hadoopConfiguration)
+          def qualified(s: String): String =
+            fs.makeQualified(new org.apache.hadoop.fs.Path(s)).toString
+          val inRoot = ckptRoot.exists(r =>
+            qualified(p).startsWith(qualified(r).stripSuffix("/") + "/"))
+          if (inRoot) {
+            log.warn(s"releasing superseded reliable checkpoint: $p")
+            try {
+              fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
+            } catch {
+              case e: Throwable =>
+                log.warn(s"checkpoint delete failed (leaked): $p", e)
+            }
+          } else
+            log.warn(
+              s"NOT deleting checkpoint outside context dir " +
+                s"(${ckptRoot.getOrElse("<unset>")}): $p")
         }
       case _ => ()
     } catch { case _: Throwable => () }
   }
+
+  private lazy val log =
+    org.apache.logging.log4j.LogManager.getLogger(getClass)
 
   /** Conf key: route the iterative loops' lineage-truncation checkpoints
     * through RELIABLE (directory-backed) `Dataset.checkpoint()` instead

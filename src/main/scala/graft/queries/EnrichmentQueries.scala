@@ -192,6 +192,10 @@ object EnrichmentQueries extends QueryPack {
             col("x.b1") =!= col("y.b1")) ||
           (col("x.b0") =!= col("y.b0") && col("x.b1") =!= col("y.b1") &&
             col("x.b2") =!= col("y.b2"))
+      // ph is NOT offered as a droppable verify payload: it rides in the
+      // join condition itself (the bit_count verify is IN extraCond), so
+      // it can never leave the banded frame — and at 8 bytes the
+      // per-pair verify join is already the cheap branch.
       val plan = graft.ops.LshJoin.candidateJoin(s, bands,
         firstCollision &&
           bit_count(col("x.ph").bitwiseXOR(col("y.ph"))) <= 3)

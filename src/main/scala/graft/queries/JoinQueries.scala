@@ -580,9 +580,17 @@ object JoinQueries extends QueryPack {
     // same cell frame via distinct counts. -------------------------------
     "stats_chi2_independence" -> ((s, dir) => {
       import graft.ops.Num
-      val cells = Tables.events(s, dir)
-        .groupBy((col("user_id") % 2 === 0).as("is_a"), col("event_type"))
-        .agg(count(lit(1)).as("o"))
+      // cells is bounded by category cardinality (cohorts × outcomes) but
+      // its SUBTREE is an events-wide aggregate referenced four times
+      // (marginals + total + the cell frame itself) — r12 measured the
+      // broadcast builds missing exchange reuse, re-scanning events 4×
+      // (the r12 "cache is a no-op" A/B read unpopulated metrics; see
+      // DupSubtreeGateSpec). Checkpointing the tiny frame makes one pass
+      // structural rather than an optimizer bet.
+      val cells = graft.ops.SessionOps.truncate(
+        Tables.events(s, dir)
+          .groupBy((col("user_id") % 2 === 0).as("is_a"), col("event_type"))
+          .agg(count(lit(1)).as("o")))
       val rowT = cells.groupBy("is_a").agg(sum(col("o")).as("rt"))
       val colT = cells.groupBy("event_type").agg(sum(col("o")).as("ct"))
       val nTot = cells.agg(sum(col("o")).as("n"))
@@ -979,18 +987,25 @@ object JoinQueries extends QueryPack {
       val parts = Tables.part(s, dir)
         .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
         .select(col("p_partkey"), col("p_name"))
-      def offers = Tables.lineitem(s, dir)
+      // The correlated min-cost subquery as a WINDOW over the offers
+      // join instead of a rebuilt copy: the r12 shape constructed
+      // `offers` twice (agg side + probe side) and the optimizer's
+      // exchange-reuse bet missed, re-executing the whole two-join chain
+      // (2 passes over lineitem/part/supplier/nation measured, r13
+      // gate). The window's per-part min is the same order-free double
+      // min, so kept rows are identical; one extra p_partkey exchange
+      // over the FILTERED offers rows replaces re-scanning and re-joining
+      // everything — the cheaper side at any scale where q2's filters
+      // are selective (their point in TPC-H).
+      val offers = Tables.lineitem(s, dir)
         .select(col("l_partkey"), col("l_suppkey"),
           (col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
         .join(parts, col("l_partkey") === col("p_partkey"))
         .join(eur, col("l_suppkey") === col("s_suppkey"))
-      val minCost = offers
-        .groupBy(col("p_partkey").as("m_partkey"))
-        .agg(min(col("unit_cost")).as("min_cost"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
       offers
-        .join(minCost,
-          col("p_partkey") === col("m_partkey") &&
-            col("unit_cost") === col("min_cost"))
+        .withColumn("min_cost", min(col("unit_cost")).over(w))
+        .filter(col("unit_cost") === col("min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"), col("min_cost"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))

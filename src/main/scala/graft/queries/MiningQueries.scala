@@ -141,36 +141,43 @@ object MiningQueries extends QueryPack {
     * broadcast; the per-term pivot fixes the float add order (see the
     * class doc). */
   private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
-    val dl = docs(s, dir).select(
-      col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("dl"))
-    val tf = docs(s, dir)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-      .filter(col("t").isin(QUERY_TERMS: _*))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
-    val stats = docs(s, dir).agg(
+    // ONE corpus pass, zero wide shuffles (r13 — the r12 shape read
+    // documents 4×: the dl/tf/stats subtrees each rescanned and
+    // re-tokenized, and the broadcast builds missed exchange reuse; see
+    // DupSubtreeGateSpec). tf per query term is a map-side array count —
+    // no explode, no (doc, term) shuffle — so the per-doc frame F is
+    // ~5 numbers/doc, checkpointed once; corpus stats (N, avgdl) AND the
+    // per-term document frequencies collapse into ONE broadcast row off
+    // F, and scoring is a map over F. Values are bit-identical to the
+    // r12 shape: same tf/df/dl integers, the same double expression per
+    // term, the same s0+s1+s2 add order (a term the doc lacks
+    // contributes +0.0 exactly, as the old coalesce(null) did).
+    val tk = TextOps.tokens(col("text"))
+    val f = graft.ops.SessionOps.truncate(
+      docs(s, dir).select(
+        Seq(col("doc_id"), size(tk).cast("long").as("dl")) ++
+          QUERY_TERMS.indices.map(i =>
+            size(filter(tk, t => t === QUERY_TERMS(i)))
+              .cast("long").as(s"tf$i")): _*))
+    val statsRow = f.agg(
       count(lit(1)).as("n_docs"),
-      sum(size(TextOps.tokens(col("text"))).cast("long")).as("sum_dl"))
-    val scored = tf
-      .join(broadcast(dfreq), "t")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("avgdl",
-        col("sum_dl").cast("double") / col("n_docs").cast("double"))
-      .withColumn("s",
-        log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
-          (col("df").cast("double") + 0.5) + 1.0) *
-          (col("tf").cast("double") * lit(K1 + 1.0)) /
-          (col("tf").cast("double") +
-            lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / col("avgdl"))))
-    val p = scored.groupBy(col("doc_id")).agg(
-      max(when(col("t") === QUERY_TERMS(0), col("s"))).as("s0"),
-      max(when(col("t") === QUERY_TERMS(1), col("s"))).as("s1"),
-      max(when(col("t") === QUERY_TERMS(2), col("s"))).as("s2"))
-    p.select(col("doc_id"),
-      graft.ops.Num.r6(
-        coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0)) +
-          coalesce(col("s2"), lit(0.0))).as("bm25"))
+      (Seq(sum(col("dl")).as("sum_dl")) ++
+        QUERY_TERMS.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))): _*)
+    def term(i: Int) = {
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i").cast("double")
+      when(col(s"tf$i") > 0,
+        log((col("n_docs").cast("double") - df + 0.5) / (df + 0.5) + 1.0) *
+          (tf * lit(K1 + 1.0)) /
+          (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") /
+            (col("sum_dl").cast("double") / col("n_docs").cast("double")))))
+        .otherwise(lit(0.0))
+    }
+    f.filter(QUERY_TERMS.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(statsRow))
+      .select(col("doc_id"),
+        graft.ops.Num.r6(term(0) + term(1) + term(2)).as("bm25"))
   }
 
   /** [[bm25Scores]] served from a persisted parquet store — the staged
@@ -493,8 +500,15 @@ object MiningQueries extends QueryPack {
     //    window shuffle. keep_rate is reporting only (r6-quantized; sqrt
     //    and divide are IEEE-exact-rounded in both engines). --------------
     "mix_temperature_sample" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("source"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      // d is referenced by the source-mass agg AND the admit scan, and
+      // counts by the rates join AND the min agg — left lazy that read
+      // documents 3× (r13 gate measurement). The per-doc frame is three
+      // narrow columns; checkpoint it once and everything (counts, min,
+      // admit) derives from the checkpoint: one corpus pass + one
+      // tokenize, structural.
+      val d = graft.ops.SessionOps.truncate(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")))
       val counts = d.groupBy(col("source")).agg(sum(col("n_tokens")).as("n_src"))
       val rates = counts.crossJoin(
         broadcast(counts.agg(min(col("n_src")).as("n_min"))))
@@ -509,12 +523,12 @@ object MiningQueries extends QueryPack {
             col("n_src").cast("double"))).as("keep_rate"))
     }),
 
-    // -- BM25: corpus stats (N, avgdl) are ONE scalar aggregate broadcast
-    //    everywhere; tf is computed only for the query terms (the filter
-    //    precedes the groupBy, so the shuffle carries query-term hits,
-    //    not the corpus vocabulary). The per-term partials pivot into
-    //    fixed columns and sum in ONE expression — float addition order
-    //    is part of the contract (Num rules), so no multi-row double agg.
+    // -- BM25: one corpus pass, no wide shuffle — per-term tf is a
+    //    map-side array count over the tokens (no explode), the per-doc
+    //    numeric frame checkpoints once, and corpus stats + document
+    //    frequencies collapse into a single broadcast row. The per-term
+    //    scores sum in ONE expression — float addition order is part of
+    //    the contract (Num rules), so no multi-row double agg.
     "bm25_score" -> ((s, dir) => bm25Scores(s, dir)),
 
     // -- hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
@@ -657,10 +671,18 @@ object MiningQueries extends QueryPack {
           xxhash64(split(col("bg"), " ").getItem(0)).as("w1h"))
         .localCheckpoint()
       val c2 = bi.groupBy(col("bgh")).agg(count(lit(1)).as("c2"))
-      val uni = docs(s, dir)
-        .select(explode(toks).as("w1"))
-        .select(xxhash64(col("w1")).as("w1h"))
-        .groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
+      // uni is consumed by the probe join AND the vocab-size broadcast;
+      // the broadcast build misses exchange reuse and re-scanned
+      // documents (r13 gate measurement) — checkpoint the vocab-sized
+      // count table so the unigram pass runs once. The unigram scan
+      // itself stays separate from `bi` deliberately: unigram counts
+      // include each doc's final token, which no bigram-left position
+      // covers, so the two passes are algorithmically distinct.
+      val uni = graft.ops.SessionOps.truncate(
+        docs(s, dir)
+          .select(explode(toks).as("w1"))
+          .select(xxhash64(col("w1")).as("w1h"))
+          .groupBy(col("w1h")).agg(count(lit(1)).as("c1")))
       val v = uni.agg(count(lit(1)).as("v"))
       // uni is vocabulary-sized: no broadcast hint — Spark broadcasts it
       // while it fits and falls back to a hash-shuffled join on w1h when
@@ -741,8 +763,17 @@ object MiningQueries extends QueryPack {
     // term pair. Top-50 is TakeOrderedAndProject — no global sort. ------
     "cooccur_pmi_topk" -> ((s, dir) => {
       import graft.ops.Num
-      val toks = docs(s, dir)
-        .select(col("doc_id"), explode(TextOps.distinctTokens(col("text"))).as("t"))
+      // toks feeds the unigram counts AND both sides of the pair
+      // self-join — left lazy, the tokenize+explode re-executed per
+      // consumer (4 documents passes measured, r13 gate). Checkpoint the
+      // token list once (the quality_lm_score `bi` pattern); the n_docs
+      // total stays its own scan — it is NOT derivable from toks
+      // (zero-token docs have no rows there) and a count-only pass is
+      // column-pruned and cheap.
+      val toks = graft.ops.SessionOps.truncate(
+        docs(s, dir)
+          .select(col("doc_id"),
+            explode(TextOps.distinctTokens(col("text"))).as("t")))
       val total = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       val cu = toks.groupBy(col("t")).agg(count(lit(1)).as("cu"))
       val pairs = toks.as("u")

@@ -102,9 +102,15 @@ object SeriesQueries extends QueryPack {
     //    scaffold explodes from each key's own 1-row span — O(keys×days)
     //    rows, no global calendar join. -----------------------------------
     "gap_fill_forward" -> ((s, dir) => {
-      val daily = events(s, dir)
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+      // daily feeds both the scaffold bounds and the fill join; left
+      // lazy, the events-wide aggregate re-executed for each (2 events
+      // passes measured, r13 gate). Checkpoint the (user, day) frame —
+      // bounded by users × days, the standard scaffold staging — so one
+      // pass is structural.
+      val daily = graft.ops.SessionOps.truncate(
+        events(s, dir)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("close")))
       val scaffold = daily.groupBy(col("user_id"))
         .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))

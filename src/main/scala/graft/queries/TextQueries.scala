@@ -144,9 +144,11 @@ object TextQueries extends QueryPack {
       df.withColumn(s"mh$i", TextOps.minHash(col("th"), MINHASH_A(i), MINHASH_B(i)))
     }
     def bandKey(j: Int) = concat_ws("_", lit(j) +: (0 until 4).map(k => col(s"mh${4 * j + k}")): _*)
-    // th rides as a verify payload: the salted branch attaches it in the
-    // candidate-join stage (per-doc×salts copies) instead of the r11
-    // per-pair verify shuffle (4.5 GB at sf10 — BENCH_NOTES triage).
+    // th offered as a verify payload: when LshJoin's measured fuse rule
+    // says pair density warrants it (it does for this corpus at every
+    // probed SF), the salted branch attaches it in the candidate-join
+    // stage (per-doc×salts copies) instead of the r11 per-pair verify
+    // shuffle (4.5 GB at sf10 — BENCH_NOTES triage).
     val bands = withMh.select(
       col("doc_id"), col("n"), col("th"), bandKey(0).as("b0"),
       explode(array(bandKey(0), bandKey(1))).as("bucket"))
@@ -790,8 +792,13 @@ object TextQueries extends QueryPack {
       // Band rows carry all four band keys so a pair is emitted only from
       // the FIRST band where it collides — distinct by construction, no
       // pair-dedup shuffle (see dedup_minhash_lsh for the full rationale).
+      // sh is OFFERED as a verify payload; LshJoin's measured fuse rule
+      // decides per-corpus. The r12 A/B refused fusing here (low pair
+      // density: 3.4× MORE bytes fused) — with the rule mechanical, that
+      // refusal is now data-derived instead of hand-applied, and pinned
+      // in LshJoinSpec.
       val bands = withMh.select(
-        col("doc_id"), col("n"),
+        col("doc_id"), col("n"), col("sh"),
         bandKey(0).as("b0"), bandKey(1).as("b1"), bandKey(2).as("b2"),
         explode(array((0 until 4).map(bandKey): _*)).as("bucket"))
       val firstCollision =
@@ -803,7 +810,8 @@ object TextQueries extends QueryPack {
             col("x.b2") =!= col("y.b2"))
       val plan = graft.ops.LshJoin.candidateJoin(s, bands,
         col("x.n") * 2 >= col("y.n") && col("y.n") * 2 >= col("x.n") &&
-          firstCollision)
+          firstCollision,
+        verifyCols = Seq("sh"))
       val ta = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
       val tb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
       graft.ops.LshJoin.verifyJoin(plan, ta, tb)
@@ -954,10 +962,17 @@ object TextQueries extends QueryPack {
     //    per-doc top-k (map-side heaps, VectorOps.topKPerQuery). ln() is
     //    1-ulp quantized (Num.r6) for cross-engine parity. ----------------
     "text_tfidf_top_terms" -> ((s, dir) => {
-      val tf = docs(s, dir)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
+      // tf feeds the document-frequency agg AND the scoring join — left
+      // lazy, the tokenize+explode+agg re-executed per consumer (3
+      // documents passes measured, r13 gate). Checkpoint tf — the
+      // inverted-index build every IR stack materializes — so the corpus
+      // pass is structural. n_docs stays its own count-only scan (not
+      // derivable from tf: zero-token docs carry no tf rows).
+      val tf = graft.ops.SessionOps.truncate(
+        docs(s, dir)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf")))
       val dfreq = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
       val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dfreq, "term")
@@ -1103,7 +1118,12 @@ object TextQueries extends QueryPack {
     val bands = withMh.select(
       col("doc_id"), col("lang"), col("n"),
       explode(array((0 until l).map(bandKey): _*)).as("bucket"))
-    // length prune: dist ≥ |la−lb| and dist ≤ max/5 force 5·min ≥ 4·max
+    // length prune: dist ≥ |la−lb| and dist ≤ max/5 force 5·min ≥ 4·max.
+    // No verifyCols offered DELIBERATELY: the pairs get a distinct()
+    // below (a pair can collide in several of the L bands), and carrying
+    // a payload would widen exactly the rows that distinct shuffles —
+    // the fuse rule's copy-count model doesn't price that, so this site
+    // stays per-pair by construction.
     val plan = graft.ops.LshJoin.candidateJoin(s, bands,
       col("x.lang") === col("y.lang") &&
         col("x.n") * 5 >= col("y.n") * 4 && col("y.n") * 5 >= col("x.n") * 4)

@@ -62,6 +62,29 @@ import org.apache.spark.sql.functions._
   *    rotation both preserve within-copy dot products.
   *  - events / relational keys: the default shifts already chain
   *    (strides are computed from the source max).
+  *
+  * mode `chain2` derives the FOURTH decade (sf10 → sf100). The chain
+  * transforms cannot compose with themselves:
+  *
+  *  - documents: suffixTag DOES compose (two-letter uppercase suffixes,
+  *    one per decade — the 100 (decade-3, decade-4) letter pairs are
+  *    pairwise distinct, so vocabularies stay disjoint and the dup-pair
+  *    table stays linear), so chain2 reuses it;
+  *  - embeddings: dihedral permutations do NOT compose — D_dims has only
+  *    2·dims elements (128 at dims=64), but decade 4 needs 1000 pairwise
+  *    distinct per-copy orthogonal maps. chain2 instead applies a per-copy
+  *    SIGN-FLIP diagonal: copy 0 is identity, copy c ≥ 1 negates
+  *    coordinates i with i mod (c+1) == 0 (pairwise-distinct flip sets by
+  *    density). A diagonal ±1 matrix is orthogonal, so within-copy dot
+  *    products — hence all cosine/ANN neighborhood structure — are exactly
+  *    preserved; composed with the 100 existing dihedral permutations the
+  *    signed-permutations (σ_c, π) are pairwise distinct for all 1000
+  *    effective copies (equal iff both components equal), so no copy pair
+  *    shares a vector set and dup/knn pair counts stay linear.
+  *
+  * An optional 5th arg restricts generation to a comma-separated table
+  * list (the fourth-decade probes only need documents/embeddings/events;
+  * skipping lineitem saves ~14 GB disk and most of the wall time).
   */
 object ScaleUpGen {
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
@@ -93,7 +116,12 @@ object ScaleUpGen {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
-    val chain = args.length > 3 && args(3) == "chain"
+    val mode = if (args.length > 3) args(3) else "default"
+    val chain = mode == "chain" || mode == "chain2"
+    val chain2 = mode == "chain2"
+    val only: Set[String] =
+      if (args.length > 4) args(4).split(",").map(_.trim).toSet else Set.empty
+    def wanted(t: String): Boolean = only.isEmpty || only(t)
     require(!chain || copies <= 26, "chain mode tags copies with A-Z")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -117,16 +145,19 @@ object ScaleUpGen {
       df.agg(max(col(c))).head().getLong(0) + 1
 
     // documents: cipher per copy, ids shifted past the source max.
-    val docs = read("documents")
-    val docStride = maxOf(docs, "doc_id")
-    write(explodeCopies(docs)
-      .withColumn("doc_id", col("doc_id") + col("copy") * docStride)
-      .withColumn("text",
-        if (chain) suffixTag(col("text"), col("copy"), copies)
-        else caesar(col("text"), col("copy"), copies)),
-      "documents")
+    if (wanted("documents")) {
+      val docs = read("documents")
+      val docStride = maxOf(docs, "doc_id")
+      write(explodeCopies(docs)
+        .withColumn("doc_id", col("doc_id") + col("copy") * docStride)
+        .withColumn("text",
+          if (chain) suffixTag(col("text"), col("copy"), copies)
+          else caesar(col("text"), col("copy"), copies)),
+        "documents")
+    }
 
     // events: densify within the same date range.
+    if (wanted("events")) {
     val ev = read("events")
     val evStride = maxOf(ev, "event_id")
     val userStride = maxOf(ev, "user_id")
@@ -156,9 +187,11 @@ object ScaleUpGen {
       .withColumn("user_id", col("user_id") + col("copy") * userStride)
       .withColumn("ts", shifted),
       "events")
+    }
 
     // embeddings: rotate coordinates by copy (within-copy dot products
     // are invariant under a shared permutation).
+    if (wanted("embeddings")) {
     val emb = read("embeddings")
     val vecStride = maxOf(emb, "vec_id")
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
@@ -178,12 +211,22 @@ object ScaleUpGen {
     // chain mode exists to prevent. Assumes the source decade used the
     // default rotation transform with this same copy count.
     val half = (copies + 1) / 2
-    require(!chain || copies * (half - 1) + copies <= dims,
+    require(chain2 || !chain || copies * (half - 1) + copies <= dims,
       s"chain mode needs copies*(ceil(copies/2)-1)+copies <= dims " +
         s"(${copies * (half - 1) + copies} > $dims): composed dihedral " +
         "exponents would wrap mod dims and alias copies")
+    // chain2 (decade 4): per-copy sign-flip diagonal — see header. Copy 0
+    // is identity; copy c negates coordinates at index i ≡ 0 (mod c+1).
+    // `transform`'s lambda index is 0-based.
+    def signFlipped(v: Column): Column =
+      (1 until copies).foldLeft(when(col("copy") === 0, v)) { (acc, c) =>
+        acc.when(col("copy") === c,
+          expr(s"transform(embedding, (x, i) -> " +
+            s"CASE WHEN i % ${c + 1} = 0 THEN -x ELSE x END)"))
+      }
     val permuted =
-      if (chain)
+      if (chain2) signFlipped(col("embedding"))
+      else if (chain)
         when(col("copy") < half,
           rotated(col("embedding"), col("copy") * copies))
           .otherwise(rotated(reverse(col("embedding")),
@@ -193,37 +236,46 @@ object ScaleUpGen {
       .withColumn("vec_id", col("vec_id") + col("copy") * vecStride)
       .withColumn("embedding", permuted),
       "embeddings")
+    }
 
-    // relational family: consistent key shifts.
-    val orders = read("orders")
-    val li = read("lineitem")
-    val cust = read("customer")
-    val part = read("part")
-    val supp = read("supplier")
-    val oStride = maxOf(orders, "o_orderkey")
-    val cStride = maxOf(cust, "c_custkey")
-    val pStride = maxOf(part, "p_partkey")
-    val sStride = maxOf(supp, "s_suppkey")
-    write(explodeCopies(orders)
-      .withColumn("o_orderkey", col("o_orderkey") + col("copy") * oStride)
-      .withColumn("o_custkey", col("o_custkey") + col("copy") * cStride),
-      "orders")
-    write(explodeCopies(li)
-      .withColumn("l_orderkey", col("l_orderkey") + col("copy") * oStride)
-      .withColumn("l_partkey", col("l_partkey") + col("copy") * pStride)
-      .withColumn("l_suppkey", col("l_suppkey") + col("copy") * sStride),
-      "lineitem")
-    write(explodeCopies(cust)
-      .withColumn("c_custkey", col("c_custkey") + col("copy") * cStride),
-      "customer")
-    write(explodeCopies(part)
-      .withColumn("p_partkey", col("p_partkey") + col("copy") * pStride),
-      "part")
-    write(explodeCopies(supp)
-      .withColumn("s_suppkey", col("s_suppkey") + col("copy") * sStride),
-      "supplier")
+    // relational family: consistent key shifts. Strides are computed from
+    // whichever tables are needed — key consistency across tables only
+    // matters when the joined tables are generated together, so a
+    // filtered run computing the same strides stays join-consistent for
+    // the tables it does emit.
+    if (Seq("orders", "lineitem", "customer", "part", "supplier")
+          .exists(wanted)) {
+      val orders = read("orders")
+      val li = read("lineitem")
+      val cust = read("customer")
+      val part = read("part")
+      val supp = read("supplier")
+      val oStride = maxOf(orders, "o_orderkey")
+      val cStride = maxOf(cust, "c_custkey")
+      val pStride = maxOf(part, "p_partkey")
+      val sStride = maxOf(supp, "s_suppkey")
+      if (wanted("orders")) write(explodeCopies(orders)
+        .withColumn("o_orderkey", col("o_orderkey") + col("copy") * oStride)
+        .withColumn("o_custkey", col("o_custkey") + col("copy") * cStride),
+        "orders")
+      if (wanted("lineitem")) write(explodeCopies(li)
+        .withColumn("l_orderkey", col("l_orderkey") + col("copy") * oStride)
+        .withColumn("l_partkey", col("l_partkey") + col("copy") * pStride)
+        .withColumn("l_suppkey", col("l_suppkey") + col("copy") * sStride),
+        "lineitem")
+      if (wanted("customer")) write(explodeCopies(cust)
+        .withColumn("c_custkey", col("c_custkey") + col("copy") * cStride),
+        "customer")
+      if (wanted("part")) write(explodeCopies(part)
+        .withColumn("p_partkey", col("p_partkey") + col("copy") * pStride),
+        "part")
+      if (wanted("supplier")) write(explodeCopies(supp)
+        .withColumn("s_suppkey", col("s_suppkey") + col("copy") * sStride),
+        "supplier")
+    }
     // dimensions: copied verbatim.
-    Seq("nation", "region").foreach(t => write(read(t), t))
+    Seq("nation", "region").filter(wanted)
+      .foreach(t => write(read(t), t))
     spark.stop()
   }
 }

@@ -163,7 +163,10 @@ object ScalingProbe {
     val names: Seq[String] =
       if (args.length > 2) args(2).split(",").toSeq
       else graft.SparkEntry.queries.keys.toSeq.sorted
-    val reps = 2
+    // SCALING_REPS=1 for the expensive decades (min-of-reps estimator
+    // degrades to a single sample; the r12 fuzzymh sf10 probe already
+    // recorded n:1 this way).
+    val reps = sys.env.get("SCALING_REPS").map(_.toInt).getOrElse(2)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

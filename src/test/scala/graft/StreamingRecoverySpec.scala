@@ -310,6 +310,44 @@ class StreamingRecoverySpec extends AnyFunSuite {
       s"restart lost the keyed snapshot state: latest X after replay = $lastX")
   }
 
+  test("fuzzy dedup stream: claimant state survives a restart") {
+    import graft.streaming.StreamOps
+    val base0 = Files.createTempDirectory("graft_rec_fuzzy").toString
+    val (inDir, ckpt) = (s"$base0/in", s"$base0/ckpt")
+    new File(inDir).mkdirs()
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    def start() = spark.readStream.schema(
+        new StructType().add("doc_id", "long").add("text", "string")
+          .add("lang", "string"))
+      .option("maxFilesPerTrigger", 1).json(inDir)
+      .transform(df => StreamOps.fuzzyDedupStream(df, r = 2))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.select("doc_id").collect().map(_.getLong(0))
+        kept.synchronized { kept ++= ids; () }
+      }.start()
+    val text = "a long enough document about stream recovery semantics " +
+      "and checkpointed claimant state in fuzzy dedup"
+    def row(id: Long, t: String) =
+      s"""{"doc_id":$id,"text":"$t","lang":"en"}"""
+    // chunk 0: the claimant lands, plus one unrelated doc
+    writeChunk(inDir, 0, Seq(row(1, text),
+      row(2, "entirely different content on join reordering and pushdown")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // chunk 1 after a RESTART: an exact dup of doc 1 — the RECOVERED
+    // claimant must drop it (a query that lost state would keep it),
+    // while a fresh unique doc is kept.
+    writeChunk(inDir, 1, Seq(row(3, text),
+      row(4, "another unique payload about adaptive query execution")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = kept.synchronized(kept.sorted.toSeq)
+    assert(got == Seq(1L, 2L, 4L),
+      s"restart lost fuzzy claimant state: kept = $got")
+  }
+
   test("transformWithState (RocksDB): running per-key counters survive a restart") {
     import graft.streaming.{SnapshotMsg, StreamOps, TickerStats}
     val base = Files.createTempDirectory("graft_rec_tws").toString

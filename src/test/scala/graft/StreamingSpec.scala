@@ -574,6 +574,86 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming fuzzy dedup: edit-distance verify drops typo dups, keeps distinct bucket-mates") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamOps.fuzzyDedupStream(
+      in.toDF().toDF("doc_id", "text", "lang"), r = 2)
+      .writeStream.format("memory").queryName("fz_dedup_out")
+      .outputMode(OutputMode.Append).start()
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat naps quietly beside the warm stone hearth"
+    val typo = base.replace("naps", "nops") // one substitution
+    val other = "completely unrelated payload about parquet column " +
+      "statistics and shuffle partitioning in distributed engines"
+    val fixture = Seq((10L, base, "en"), (20L, other, "en"),
+      (30L, base, "en"), (31L, typo, "en"), (32L, base, "fr"))
+    val kept = try {
+      // batch 1: base (claims its bucket) + an unrelated doc
+      in.addData(fixture(0), fixture(1))
+      q.processAllAvailable()
+      // batch 2: an exact replay (dist 0 — same signature ALWAYS), a
+      // one-edit typo (dup iff the edit leaves the band-0 minhash
+      // intact — the hash family decides), and the same text in a
+      // DIFFERENT lang, which keys a different bucket and survives
+      in.addData(fixture(2), fixture(3), fixture(4))
+      q.processAllAvailable()
+      spark.table("fz_dedup_out").select("doc_id").as[Long].collect().sorted.toSeq
+    } finally q.stop()
+
+    // EXACT batch parity: the stream must equal the greedy
+    // first-claimant traversal (in doc_id = arrival order) of the
+    // single-band batch operator's verified pairs — fuzzyCandidates at
+    // the same r with l = 1 IS band 0, and an (a, b) pair implies the
+    // same (lang, signature) bucket, so "dropped iff a KEPT earlier doc
+    // pairs with it" is the stream's state machine expressed over batch
+    // output.
+    val d0 = fixture.toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val plan = graft.queries.TextQueries.fuzzyCandidates(spark, d0, 2, 1)
+    val ta = d0.select(col("doc_id").as("a_id"), col("text").as("ta"),
+      col("n_chars").as("la"))
+    val tb = d0.select(col("doc_id").as("b_id"), col("text").as("tb"),
+      col("n_chars").as("lb"))
+    val batchPairs = graft.ops.LshJoin.verifyJoin(plan, ta, tb)
+      .filter(expr("levenshtein(ta, tb, CAST(greatest(la, lb) / 5 AS INT))") >= 0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val expectedKept = fixture.map(_._1).sorted
+      .foldLeft(Vector.empty[Long]) { (keptSoFar, d) =>
+        if (keptSoFar.exists(c => batchPairs.contains((c, d)))) keptSoFar
+        else keptSoFar :+ d
+      }
+    assert(kept == expectedKept,
+      s"stream kept $kept but greedy-over-batch-pairs expects $expectedKept " +
+        s"(pairs: $batchPairs)")
+    // deterministic anchors, independent of the hash family: claimants
+    // and the cross-lang copy survive, the exact replay drops
+    assert(kept.contains(10L) && kept.contains(20L) && kept.contains(32L))
+    assert(!kept.contains(30L), "exact dup must drop")
+  }
+
+  test("streaming fuzzy dedup: claimant cap bounds state, past-cap mates admit unverified") {
+    import graft.streaming.{FuzzyClaimants, FuzzyDocIn}
+    // 10 same-bucket docs that all FAIL the length prune pairwise
+    // (lengths 100, 200, 400, ... — each > 5/4 of the previous), so every
+    // one is verified-distinct: all kept, but only the first
+    // FUZZY_CLAIMANT_CAP become claimants.
+    val docs = (0 until 10).map { i =>
+      FuzzyDocIn("k", i.toLong, "x" * (100 << i), (100L << i))
+    }
+    val (kept, st) = StreamOps.fuzzyFold(FuzzyClaimants(Nil, Nil, Nil), docs)
+    assert(kept.map(_.doc_id) == (0L until 10L))
+    assert(st.ids.size == StreamOps.FUZZY_CLAIMANT_CAP,
+      s"state must cap at ${StreamOps.FUZZY_CLAIMANT_CAP}, got ${st.ids.size}")
+    // a dup of a CLAIMANT still drops; a dup of a past-cap doc admits
+    // (the documented recall floor, never a false drop)
+    val (kept2, _) = StreamOps.fuzzyFold(st,
+      Seq(FuzzyDocIn("k", 100L, "x" * 100, 100L),          // dup of claimant 0
+        FuzzyDocIn("k", 101L, "x" * (100 << 9), 100L << 9))) // dup of past-cap doc 9
+    assert(kept2.map(_.doc_id) == Seq(101L),
+      s"claimant dup must drop, past-cap dup must admit; got ${kept2.map(_.doc_id)}")
+  }
+
   test("streaming IVF assignment: map-side codebook matches the batch expression exactly") {
     import org.apache.spark.sql.functions.{broadcast, col}
     implicit val sqlCtx = spark.sqlContext

@@ -1,7 +1,5 @@
 package graft.ops
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -112,7 +110,7 @@ object VectorOps {
     // tuple is a true partial aggregation (map-side combine, no heap, no
     // window) — the best shape at any scale. Descending numeric keys are
     // negated to fold into the lexicographic struct order; a non-numeric
-    // descending key falls through to the general heap path.
+    // descending key falls through to the general sorted-prune path.
     val descsNumeric = sortKeys.indices.forall { i =>
       !descs(i) ||
         schema(s"__sk$i").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
@@ -127,43 +125,38 @@ object VectorOps {
         .select(col("__best.*"))
     }
 
-    // negative = a sorts before b (a is "better"); nulls sort first like
-    // Spark's default NULLS FIRST asc
-    def cmp(a: Row, b: Row): Int = {
-      var i = 0
-      var r = 0
-      while (i < keyIdx.length && r == 0) {
-        val x = a.get(keyIdx(i))
-        val y = b.get(keyIdx(i))
-        r =
-          if (x == null && y == null) 0
-          else if (x == null) -1
-          else if (y == null) 1
-          else x.asInstanceOf[Comparable[Any]].compareTo(y)
-        if (descs(i)) r = -r
-        i += 1
-      }
-      r
-    }
-
-    val partial = tagged.mapPartitions { it =>
-      // max-heap by cmp: head is the WORST of the current k — the eviction
-      // candidate
-      val ord: Ordering[Row] = (a: Row, b: Row) => cmp(a, b)
-      val heaps = mutable.HashMap.empty[Any, mutable.PriorityQueue[Row]]
-      it.foreach { row =>
-        val h = heaps.getOrElseUpdate(row.get(qidIdx), mutable.PriorityQueue.empty(ord))
-        if (h.size < k) h.enqueue(row)
-        else if (cmp(row, h.head) < 0) { h.dequeue(); h.enqueue(row) }
-      }
-      heaps.valuesIterator.flatMap(_.iterator)
-    }(Encoders.row(schema))
-
-    // merge on the materialized sort keys — identical values to the heap's
-    // comparator, so no expression is re-evaluated over the pruned stream
     val finalOrder = keyIdx.indices.map { i =>
       if (descs(i)) col(s"__sk$i").desc else col(s"__sk$i").asc
     }
+    // Per-partition pre-prune, SPILL-SAFE (r13): the previous shape held
+    // a HashMap[qid -> k-row heap] per partition — memory grows with the
+    // partition's DISTINCT qid count, which the r13 fourth-decade probe
+    // measured as the failure mode (knn_join_lsh_adaptive at n = 5M
+    // qids: 32 concurrent partitions × millions of generic-Row heap
+    // entries OOM'd a 48 GB heap; at 500k qids it had fit). Sorting
+    // within the partition on (__qid, sort keys) uses Spark's EXTERNAL
+    // sort — spills to disk, O(1) driver-visible memory — and the prune
+    // becomes a streaming "first k rows per qid run". Same pruned set
+    // (the per-qid total order is identical), same final merge below.
+    val partial = tagged
+      .sortWithinPartitions(col("__qid").asc +: finalOrder: _*)
+      .mapPartitions { it =>
+        var cur: Any = null
+        var cnt = 0
+        var started = false
+        it.filter { row =>
+          val q = row.get(qidIdx)
+          if (!started || !java.util.Objects.equals(q, cur)) {
+            cur = q; cnt = 0; started = true
+          }
+          cnt += 1
+          cnt <= k
+        }
+      }(Encoders.row(schema))
+
+    // merge on the materialized sort keys — identical values to the
+    // partial's sort, so no expression is re-evaluated over the pruned
+    // stream
     partial
       .withColumn("__rn",
         row_number().over(Window.partitionBy(col("__qid")).orderBy(finalOrder: _*)))

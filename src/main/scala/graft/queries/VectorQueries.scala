@@ -95,6 +95,20 @@ object VectorQueries extends QueryPack {
     * router-side class — same as ann_serve_from_store's probe-cell
     * list); everything after is one signature map pass, an id-only
     * candidate join, and a verify hash-join. */
+  /** Verify-side vector table small enough to broadcast: below this the
+    * b-side embedding attach is a broadcast hash join, so embeddings
+    * cross NO pair-cardinality shuffle at all. Above it (a corpus whose
+    * vector table alone passes 2 GB — cluster territory, where shuffle
+    * capacity is provisioned) the attach stays a shuffled HASH join.
+    * The r13 sf100 probe measured why this matters: at n = 5M the
+    * adaptive law (r = 19, L = 44) generates the designed Θ(n^1.22)
+    * ≈ 1B candidate pairs, and the pre-r13 plan SORT-merge-joined the
+    * verify attaches — sorting a pairs×a_emb intermediate (~140 GB at
+    * 256 B/vector) that filled the box's disk with spill. Hash joins
+    * stream that width instead of sorting it, and the broadcast branch
+    * removes the second shuffle of it entirely. */
+  private val VERIFY_BROADCAST_CAP: Long = 2L * 1024 * 1024 * 1024
+
   private def adaptivePairSims(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
     val r = adaptiveRows(e.count())
@@ -103,13 +117,24 @@ object VectorQueries extends QueryPack {
         col("embedding"), adaptiveBands(r), r, DIMS)).as(Seq("band", "bucket")))
     val a = sigs.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
     val b = sigs.select(col("band"), col("bucket"), col("vec_id").as("b_id"))
-    a.join(b, Seq("band", "bucket"))
+    val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
-      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        cosineSim(col("a_emb"), col("b_emb")).as("sim"))
+    val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    // SHUFFLE_HASH on the vector side: the pair frame must never be
+    // SORTED once it carries a 256 B embedding (see VERIFY_BROADCAST_CAP
+    // scaladoc); the hash build side is the n-row vector table, the
+    // Θ(n^1.22) pair stream just probes it.
+    val withA = cand.join(ea.hint("SHUFFLE_HASH"), "a_id")
+    val smallEnough =
+      e.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(VERIFY_BROADCAST_CAP)
+    val joined =
+      if (smallEnough) withA.join(broadcast(eb), "b_id")
+      else withA.join(eb.hint("SHUFFLE_HASH"), "b_id")
+    joined.select(col("a_id"), col("b_id"),
+      cosineSim(col("a_emb"), col("b_emb")).as("sim"))
   }
 
   /** All-pairs frame over the codegen'd cosine: one fused dot/norm/norm

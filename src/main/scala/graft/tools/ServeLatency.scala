@@ -98,11 +98,26 @@ object ServeLatency {
       val warm = times.drop(1).sorted
       def pct(p: Double) = warm((p * (warm.size - 1)).round.toInt)
       val (p50, p95) = (pct(0.50), pct(0.95))
+      // r12 verdict item 3: the steady-state number a production router
+      // sees — the QUERY OBJECT constructed once (plan compiled, AQE
+      // finalized by the first execute), then re-EXECUTED per request.
+      // The warm reps above re-pay construction+planning every rep; this
+      // row isolates pure store-probe execution.
+      val cachedDf = graft.SparkEntry.queries(q)(spark, sfDir)
+      cachedDf.collect() // finalize AQE off the clock
+      val cachedTimes = (1 to warmReps).map { _ =>
+        val t0 = System.nanoTime()
+        cachedDf.collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val (cp50, cp95) =
+        (cachedTimes(warmReps / 2), cachedTimes((0.95 * (warmReps - 1)).round.toInt))
       val onDisk = filesOnDisk(storeRoot)
       val scans = scanMetrics(lastPlan, storeRoot.split('/')(2))
       println(f"[serve] $q%-22s cold=$cold%6.2f s (plan=$coldPlanSecs%5.2f" +
         f" exec=$coldExecSecs%5.2f, query #${order + 1} in session) " +
         f"warm_p50=$p50%6.3f s warm_p95=$p95%6.3f s warm_min=${warm.head}%6.3f s " +
+        f"cached_plan_p50=$cp50%6.3f s " +
         s"store_files_read=${scans.map(_._1).sum} of $onDisk on disk " +
         s"(bytes=${scans.map(_._2).sum})")
       allNodes(lastPlan).collect {
@@ -116,11 +131,12 @@ object ServeLatency {
         f""""cold_exec_s":$coldExecSecs%.3f,""" +
         f""""warm_p50_s":$p50%.3f,""" +
         f""""warm_p95_s":$p95%.3f,"warm_min_s":${warm.head}%.3f,"warm_reps":$warmReps,""" +
+        f""""cached_plan_p50_s":$cp50%.3f,"cached_plan_p95_s":$cp95%.3f,""" +
         s""""store_files_read":${scans.map(_._1).sum},"store_files_on_disk":$onDisk,""" +
         s""""store_bytes_read":${scans.map(_._2).sum}}"""
     }
     sys.env.get("SERVE_JSON_OUT").foreach { out =>
-      val body = s"""{"sf_dir":"$sfDir","note":"cold = first plan-compile+execute in a fresh forked JVM against the published on-disk store, decomposed into construct+plan vs exec; order_in_session 2 = a second DISTINCT query in the same JVM (no session init left to pay); warm percentiles over $warmReps reps in the same session","rows":[${jsonRows.mkString(",")}]}"""
+      val body = s"""{"sf_dir":"$sfDir","note":"cold = first plan-compile+execute in a fresh forked JVM against the published on-disk store, decomposed into construct+plan vs exec; order_in_session 2 = a second DISTINCT query in the same JVM (no session init left to pay); warm percentiles over $warmReps reps in the same session, each rep re-paying construction+planning; cached_plan_* = the production-router posture (query object constructed once, re-executed per request)","rows":[${jsonRows.mkString(",")}]}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(out), body.getBytes("UTF-8"))
       println(s"[serve] wrote $out")
     }

@@ -58,14 +58,19 @@ import org.apache.spark.sql.functions._
   * Not registry-wired: the registry's `phrase_merges_bpe` keeps its
   * k=3 head-winner recount plan (frozen registry; the gate in
   * `bpeTrainOn` already picks the cheapest regime there). Scale
-  * placement is MEASURED, not prose (r12, BPE_CROSSOVER_r12{,_sf10}
-  * .json): at sf1 and sf10 this trainer LOSES to the recount trainer at
-  * every measured (k, corpus) cell — its per-round constant (postings
-  * probe, append writes, ~6 extra jobs ≈ 4–7 s) exceeds a full corpus
-  * recount pass below multi-GB corpora — so [[BpeOps.pickIndexedTrainer]]
-  * selects it only beyond the extrapolated ~10 GB break-even, where a
-  * corpus pass costs more than the fixed round overhead and O(affected)
-  * wins every tail round.
+  * placement is MEASURED, not prose (BPE_CROSSOVER_r12{,_sf10}.json,
+  * BPE_CROSSOVER_r13_{sf100,sf250}.json): this trainer LOSES to the
+  * recount trainer at every measured (k, corpus) cell from 0.2 GB to
+  * 52 GB. r12 blamed a fixed per-round constant (postings probe,
+  * append writes, ~6 extra jobs ≈ 4–7 s) and extrapolated a ~10 GiB
+  * break-even; the r13 cells past that point (21 GB: 164.6 s vs
+  * 129.9 s recount; 52 GB: 292.3 s vs 188.9 s) showed the round cost
+  * is NOT fixed — the merged bigram's postings slice grows linearly
+  * with the corpus, and the indexed slope is the worse one — so
+  * [[BpeOps.pickIndexedTrainer]] never auto-selects this trainer.
+  * It stays for the incremental re-training shape (corpus grows,
+  * merges replayed over the delta), which no from-scratch cell
+  * exercises.
   */
 object BpeIndexedTrainer {
 

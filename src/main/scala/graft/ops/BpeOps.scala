@@ -65,25 +65,28 @@ object BpeOps {
         r.getAs[Long]("cnt")))
 
   /** Recount-vs-indexed trainer pick, wired to the MEASURED crossover
-    * (BPE_CROSSOVER_r12{,_sf10}.json — the r11 verdict asked for the
-    * measurement to replace the in-code prose heuristic, and the
-    * measurement REFUTED the prose): from-scratch A/B at sf1 (50k docs,
-    * ~0.2 GB) and sf10 (500k docs, ~2.1 GB) shows the indexed trainer
-    * LOSING at every measurable configuration — its per-round constant
-    * (postings probe + append writes + ~6 extra jobs ≈ 4–7 s) exceeds a
-    * full corpus recount pass (0.5 s/round at sf1, 1.6 s at sf10), and
-    * the gap is k-independent, so there is no crossover in merge count
-    * at these corpus sizes. The crossover dimension is CORPUS BYTES:
-    * recount's per-round pass grows ~linearly (≈ 0.55 s/GB measured
-    * across the two points) while the indexed round cost is dominated
-    * by its fixed overhead, giving an extrapolated break-even around
-    * 10 GB — beyond what this machine holds, hence a threshold, not a
-    * measured point, and the threshold is deliberately placed AT the
-    * extrapolation, not below it. BpeTrainerSpec's gate test asserts
-    * the committed artifacts actually support this direction (indexed
-    * slower at every measured cell) and that the threshold sits beyond
-    * the largest measured corpus. */
-  val TRAINER_CROSSOVER_BYTES: Long = 10L * 1024 * 1024 * 1024
+    * artifacts (BPE_CROSSOVER_r12{,_sf10}.json and
+    * BPE_CROSSOVER_r13_{sf100,sf250}.json). The r12 story — indexed
+    * rounds cost a fixed ~4–7 s while recount passes grow ~0.55 s/GB,
+    * extrapolated break-even ~10 GiB — was REFUTED the first time a
+    * cell past 10 GiB was measured: at 21 GB (sf100, k=12) recount
+    * 129.9 s vs indexed 164.6 s, and at 52 GB (25× sf10 docs, k=12)
+    * recount 188.9 s vs indexed 292.3 s. Both trainers are near-linear
+    * in corpus bytes at this scale, and the indexed trainer's SLOPE is
+    * the worse one (~3.3 s/GB vs ~1.9 s/GB across the 21→52 GB
+    * segment): its "O(affected-slice)" round cost is itself linear in
+    * corpus bytes, because the merged bigram's postings slice grows
+    * with the corpus. A fixed overhead can be amortized away; a worse
+    * slope cannot — so there is NO byte crossover, measured or
+    * extrapolatable, and the threshold is the off-switch. The indexed
+    * trainer remains available via an explicit `corpusBytes` override
+    * (its LSM store is still the right shape for INCREMENTAL
+    * re-training, which no measured cell exercises).
+    * BpeIndexedTrainerSpec's gate test asserts the committed artifacts
+    * support this direction (indexed slower at every measured cell,
+    * slope ordering included) and that the auto path can never reach
+    * the dominated trainer. */
+  val TRAINER_CROSSOVER_BYTES: Long = Long.MaxValue
 
   /** True when a k-merge training run over `corpusBytes` should take the
     * LSM postings-indexed trainer instead of the recount/delta trainer. */
@@ -95,21 +98,24 @@ object BpeOps {
     * so a caller that just wants "train k merges on this corpus" never
     * re-derives the regime choice:
     *
-    *  - below [[TRAINER_CROSSOVER_BYTES]]: the recount/delta trainer
-    *    (per-round corpus bigram pass — cheaper than the indexed round's
-    *    4-7 s fixed overhead at EVERY measured cell of
-    *    BPE_CROSSOVER_r12{,_sf10}.json);
-    *  - at/above it: [[BpeIndexedTrainer.train]] against `scratchRoot`
-    *    (one-time index build, then O(affected-slice) rounds — the only
-    *    regime whose round cost does not scale with corpus bytes).
+    *  - below [[TRAINER_CROSSOVER_BYTES]]: the recount/delta trainer —
+    *    cheaper at EVERY measured cell from 0.2 GB to 52 GB
+    *    (BPE_CROSSOVER_r12{,_sf10}.json, BPE_CROSSOVER_r13_{sf100,
+    *    sf250}.json), and since r13 the threshold is `Long.MaxValue`
+    *    (the 21/52 GB cells showed the indexed trainer's slope is the
+    *    worse one — no byte crossover exists);
+    *  - at/above it (reachable only via an explicit `corpusBytes`
+    *    override): [[BpeIndexedTrainer.train]] against `scratchRoot` —
+    *    kept for incremental re-training shapes, not for from-scratch
+    *    wins.
     *
     * `corpusBytes` < 0 (the default) derives the size from the
     * optimizer's estimate for the corpus plan — the same estimator the
     * LshJoin broadcast gate trusts — EXCEPT when the plan carries joins
     * or generators: size-in-bytes estimates MULTIPLY through those
     * nodes, so a small corpus behind a join/explode-bearing plan can be
-    * grossly overestimated and silently misrouted to the indexed
-    * trainer far below the measured ~10 GiB crossover (bit-equal either
+    * grossly overestimated and (under any finite threshold) silently
+    * misrouted to the dominated indexed trainer (bit-equal either
     * way, but a large perf regression). For such plans the estimate is
     * clamped to the sum of the plan's LEAF relation sizes — an upper
     * bound on corpus bytes actually read, immune to the multiplication.

@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
   * to build the index, then O(affected-slice) rounds) — and emits one
   * JSON line per k. The measurement REFUTED the k-dimension hypothesis
   * this tool was built to test: the indexed trainer loses at every
-  * measured (k, corpus) cell — its per-round fixed overhead exceeds a
-  * full recount pass below multi-GB corpora — so the wired constant is
-  * `BpeOps.TRAINER_CROSSOVER_BYTES` (corpus bytes, extrapolated
-  * ~10 GiB), not a k threshold, and `crossover_k` in the artifact
-  * records -1 (beyond measured range). BpeTrainerSpec's gate asserts
-  * the committed artifacts still support that direction.
+  * measured (k, corpus) cell, from 0.2 GB to 52 GB
+  * (BPE_CROSSOVER_r12{,_sf10}.json, BPE_CROSSOVER_r13_{sf100,sf250}
+  * .json). r12 blamed a fixed per-round overhead and extrapolated a
+  * ~10 GiB byte break-even; the r13 cells past that point (21 GB,
+  * 52 GB) refuted it — the indexed trainer's SLOPE in corpus bytes is
+  * the worse one, so no crossover exists in k or bytes and
+  * `BpeOps.TRAINER_CROSSOVER_BYTES` is `Long.MaxValue` (auto path
+  * never picks indexed). `crossover_k` in the artifact records -1
+  * (no measured k favors indexed). BpeIndexedTrainerSpec's gate
+  * asserts the committed artifacts still support that direction.
   *
   * Usage: runMain graft.tools.BpeCrossoverProbe [sfDir k1,k2,... buckets]
   * Env:   BPE_CROSSOVER_OUT=<path> writes the JSON artifact

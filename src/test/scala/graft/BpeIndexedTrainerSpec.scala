@@ -208,15 +208,16 @@ class BpeIndexedTrainerSpec extends AnyFunSuite {
 
   test("trainer pick is wired to the MEASURED crossover artifacts") {
     // r12: the recount-vs-indexed decision must follow the committed
-    // measurement (BPE_CROSSOVER_r12{,_sf10}.json), not prose. The
-    // artifacts show the indexed trainer slower at EVERY measured
-    // (k, corpus) cell — so the gate must (a) be consistent with that
-    // direction (recount below the threshold), and (b) place the
-    // threshold beyond the largest measured corpus (~2.1 GB at sf10),
-    // where the extrapolated recount-pass cost overtakes the indexed
-    // round constant. A future re-measurement that flips a cell should
-    // update the artifact AND this constant together — this test forces
-    // the pairing.
+    // measurement, not prose. r13 extended the artifact set past the
+    // r12-extrapolated ~10 GiB break-even (21 GB sf100, 52 GB sf250
+    // cells) and the measurement refuted the extrapolation twice over:
+    // indexed still loses at every cell AND its slope in corpus bytes
+    // is the worse one across the 21->52 GB segment, so no crossover
+    // exists and the threshold is the off-switch (Long.MaxValue — the
+    // auto path can never reach the dominated trainer; only an explicit
+    // corpusBytes override does). A future re-measurement that flips a
+    // cell or the slope ordering should update the artifact AND the
+    // constant together — this test forces the pairing.
     def cells(path: String): Seq[(Double, Double)] = {
       val f = new java.io.File(path)
       assert(f.exists(), s"crossover artifact missing: $path")
@@ -224,18 +225,30 @@ class BpeIndexedTrainerSpec extends AnyFunSuite {
       val rx = """"recount_s":([0-9.]+),"indexed_s":([0-9.]+)""".r
       rx.findAllMatchIn(s).map(m => (m.group(1).toDouble, m.group(2).toDouble)).toSeq
     }
-    val all = cells("BPE_CROSSOVER_r12.json") ++ cells("BPE_CROSSOVER_r12_sf10.json")
-    assert(all.size >= 5, s"expected >= 5 measured cells, got ${all.size}")
+    val all = cells("BPE_CROSSOVER_r12.json") ++ cells("BPE_CROSSOVER_r12_sf10.json") ++
+      cells("BPE_CROSSOVER_r13_sf100.json") ++ cells("BPE_CROSSOVER_r13_sf250.json")
+    assert(all.size >= 7, s"expected >= 7 measured cells, got ${all.size}")
     all.foreach { case (recount, indexed) =>
       assert(indexed > recount,
         f"a measured cell favors the indexed trainer ($indexed%.2f < $recount%.2f) " +
           "— re-derive TRAINER_CROSSOVER_BYTES from the new artifact")
     }
+    // slope ordering over the two large-corpus cells (21 GB vs 52 GB at
+    // k=12): the indexed trainer's marginal s/GB must still exceed
+    // recount's, the fact that makes "no crossover" the right placement
+    val Seq((rec21, idx21)) = cells("BPE_CROSSOVER_r13_sf100.json")
+    val Seq((rec52, idx52)) = cells("BPE_CROSSOVER_r13_sf250.json")
+    assert(idx52 - idx21 > rec52 - rec21,
+      "indexed slope no longer dominates recount's — a finite byte " +
+        "crossover may exist again; re-derive TRAINER_CROSSOVER_BYTES")
     val gb = 1024L * 1024 * 1024
-    assert(graft.ops.BpeOps.TRAINER_CROSSOVER_BYTES > 3 * gb,
-      "threshold must sit beyond the largest measured corpus (~2.1 GB)")
+    assert(graft.ops.BpeOps.TRAINER_CROSSOVER_BYTES > 52 * gb,
+      "threshold must sit beyond the largest measured corpus (52 GB)")
     assert(!graft.ops.BpeOps.pickIndexedTrainer(2 * gb))
-    assert(graft.ops.BpeOps.pickIndexedTrainer(16 * gb))
+    assert(!graft.ops.BpeOps.pickIndexedTrainer(100 * gb),
+      "auto path reached the dominated indexed trainer")
+    assert(graft.ops.BpeOps.pickIndexedTrainer(Long.MaxValue),
+      "explicit override seam must still reach the indexed trainer")
   }
 
   test("trainAuto dispatches on the measured crossover, bit-equal both ways") {

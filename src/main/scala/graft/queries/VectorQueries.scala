@@ -120,18 +120,29 @@ object VectorQueries extends QueryPack {
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+    attachVerify(cand, e,
+      e.queryExecution.optimizedPlan.stats.sizeInBytes)
+  }
+
+  /** The verify attach of [[adaptivePairSims]], split out so both sides
+    * of the size gate are spec-pinnable without a >2 GB fixture
+    * (AdaptiveLshSpec passes `vecBytes` directly): joins the deduped
+    * candidate pairs back to their embeddings and scores the cosine.
+    * SHUFFLE_HASH on the vector side: the pair frame must never be
+    * SORTED once it carries a 256 B embedding (see VERIFY_BROADCAST_CAP
+    * scaladoc); the hash build side is the n-row vector table, the
+    * Θ(n^1.22) pair stream just probes it. The b-side upgrades to a
+    * broadcast only while the vector table's estimated bytes fit the
+    * cap — a size-gated hint on corpus-derived data, carried by the
+    * reviewed PlanAudit.BROADCAST_OK waivers for the two consumers. */
+  private[graft] def attachVerify(
+      cand: DataFrame, e: DataFrame, vecBytes: BigInt): DataFrame = {
     val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    // SHUFFLE_HASH on the vector side: the pair frame must never be
-    // SORTED once it carries a 256 B embedding (see VERIFY_BROADCAST_CAP
-    // scaladoc); the hash build side is the n-row vector table, the
-    // Θ(n^1.22) pair stream just probes it.
     val withA = cand.join(ea.hint("SHUFFLE_HASH"), "a_id")
-    val smallEnough =
-      e.queryExecution.optimizedPlan.stats.sizeInBytes <=
-        BigInt(VERIFY_BROADCAST_CAP)
     val joined =
-      if (smallEnough) withA.join(broadcast(eb), "b_id")
+      if (vecBytes <= BigInt(VERIFY_BROADCAST_CAP))
+        withA.join(broadcast(eb), "b_id")
       else withA.join(eb.hint("SHUFFLE_HASH"), "b_id")
     joined.select(col("a_id"), col("b_id"),
       cosineSim(col("a_emb"), col("b_emb")).as("sim"))

@@ -163,7 +163,19 @@ object PlanAudit {
     "multimodal_phash_neardup" -> ((3, """UNBOUNDED hint \(leaves: documents\.parquet\)""",
       "LshJoin size-gated (salted-shuffle fallback)")),
     "dedup_fuzzy_minhash" -> ((3, """UNBOUNDED hint \(leaves: documents\.parquet\)""",
-      "LshJoin size-gated (salted-shuffle fallback)")))
+      "LshJoin size-gated (salted-shuffle fallback)")),
+    // r13: the adaptive verify attach broadcasts the b-side vector table
+    // only while its estimated bytes fit VERIFY_BROADCAST_CAP (2 GB);
+    // above the cap the SAME construction plans a shuffled hash join —
+    // the exact size-gated class as the LshJoin entries above. Both
+    // branches are spec-pinned (AdaptiveLshSpec: cap respected → hint,
+    // above cap → SHUFFLE_HASH, no broadcast hint). knn_join_lsh_adaptive
+    // reaches the shared adaptivePairSims through its truncate, so its
+    // one hint surfaces on the sub-exec (checkpoint-segment) listener.
+    "ann_lsh_adaptive" -> ((1, """UNBOUNDED hint \(leaves: embeddings\.parquet\)""",
+      "verify attach size-gated (VERIFY_BROADCAST_CAP; above-cap = SHUFFLE_HASH)")),
+    "knn_join_lsh_adaptive" -> ((1, """UNBOUNDED hint \(leaves: embeddings\.parquet\)""",
+      "verify attach size-gated (VERIFY_BROADCAST_CAP; above-cap = SHUFFLE_HASH)")))
 
   /** Queries with REVIEWED exceptions to the bounded-BNLJ rule
     * ([[BroadcastBound.nonEquiJoinAudit]]): non-equi joins where neither

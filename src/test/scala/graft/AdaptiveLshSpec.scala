@@ -256,4 +256,33 @@ class AdaptiveLshSpec extends AnyFunSuite {
     assert(candPairs <= 16L * l * n,
       s"candidate volume $candPairs exceeds the linear envelope (n=$n, r=$r, L=$l)")
   }
+
+  test("verify attach: both sides of the broadcast size gate, pinned") {
+    // The r13 sf100 lesson encoded as a contract: a pair stream carrying
+    // 256 B embeddings must never be SORTED, so the verify attach is
+    // hash-join-only — broadcast b-side while the vector table fits
+    // VERIFY_BROADCAST_CAP, shuffled hash above it. Both branches are
+    // exercised by passing the byte estimate directly (no >2 GB fixture
+    // needed); the in-cap branch's corpus-derived broadcast hint is the
+    // one the reviewed PlanAudit.BROADCAST_OK waivers cover.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val e = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val cand = e.select(col("vec_id").as("a_id"))
+      .crossJoin(e.select(col("vec_id").as("b_id")))
+      .filter(col("a_id") < col("b_id")).limit(50)
+    def hints(vecBytes: BigInt): Seq[String] =
+      VectorQueries.attachVerify(cand, e, vecBytes)
+        .queryExecution.analyzed.collect {
+          case h: ResolvedHint => h.hints.strategy.map(_.toString).getOrElse("")
+        }
+    val small = hints(BigInt(1024))
+    assert(small.exists(_.toUpperCase.contains("BROADCAST")),
+      s"in-cap attach must broadcast the b-side vector table: $small")
+    val large = hints(BigInt(Long.MaxValue))
+    assert(!large.exists(_.toUpperCase.contains("BROADCAST")),
+      s"above-cap attach must NOT broadcast corpus-scaled embeddings: $large")
+    assert(large.count(_.toUpperCase.contains("SHUFFLE_HASH")) == 2,
+      s"above-cap attach must hash-join both vector sides: $large")
+  }
 }

@@ -159,12 +159,50 @@ object LshJoin {
     * payload columns named `a_<col>`/`b_<col>`. When the salted branch
     * already carried the payload through the candidate join
     * (`Plan.carried`), the pairs are returned as-is — column names and
-    * values identical to the joined form, so callers are branch-blind. */
+    * values identical to the joined form, so callers are branch-blind.
+    *
+    * The per-pair branch never SORTS and, while the payload table fits
+    * [[PAYLOAD_BROADCAST_CAP]], never SHUFFLES the pair stream either.
+    * Both rules are r13 fourth-decade measurements on
+    * dedup_fuzzy_minhash (7.8e8 legitimately-dense candidates at n = 5M
+    * — the chained upscale plants real near-dup clusters, p999 bucket
+    * 132): an unhinted attach planned sort-merge joins and the sorted
+    * pairs×text intermediate filled the disk; re-hinted SHUFFLE_HASH,
+    * the SECOND attach still had to re-exchange pairs WITH the first
+    * side's text on b_id (~330 GB shuffle write) and filled the disk
+    * again. Broadcasting the payload table makes both attaches map-side
+    * lookups — the Θ(n^1.22) pair stream flows from the candidate
+    * distinct straight into the verify with zero payload shuffle.
+    * Above the cap (corpus payload alone past 2 GB — cluster territory,
+    * where shuffle capacity is provisioned with the data) the attach
+    * falls back to shuffled hash joins: build on the n-row payload
+    * table, probe with the pair stream, nothing pair-cardinality ever
+    * sorted — the same contract as VectorQueries.attachVerify. The
+    * size-gated corpus-derived broadcast hints are covered by each
+    * consumer's reviewed PlanAudit.BROADCAST_OK waiver. */
   def verifyJoin(plan: Plan, ta: DataFrame, tb: DataFrame): DataFrame =
     if (plan.broadcastBuild)
       plan.candidates.join(broadcast(ta), "a_id").join(broadcast(tb), "b_id")
     else if (plan.carried.nonEmpty)
       plan.candidates
     else
-      plan.candidates.join(ta, "a_id").join(tb, "b_id")
+      plan.candidates
+        .join(attachSide(ta, ta.queryExecution.optimizedPlan.stats.sizeInBytes), "a_id")
+        .join(attachSide(tb, tb.queryExecution.optimizedPlan.stats.sizeInBytes), "b_id")
+
+  /** One payload side of the per-pair verify attach, under the size
+    * gate — split out so LshJoinSpec pins both branches without a >2 GB
+    * fixture. The effective cap is [[PAYLOAD_BROADCAST_CAP]] clamped to
+    * the session's driver collect budget (SessionOps.broadcastBudget) —
+    * an over-budget broadcast doesn't degrade, it ABORTS the job. */
+  private[graft] def attachSide(t: DataFrame, bytes: BigInt): DataFrame =
+    if (bytes <= BigInt(graft.ops.SessionOps.broadcastBudget(
+      t.sparkSession, PAYLOAD_BROADCAST_CAP))) broadcast(t)
+    else t.hint("SHUFFLE_HASH")
+
+  /** Verify-payload table small enough to broadcast in [[verifyJoin]]'s
+    * per-pair branch — the text twin of
+    * VectorQueries.VERIFY_BROADCAST_CAP, same 2 GB bound, same
+    * rationale. */
+  private val PAYLOAD_BROADCAST_CAP: Long = 2L * 1024 * 1024 * 1024
 }

@@ -126,7 +126,16 @@ object SessionOps {
     val reliable =
       try s.conf.get(RELIABLE_KEY, "false").toBoolean
       catch { case _: Throwable => false }
-    if (!reliable) df.localCheckpoint()
+    // SERIALIZED storage: the default MEMORY_AND_DISK materializes the
+    // frame as deserialized row objects (MemoryStore.putIteratorAsValues
+    // unrolls per-row UnsafeRow copies) — at pair-cardinality frames the
+    // r13 sf100 probe measured 40 unrolling tasks OOM a 48 GB heap
+    // before the store could overflow to disk. MEMORY_AND_DISK_SER
+    // unrolls into byte buffers (UnsafeRows serialize compactly, ~no
+    // object overhead) and degrades to disk gracefully; for the KB–MB
+    // loop frames (CC, BPE) the ser/deser delta is noise.
+    if (!reliable) df.localCheckpoint(
+      eager = true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     else {
       if (s.sparkContext.getCheckpointDir.isEmpty) {
         val dir = try s.conf.get(RELIABLE_DIR_KEY) catch {
@@ -186,4 +195,49 @@ object SessionOps {
     * AQE has no stages to materialize. */
   def spreadTo(df: DataFrame, n: Int): DataFrame =
     if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+
+  /** Shuffle-partition count for a stage whose volume is KNOWN (or
+    * estimable) driver-side, sized so per-task state fits execution
+    * memory instead of spilling: `bytes / 128 MB`, floored at the
+    * session setting (small inputs keep the session plan unchanged —
+    * this function can only ADD parallelism) and capped at 4096 (at
+    * which point per-task state is ~always memory-resident and more
+    * tasks is pure dispatch overhead).
+    *
+    * This is the CC-loop / kcore "parallelism from the measured data"
+    * rule generalized to stages BIGGER than the session constant: the
+    * r13 fourth-decade probes measured the failure mode it removes —
+    * pair-cardinality stages (adaptive LSH candidate distinct, verify
+    * attach, per-qid top-k sort) running at the session's 32 partitions
+    * put ~50M rows in every task, and the resulting external-sort spill
+    * was the difference between the designed Θ(n^1.22) growth and a
+    * 36.7× measured decade (and, for knn_join_lsh_adaptive, a
+    * filled disk). On a real cluster `spark.sql.shuffle.partitions` is
+    * provisioned with the data; in a fixed-session harness this derives
+    * the same number from the volume the operator itself computed. */
+  def scaledPartitions(s: SparkSession, bytes: Long): Int = {
+    val target = 128L * 1024 * 1024
+    val n = (bytes + target - 1) / target
+    math.max(s.sessionState.conf.numShufflePartitions,
+      math.min(4096L, n).toInt)
+  }
+
+  /** The byte budget a size-gated broadcast may actually spend on THIS
+    * session: the caller's design cap, clamped to 60% of
+    * `spark.driver.maxResultSize` — a broadcast build COLLECTS the table
+    * through task results, so a gate that only checks the design cap
+    * aborts the job on an untuned driver (the r13 sf100 probe measured
+    * exactly that: a 1.05 GB text-payload broadcast died against the
+    * 1g default mid-collect). Under the clamp the gate falls back to
+    * the shuffled-hash branch instead — slower, never fatal; a cluster
+    * that wants the broadcast branch at big payloads raises
+    * maxResultSize exactly as it provisions shuffle capacity (the
+    * measurement tools set 8g for this reason). maxResultSize = 0 means
+    * unlimited, so only the design cap applies there. */
+  def broadcastBudget(s: SparkSession, designCap: Long): Long = {
+    val maxResult = s.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    if (maxResult <= 0) designCap
+    else math.min(designCap, maxResult * 3 / 5)
+  }
 }

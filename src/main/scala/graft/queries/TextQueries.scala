@@ -1103,6 +1103,27 @@ object TextQueries extends QueryPack {
     * decision. `d0` must carry (doc_id, text, lang, n_chars). */
   private[graft] def fuzzyCandidates(
       s: SparkSession, d0: DataFrame, r: Int, l: Int): graft.ops.LshJoin.Plan = {
+    val bands = fuzzyBandsFrame(s, d0, r, l)
+    // length prune: dist ≥ |la−lb| and dist ≤ max/5 force 5·min ≥ 4·max.
+    // No verifyCols offered DELIBERATELY: the pairs get a distinct()
+    // below (a pair can collide in several of the L bands), and carrying
+    // a payload would widen exactly the rows that distinct shuffles —
+    // the fuse rule's copy-count model doesn't price that, so this site
+    // stays per-pair by construction.
+    val plan = graft.ops.LshJoin.candidateJoin(s, bands,
+      col("x.lang") === col("y.lang") &&
+        col("x.n") * 5 >= col("y.n") * 4 && col("y.n") * 5 >= col("x.n") * 4)
+    plan.copy(candidates = plan.candidates.distinct())
+  }
+
+  /** The banded frame behind [[fuzzyCandidates]] — (doc_id, lang, n,
+    * bucket), one row per document per band: char-4-grams hashed, the
+    * l·r-member minhash family evaluated per document, each band's r
+    * minhashes concatenated into its bucket key. Split out so the
+    * bucket-population diagnostics (tools.FuzzyBucketDiag) can measure
+    * candidate volume without building a single pair. */
+  private[graft] def fuzzyBandsFrame(
+      s: SparkSession, d0: DataFrame, r: Int, l: Int): DataFrame = {
     val base = d0.select(
       col("doc_id"), col("lang"), col("n_chars"),
       array_sort(array_distinct(transform(
@@ -1115,19 +1136,9 @@ object TextQueries extends QueryPack {
       Seq(col("doc_id"), col("lang"), col("n_chars").as("n")) ++ mhCols: _*)
     def bandKey(j: Int) =
       concat_ws("_", lit(j) +: (0 until r).map(i => col(s"mh${j * r + i}")): _*)
-    val bands = withMh.select(
+    withMh.select(
       col("doc_id"), col("lang"), col("n"),
       explode(array((0 until l).map(bandKey): _*)).as("bucket"))
-    // length prune: dist ≥ |la−lb| and dist ≤ max/5 force 5·min ≥ 4·max.
-    // No verifyCols offered DELIBERATELY: the pairs get a distinct()
-    // below (a pair can collide in several of the L bands), and carrying
-    // a payload would widen exactly the rows that distinct shuffles —
-    // the fuse rule's copy-count model doesn't price that, so this site
-    // stays per-pair by construction.
-    val plan = graft.ops.LshJoin.candidateJoin(s, bands,
-      col("x.lang") === col("y.lang") &&
-        col("x.n") * 5 >= col("y.n") * 4 && col("y.n") * 5 >= col("x.n") * 4)
-    plan.copy(candidates = plan.candidates.distinct())
   }
 
   /** dedup_fuzzy_minhash band count: the OR-amplification law

@@ -111,17 +111,35 @@ object VectorQueries extends QueryPack {
 
   private def adaptivePairSims(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-    val r = adaptiveRows(e.count())
+    val n = e.count()
+    val r = adaptiveRows(n)
+    val l = adaptiveBands(r)
+    // Pair-cardinality stages get DATA-SIZED parallelism: the adaptive
+    // law fixes expected candidates at ~L·n·(TARGET−1)/2 (constant
+    // bucket population by construction), all three factors known right
+    // here, so the distinct and the verify attach run at
+    // bytes-proportional partitions instead of the session constant.
+    // The r13 sf100 probe measured the alternative: 1.65B candidate
+    // pairs in 32 partitions externally sorted ~50M rows per task, and
+    // the spill (not the designed Θ(n^1.22) work) dominated the decade.
+    val estPairBytes = l.toLong * n * (LSH_TARGET_BUCKET - 1) / 2 * 16L
+    val nPart = graft.ops.SessionOps.scaledPartitions(s, estPairBytes)
     val sigs = e.select(col("vec_id"),
       posexplode(graft.expressions.LshBands.lshBands(
-        col("embedding"), adaptiveBands(r), r, DIMS)).as(Seq("band", "bucket")))
+        col("embedding"), l, r, DIMS)).as(Seq("band", "bucket")))
     val a = sigs.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
     val b = sigs.select(col("band"), col("bucket"), col("vec_id").as("b_id"))
-    val cand = a.join(b, Seq("band", "bucket"))
+    val cand = a.repartition(nPart, col("band"), col("bucket"))
+      .join(b.repartition(nPart, col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id")
+      // satisfies the distinct's clustering requirement at nPart, so the
+      // dedup aggregate runs in place — no session-width exchange
+      .repartition(nPart, col("a_id"), col("b_id"))
+      .distinct()
     attachVerify(cand, e,
-      e.queryExecution.optimizedPlan.stats.sizeInBytes)
+      e.queryExecution.optimizedPlan.stats.sizeInBytes, nPart)
   }
 
   /** The verify attach of [[adaptivePairSims]], split out so both sides
@@ -136,14 +154,22 @@ object VectorQueries extends QueryPack {
     * cap — a size-gated hint on corpus-derived data, carried by the
     * reviewed PlanAudit.BROADCAST_OK waivers for the two consumers. */
   private[graft] def attachVerify(
-      cand: DataFrame, e: DataFrame, vecBytes: BigInt): DataFrame = {
+      cand: DataFrame, e: DataFrame, vecBytes: BigInt, nPart: Int): DataFrame = {
     val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    val withA = cand.join(ea.hint("SHUFFLE_HASH"), "a_id")
+    // explicit a_id repartition at the pair-sized width: it satisfies the
+    // hash join's clustering requirement, so this REPLACES the exchange
+    // EnsureRequirements would add at session width — same shuffle
+    // count, pair-proportional parallelism (the output, and with it the
+    // downstream checkpoint/top-k partitioning, inherits nPart)
+    val withA = cand.repartition(nPart, col("a_id"))
+      .join(ea.hint("SHUFFLE_HASH"), "a_id")
     val joined =
-      if (vecBytes <= BigInt(VERIFY_BROADCAST_CAP))
+      if (vecBytes <= BigInt(graft.ops.SessionOps.broadcastBudget(
+        e.sparkSession, VERIFY_BROADCAST_CAP)))
         withA.join(broadcast(eb), "b_id")
-      else withA.join(eb.hint("SHUFFLE_HASH"), "b_id")
+      else withA.repartition(nPart, col("b_id"))
+        .join(eb.hint("SHUFFLE_HASH"), "b_id")
     joined.select(col("a_id"), col("b_id"),
       cosineSim(col("a_emb"), col("b_emb")).as("sim"))
   }
@@ -651,8 +677,16 @@ object VectorQueries extends QueryPack {
         .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"), col("sim"))
         .unionByName(sims
           .select(col("b_id").as("vec_id"), col("a_id").as("nbr_id"), col("sim")))
+      // Cluster by qid at the pair frame's own (data-sized) width before
+      // the top-k: every vec_id's candidate run lands whole in one
+      // partition, so the partial prune is already the exact top-3 and
+      // the merge window sees ≤ 3 rows per qid — without this the r13
+      // sf100 probe measured the union's 3.3B rows sorted at session
+      // width (spill-bound) and a merge the partial barely pruned.
+      val spread = both.repartition(
+        math.max(1, 2 * sims.rdd.getNumPartitions), col("vec_id"))
       VectorOps.topKPerQuery(
-        both, col("vec_id"), Seq(col("sim").desc, col("nbr_id")), k = 3)
+        spread, col("vec_id"), Seq(col("sim").desc, col("nbr_id")), k = 3)
         .select("vec_id", "nbr_id", "sim")
     }),
 

@@ -18,6 +18,9 @@ object ProfileQuery {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      // same collect budget as ScalingProbe: the size-gated payload
+      // broadcasts must take the same branch here as in the probes
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -170,6 +170,11 @@ object ScalingProbe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      // big-decade probes hit the size-gated payload broadcasts; the
+      // gate clamps to 60% of this (SessionOps.broadcastBudget), so an
+      // untuned 1g driver would silently fall back to the shuffled
+      // branch and the probe would measure the wrong plan
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")

@@ -272,7 +272,7 @@ class AdaptiveLshSpec extends AnyFunSuite {
       .crossJoin(e.select(col("vec_id").as("b_id")))
       .filter(col("a_id") < col("b_id")).limit(50)
     def hints(vecBytes: BigInt): Seq[String] =
-      VectorQueries.attachVerify(cand, e, vecBytes)
+      VectorQueries.attachVerify(cand, e, vecBytes, nPart = 4)
         .queryExecution.analyzed.collect {
           case h: ResolvedHint => h.hints.strategy.map(_.toString).getOrElse("")
         }

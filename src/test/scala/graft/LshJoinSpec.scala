@@ -63,7 +63,15 @@ class LshJoinSpec extends AnyFunSuite {
     withForcedSalted {
       val salted = q(spark, SF)
       val (bcasts, _) = exchanges(salted)
-      assert(bcasts.isEmpty)
+      // The CANDIDATE join must stay a salted shuffle — no banded frame
+      // (bucket column) may broadcast. The per-pair verify attach, by
+      // contrast, broadcasts its in-cap payload sides BY DESIGN since
+      // r13 (LshJoin.attachSide: the pair stream must never carry
+      // payload through an exchange), so payload-only broadcasts are
+      // the expected shape here, not a leak of the broadcast path.
+      val banded = bcasts.filter(_.output.map(_.name).contains("bucket"))
+      assert(banded.isEmpty,
+        s"banded candidate frame broadcast on the salted path:\n$banded")
       assert(rows(salted) == expected)
     }
   }
@@ -116,5 +124,54 @@ class LshJoinSpec extends AnyFunSuite {
     }
     assert(graft.ops.LshJoin.shouldFuseVerify(mhBands, salts = 8),
       "minhash banded frame must fuse on this corpus")
+  }
+
+  test("per-pair verify attach never sorts or payload-shuffles the pair stream") {
+    // The r13 fourth-decade lessons as contracts. verifyJoin's per-pair
+    // branch widens the pair-cardinality candidate stream by the payload
+    // (document text): (1) a sort-merge join there sorts a pairs×payload
+    // intermediate — at sf100 that spill filled the disk; (2) even
+    // hash-joined, the SECOND attach re-shuffles pairs WITH the first
+    // side's payload — at sf100 a ~330 GB shuffle write, disk again. So
+    // while the payload table fits the cap both attaches broadcast (the
+    // pair stream never carries payload through any exchange), and the
+    // above-cap fallback is SHUFFLE_HASH (payload builds, pairs probe,
+    // nothing pair-cardinality sorted).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    withForcedSalted {
+      val df = SparkEntry.queries("dedup_fuzzy_minhash")(spark, SF)
+      df.count()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def attachJoins(pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, org.apache.spark.sql.execution.SparkPlan]) =
+        plan.collectWithSubqueries(pf)
+      val attachSmj = attachJoins {
+        case j: SortMergeJoinExec if (j.leftKeys ++ j.rightKeys)
+          .flatMap(_.references.toSeq).map(_.name)
+          .exists(Set("a_id", "b_id")) => j
+      }
+      assert(attachSmj.isEmpty,
+        s"payload attach planned as sort-merge — the pair stream got sorted:\n$attachSmj")
+      val attachBhj = attachJoins {
+        case j: BroadcastHashJoinExec if j.leftKeys.flatMap(_.references.toSeq)
+          .map(_.name).exists(Set("a_id", "b_id")) => j
+      }
+      assert(attachBhj.size >= 2,
+        s"in-cap payload attaches must broadcast (pair stream shuffles no payload), got ${attachBhj.size}")
+    }
+    // the above-cap branch, pinned without a >2 GB fixture
+    val t = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id").as("a_id"), col("text").as("ta"))
+    val over = graft.ops.LshJoin.attachSide(t, BigInt(Long.MaxValue))
+      .queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+          h.hints.strategy.map(_.toString).getOrElse("")
+      }
+    assert(over.exists(_.toUpperCase.contains("SHUFFLE_HASH")) &&
+      !over.exists(_.toUpperCase.contains("BROADCAST")),
+      s"above-cap attach side must fall back to SHUFFLE_HASH: $over")
   }
 }

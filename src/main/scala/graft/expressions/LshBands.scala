@@ -36,7 +36,8 @@ import org.apache.spark.sql.types._
   * length-sweep property in AdaptiveLshSpec, which asserts bit-equality
   * against the HOF formulation at lengths 1..dims+8).
   */
-case class LshBands(child: Expression, bands: Int, rows: Int, dims: Int)
+case class LshBands(child: Expression, bands: Int, rows: Int, dims: Int,
+    bandOffset: Int = 0)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -67,7 +68,7 @@ case class LshBands(child: Expression, bands: Int, rows: Int, dims: Int)
       var bucket = 0
       var i = 0
       while (i < rows) {
-        val p = t * rows + i
+        val p = (bandOffset + t) * rows + i
         var dp = 0.0
         var d = 0
         while (d < lim) {
@@ -117,7 +118,7 @@ case class LshBands(child: Expression, bands: Int, rows: Int, dims: Int)
          |for (int $t = 0; $t < $bands; $t++) {
          |  int $bucket = 0;
          |  for (int $i = 0; $i < $rows; $i++) {
-         |    int $p = $t * $rows + $i;
+         |    int $p = ($bandOffset + $t) * $rows + $i;
          |    double $dp = 0.0;
          |    for (int $d = 0; $d < $lim; $d++) {
          |      $guard
@@ -144,8 +145,15 @@ case class LshBands(child: Expression, bands: Int, rows: Int, dims: Int)
 }
 
 object LshBands {
-  /** Column-API entry point: array of `bands` bucket ids for `emb`. */
-  def lshBands(emb: Column, bands: Int, rows: Int, dims: Int): Column =
+  /** Column-API entry point: array of `bands` bucket ids for `emb`.
+    * `bandOffset` shifts the hyperplane family to ABSOLUTE bands
+    * [offset, offset + bands) — plane p = (offset + t)·rows + i — so a
+    * band-chunked consumer (knn_join_lsh_adaptive's bounded-disk chunks)
+    * computes exactly its chunk's planes per row instead of the full
+    * L-band signature per chunk, and every chunk's buckets equal the
+    * corresponding slice of the one-shot signature. */
+  def lshBands(emb: Column, bands: Int, rows: Int, dims: Int,
+      bandOffset: Int = 0): Column =
     ColumnBridge.column(
-      LshBands(ColumnBridge.expression(emb), bands, rows, dims))
+      LshBands(ColumnBridge.expression(emb), bands, rows, dims, bandOffset))
 }

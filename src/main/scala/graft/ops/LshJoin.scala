@@ -187,22 +187,64 @@ object LshJoin {
       plan.candidates
     else
       plan.candidates
-        .join(attachSide(ta, ta.queryExecution.optimizedPlan.stats.sizeInBytes), "a_id")
-        .join(attachSide(tb, tb.queryExecution.optimizedPlan.stats.sizeInBytes), "b_id")
+        .join(attachSide(ta, measuredBytes(ta)), "a_id")
+        .join(attachSide(tb, measuredBytes(tb)), "b_id")
+
+  /** Collect-side byte estimate for one payload table, with the string
+    * expansion closed (ADVICE r13): the optimizer's `sizeInBytes` is the
+    * COMPRESSED parquet size, and text payloads expand 2–8× on collect —
+    * r13's fuzzy sf100 attach broadcast "1.05 GB" that was actually
+    * ~2.3 GB of UTF-8, surviving only because the driver had headroom.
+    * Decision: fixed-width frames trust the estimate; var-len frames
+    * whose estimate is far from the budget boundary skip the measurement
+    * (≤ budget even at [[PAYLOAD_EXPANSION_MAX]] expansion → safe to
+    * broadcast; already over on the compressed floor → actual can only
+    * be bigger); only the boundary band pays one
+    * SessionOps.payloadBytes aggregate — a narrow pass over the n-row
+    * payload table, noise next to the pair join it gates. */
+  private[graft] def measuredBytes(t: DataFrame): BigInt = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val est = t.queryExecution.optimizedPlan.stats.sizeInBytes
+    val varLen = t.schema.exists(f =>
+      f.dataType == StringType || f.dataType == BinaryType)
+    val budget = BigInt(graft.ops.SessionOps.broadcastBudget(
+      t.sparkSession, PAYLOAD_BROADCAST_CAP))
+    if (!varLen || est * PAYLOAD_EXPANSION_MAX <= budget || est > budget) est
+    else BigInt(graft.ops.SessionOps.payloadBytes(t))
+  }
+
+  /** Worst-case collect-side expansion of a parquet size estimate for
+    * var-len payloads (text compresses up to ~8× in parquet); bounds the
+    * skip-the-measurement fast path in [[measuredBytes]]. */
+  private[graft] val PAYLOAD_EXPANSION_MAX = 8
 
   /** One payload side of the per-pair verify attach, under the size
     * gate — split out so LshJoinSpec pins both branches without a >2 GB
     * fixture. The effective cap is [[PAYLOAD_BROADCAST_CAP]] clamped to
     * the session's driver collect budget (SessionOps.broadcastBudget) —
-    * an over-budget broadcast doesn't degrade, it ABORTS the job. */
+    * an over-budget broadcast doesn't degrade, it ABORTS the job. A
+    * session that disabled broadcasting outright
+    * (autoBroadcastJoinThreshold ≤ 0) is honored with the SHUFFLE_HASH
+    * fallback, matching [[candidateJoin]]'s fitsBroadcast convention
+    * (ADVICE r13): an explicit hint must not overrule an operator who
+    * turned broadcasting off for a small driver. */
   private[graft] def attachSide(t: DataFrame, bytes: BigInt): DataFrame =
-    if (bytes <= BigInt(graft.ops.SessionOps.broadcastBudget(
-      t.sparkSession, PAYLOAD_BROADCAST_CAP))) broadcast(t)
+    if (graft.ops.SessionOps.abFlag(
+      t.sparkSession, graft.ops.SessionOps.AB_NO_JOIN_CONTRACTS)) t
+    else if (t.sparkSession.sessionState.conf.autoBroadcastJoinThreshold > 0 &&
+      bytes <= BigInt(graft.ops.SessionOps.broadcastBudget(
+        t.sparkSession, PAYLOAD_BROADCAST_CAP))) broadcast(t)
     else t.hint("SHUFFLE_HASH")
 
   /** Verify-payload table small enough to broadcast in [[verifyJoin]]'s
     * per-pair branch — the text twin of
-    * VectorQueries.VERIFY_BROADCAST_CAP, same 2 GB bound, same
-    * rationale. */
-  private val PAYLOAD_BROADCAST_CAP: Long = 2L * 1024 * 1024 * 1024
+    * VectorQueries.VERIFY_BROADCAST_CAP's rationale. 4 GB, not the
+    * vector side's 2 GB: the gate now compares MEASURED collect bytes
+    * (not the 2–8× understated parquet estimate), so the cap must admit
+    * what the old estimate admitted in fact — r13's surviving fuzzy
+    * sf100 run broadcast ~2.3 GB of measured text — while keeping a
+    * 2× margin under Spark's hard 8 GB broadcast limit. The driver
+    * budget clamp (60% of maxResultSize) still binds first on any
+    * untuned driver. */
+  private val PAYLOAD_BROADCAST_CAP: Long = 4L * 1024 * 1024 * 1024
 }

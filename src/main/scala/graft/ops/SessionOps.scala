@@ -222,6 +222,72 @@ object SessionOps {
       math.min(4096L, n).toInt)
   }
 
+  /** A/B instrumentation flag (dev-only): `true` turns the named
+    * `spark.graft.ab.*` toggle on. The toggles exist solely so a bench
+    * session can attribute a wall-clock delta to one structural change
+    * (r13 verdict item 5: the 19% sf0.1 drift vs the scale contracts)
+    * without a git bisect; production and the driver never set them. */
+  def abFlag(s: SparkSession, key: String): Boolean =
+    try s.conf.get(key, "false").toBoolean catch { case _: Throwable => false }
+
+  /** Conf key: disable the r13 shared-subtree staging checkpoints
+    * ([[stage]] becomes identity) — one side of the bench A/B. */
+  val AB_NO_STAGE = "spark.graft.ab.noStageCheckpoint"
+
+  /** Conf key: disable the r13 verify-attach join contracts (LshJoin
+    * .attachSide / VectorQueries.attachVerify fall back to unhinted
+    * joins) — the other side of the bench A/B. */
+  val AB_NO_JOIN_CONTRACTS = "spark.graft.ab.noJoinContracts"
+
+  /** [[truncate]] for SHARED-SUBTREE STAGING (the r13 reuse-miss fixes:
+    * a narrow frame consumed by several plan branches is materialized
+    * once instead of re-executing per branch). Identical to truncate in
+    * every mode except under the [[AB_NO_STAGE]] bench toggle, which
+    * reverts these seven sites — and ONLY these; the iterative loops'
+    * correctness-bearing checkpoints (CC, BPE, kcore) and the kNN pair
+    * materialization keep truncating — to the pre-r13 recompute shape
+    * so the staging's sf0.1 price is measurable in isolation. */
+  def stage(df: DataFrame): DataFrame =
+    if (abFlag(df.sparkSession, AB_NO_STAGE)) df else truncate(df)
+
+  /** Nudge Spark's ContextCleaner between bounded-disk work chunks: the
+    * cleaner deletes a chunk's shuffle files only after the JVM garbage
+    * collects the ShuffleDependency objects referencing them, and a big
+    * heap may not GC for many minutes on its own — long enough for the
+    * next chunk's writes to stack on top of the dead ones and fill the
+    * disk (the exact sequential-chunks failure the band-chunked kNN
+    * exists to prevent). One explicit System.gc() is the same lever as
+    * Spark's own `spark.cleaner.periodicGC.interval` (default 30 min),
+    * pulled at the moment a chunk's intermediates are known-dead instead
+    * of on a timer. Deletion stays asynchronous on the cleaner thread;
+    * the next chunk's minutes of compute give it ample overlap, so peak
+    * disk is bounded at ~2 chunks' footprint. */
+  def nudgeShuffleCleanup(s: SparkSession): Unit = System.gc()
+
+  /** MEASURED collect-side bytes of a payload frame: per row, the actual
+    * octet length of every string/binary column plus a fixed 8 B per
+    * other column and a 32 B UnsafeRow overhead, summed in ONE narrow
+    * aggregate over the frame. Exists because the optimizer's
+    * `sizeInBytes` for a parquet scan is the COMPRESSED file size, and
+    * text columns routinely expand 2–8× on collect (r13's fuzzy sf100
+    * broadcast: estimated 1.05 GB, actual ~2.3 GB) — a size gate trusting
+    * the file stat can admit a broadcast that then blows the driver
+    * budget or Spark's 8 GB hard limit. One pass over the n-row payload
+    * table is noise next to the pair join it gates; callers skip it when
+    * the estimate is far from the boundary (LshJoin.measuredBytes). */
+  def payloadBytes(df: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val perRow = df.schema.fields.map { f =>
+      f.dataType match {
+        case StringType | BinaryType =>
+          coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
+        case _ => lit(8L)
+      }
+    }.reduceLeft(_ + _) + lit(32L)
+    df.agg(coalesce(sum(perRow), lit(0L))).head().getLong(0)
+  }
+
   /** The byte budget a size-gated broadcast may actually spend on THIS
     * session: the caller's design cap, clamped to 60% of
     * `spark.driver.maxResultSize` — a broadcast build COLLECTS the table

@@ -153,7 +153,7 @@ object MiningQueries extends QueryPack {
     // term, the same s0+s1+s2 add order (a term the doc lacks
     // contributes +0.0 exactly, as the old coalesce(null) did).
     val tk = TextOps.tokens(col("text"))
-    val f = graft.ops.SessionOps.truncate(
+    val f = graft.ops.SessionOps.stage(
       docs(s, dir).select(
         Seq(col("doc_id"), size(tk).cast("long").as("dl")) ++
           QUERY_TERMS.indices.map(i =>
@@ -506,7 +506,7 @@ object MiningQueries extends QueryPack {
       // narrow columns; checkpoint it once and everything (counts, min,
       // admit) derives from the checkpoint: one corpus pass + one
       // tokenize, structural.
-      val d = graft.ops.SessionOps.truncate(
+      val d = graft.ops.SessionOps.stage(
         docs(s, dir).select(col("doc_id"), col("source"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")))
       val counts = d.groupBy(col("source")).agg(sum(col("n_tokens")).as("n_src"))
@@ -678,7 +678,7 @@ object MiningQueries extends QueryPack {
       // itself stays separate from `bi` deliberately: unigram counts
       // include each doc's final token, which no bigram-left position
       // covers, so the two passes are algorithmically distinct.
-      val uni = graft.ops.SessionOps.truncate(
+      val uni = graft.ops.SessionOps.stage(
         docs(s, dir)
           .select(explode(toks).as("w1"))
           .select(xxhash64(col("w1")).as("w1h"))
@@ -770,7 +770,7 @@ object MiningQueries extends QueryPack {
       // total stays its own scan — it is NOT derivable from toks
       // (zero-token docs have no rows there) and a count-only pass is
       // column-pruned and cheap.
-      val toks = graft.ops.SessionOps.truncate(
+      val toks = graft.ops.SessionOps.stage(
         docs(s, dir)
           .select(col("doc_id"),
             explode(TextOps.distinctTokens(col("text"))).as("t")))

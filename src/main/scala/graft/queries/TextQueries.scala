@@ -968,7 +968,7 @@ object TextQueries extends QueryPack {
       // inverted-index build every IR stack materializes — so the corpus
       // pass is structural. n_docs stays its own count-only scan (not
       // derivable from tf: zero-token docs carry no tf rows).
-      val tf = graft.ops.SessionOps.truncate(
+      val tf = graft.ops.SessionOps.stage(
         docs(s, dir)
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term"))

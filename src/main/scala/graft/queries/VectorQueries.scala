@@ -78,7 +78,18 @@ object VectorQueries extends QueryPack {
     * The Scala float math behind L is evaluated ONCE here and embedded
     * into the oracle SQL as an r-indexed CASE table, so both engines use
     * the identical integers with zero cross-engine float risk. */
-  private[queries] val LSH_TARGET_BUCKET = 16L
+  private[graft] val LSH_TARGET_BUCKET = 16L
+
+  /** Bytes per candidate pair for sizing the pair-cardinality stages:
+    * a two-long UnsafeRow ships ~32 B through the distinct's shuffle
+    * (16 B data + null bitmap + record framing), and the r14 PairWork
+    * measurement put actual pairs 1.3–2.1× over the constant-bucket
+    * design estimate at decades 3–4 (real embeddings cluster, so bucket
+    * populations skew past TARGET) — 48 = 32 × 1.5 folds both in, where
+    * the r13 value of 16 under-sized nPart ~4× and the resulting
+    * external-sort spill was measured as ~half the fourth decade's
+    * wall-clock growth (44.8× vs the 24.3× pair growth). */
+  private[graft] val PAIR_SHUFFLE_BYTES = 48L
 
   private[graft] def adaptiveRows(n: Long): Int =
     (4 to 30).find(r => (LSH_TARGET_BUCKET << r) >= n).getOrElse(30)
@@ -113,7 +124,18 @@ object VectorQueries extends QueryPack {
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
     val n = e.count()
     val r = adaptiveRows(n)
-    val l = adaptiveBands(r)
+    adaptivePairSimsBands(s, e, n, r, 0, adaptiveBands(r))
+  }
+
+  /** [[adaptivePairSims]] restricted to the ABSOLUTE band range
+    * [lo, hi) — the full query passes (0, L); the band-chunked kNN
+    * (bounded-disk fourth-decade mode, r14) processes L in slices whose
+    * signatures, buckets, and verified sims are band-for-band identical
+    * to the one-shot frame (LshBands.bandOffset selects the same
+    * hyperplane family). */
+  private[graft] def adaptivePairSimsBands(
+      s: SparkSession, e: DataFrame, n: Long, r: Int,
+      lo: Int, hi: Int): DataFrame = {
     // Pair-cardinality stages get DATA-SIZED parallelism: the adaptive
     // law fixes expected candidates at ~L·n·(TARGET−1)/2 (constant
     // bucket population by construction), all three factors known right
@@ -122,11 +144,12 @@ object VectorQueries extends QueryPack {
     // The r13 sf100 probe measured the alternative: 1.65B candidate
     // pairs in 32 partitions externally sorted ~50M rows per task, and
     // the spill (not the designed Θ(n^1.22) work) dominated the decade.
-    val estPairBytes = l.toLong * n * (LSH_TARGET_BUCKET - 1) / 2 * 16L
+    val estPairBytes =
+      (hi - lo).toLong * n * (LSH_TARGET_BUCKET - 1) / 2 * PAIR_SHUFFLE_BYTES
     val nPart = graft.ops.SessionOps.scaledPartitions(s, estPairBytes)
     val sigs = e.select(col("vec_id"),
       posexplode(graft.expressions.LshBands.lshBands(
-        col("embedding"), l, r, DIMS)).as(Seq("band", "bucket")))
+        col("embedding"), hi - lo, r, DIMS, lo)).as(Seq("band", "bucket")))
     val a = sigs.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
     val b = sigs.select(col("band"), col("bucket"), col("vec_id").as("b_id"))
     val cand = a.repartition(nPart, col("band"), col("bucket"))
@@ -140,6 +163,54 @@ object VectorQueries extends QueryPack {
       .distinct()
     attachVerify(cand, e,
       e.queryExecution.optimizedPlan.stats.sizeInBytes, nPart)
+  }
+
+  /** One knn_join_lsh_adaptive pipeline stage over bands [lo, hi): the
+    * verified pair frame is MATERIALIZED once before the orientation
+    * union — the clusterLabels lesson: the union's two branches
+    * otherwise each embed the whole signature+candidate+verify subtree,
+    * and whether exchange reuse fuses them is an optimizer gamble; the
+    * checkpoint makes single-build a construction guarantee
+    * (AdaptiveLshSpec pins the shape: both union branches read the SAME
+    * materialized RDD). Returns the top-3 frame for this band range —
+    * the full query's result when (lo, hi) = (0, L) — PLUS the pair
+    * checkpoint its lineage reads, so the chunked caller can release
+    * the checkpoint's blocks the moment the top-3 is independently
+    * materialized (the single-chunk caller leaves it alive: the
+    * returned frame still reads it). */
+  private def knnTopKOverBands(
+      s: SparkSession, e: DataFrame, n: Long, r: Int,
+      lo: Int, hi: Int): (DataFrame, DataFrame) = {
+    val sims = graft.ops.SessionOps.truncate(
+      adaptivePairSimsBands(s, e, n, r, lo, hi))
+    val both = sims
+      .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"), col("sim"))
+      .unionByName(sims
+        .select(col("b_id").as("vec_id"), col("a_id").as("nbr_id"), col("sim")))
+    // Cluster by qid at the pair frame's own (data-sized) width before
+    // the top-k: every vec_id's candidate run lands whole in one
+    // partition, so the partial prune is already the exact top-3 and
+    // the merge window sees ≤ 3 rows per qid — without this the r13
+    // sf100 probe measured the union's 3.3B rows sorted at session
+    // width (spill-bound) and a merge the partial barely pruned.
+    val spread = both.repartition(
+      math.max(1, 2 * sims.rdd.getNumPartitions), col("vec_id"))
+    (VectorOps.topKPerQuery(
+      spread, col("vec_id"), Seq(col("sim").desc, col("nbr_id")), k = 3)
+      .select("vec_id", "nbr_id", "sim"), sims)
+  }
+
+  /** Band-chunk count for knn_join_lsh_adaptive: estimated pair bytes
+    * over `spark.graft.knn.chunkPairBytes` (default 4 GiB), capped at L
+    * (a chunk is at least one band) and floored at 1 — every decade the
+    * driver tests stays single-chunk (sf0.1's estimate is ~90 MB); the
+    * fourth probe decade (26 GB of designed pairs) splits into ~7. */
+  private[graft] def knnChunks(s: SparkSession, estPairBytes: Long, l: Int): Int = {
+    val per =
+      try s.conf.get("spark.graft.knn.chunkPairBytes",
+        (4L * 1024 * 1024 * 1024).toString).toLong
+      catch { case _: Throwable => 4L * 1024 * 1024 * 1024 }
+    math.min(l.toLong, math.max(1L, (estPairBytes + per - 1) / per)).toInt
   }
 
   /** The verify attach of [[adaptivePairSims]], split out so both sides
@@ -162,11 +233,19 @@ object VectorQueries extends QueryPack {
     // EnsureRequirements would add at session width — same shuffle
     // count, pair-proportional parallelism (the output, and with it the
     // downstream checkpoint/top-k partitioning, inherits nPart)
+    if (graft.ops.SessionOps.abFlag(
+      e.sparkSession, graft.ops.SessionOps.AB_NO_JOIN_CONTRACTS))
+      return cand.join(ea, "a_id").join(eb, "b_id")
+        .select(col("a_id"), col("b_id"),
+          cosineSim(col("a_emb"), col("b_emb")).as("sim"))
     val withA = cand.repartition(nPart, col("a_id"))
       .join(ea.hint("SHUFFLE_HASH"), "a_id")
+    // threshold ≤ 0 honors a session-wide broadcast disable, matching
+    // LshJoin.attachSide / candidateJoin (ADVICE r13)
     val joined =
-      if (vecBytes <= BigInt(graft.ops.SessionOps.broadcastBudget(
-        e.sparkSession, VERIFY_BROADCAST_CAP)))
+      if (e.sparkSession.sessionState.conf.autoBroadcastJoinThreshold > 0 &&
+        vecBytes <= BigInt(graft.ops.SessionOps.broadcastBudget(
+          e.sparkSession, VERIFY_BROADCAST_CAP)))
         withA.join(broadcast(eb), "b_id")
       else withA.repartition(nPart, col("b_id"))
         .join(eb.hint("SHUFFLE_HASH"), "b_id")
@@ -672,22 +751,52 @@ object VectorQueries extends QueryPack {
     //    fully consumes anyway. AdaptiveLshSpec pins the shape: both
     //    union branches read the SAME materialized RDD. ------------------
     "knn_join_lsh_adaptive" -> ((s, dir) => {
-      val sims = graft.ops.SessionOps.truncate(adaptivePairSims(s, dir))
-      val both = sims
-        .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"), col("sim"))
-        .unionByName(sims
-          .select(col("b_id").as("vec_id"), col("a_id").as("nbr_id"), col("sim")))
-      // Cluster by qid at the pair frame's own (data-sized) width before
-      // the top-k: every vec_id's candidate run lands whole in one
-      // partition, so the partial prune is already the exact top-3 and
-      // the merge window sees ≤ 3 rows per qid — without this the r13
-      // sf100 probe measured the union's 3.3B rows sorted at session
-      // width (spill-bound) and a merge the partial barely pruned.
-      val spread = both.repartition(
-        math.max(1, 2 * sims.rdd.getNumPartitions), col("vec_id"))
-      VectorOps.topKPerQuery(
-        spread, col("vec_id"), Seq(col("sim").desc, col("nbr_id")), k = 3)
-        .select("vec_id", "nbr_id", "sim")
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val n = e.count()
+      val r = adaptiveRows(n)
+      val l = adaptiveBands(r)
+      val estPairBytes =
+        l.toLong * n * (LSH_TARGET_BUCKET - 1) / 2 * PAIR_SHUFFLE_BYTES
+      val chunks = knnChunks(s, estPairBytes, l)
+      if (chunks == 1)
+        knnTopKOverBands(s, e, n, r, 0, l)._1
+      else {
+        // Band-chunked mode (r14): the one-shot plan's PEAK disk is the
+        // full pair frame's checkpoint plus the 2·pairs orientation
+        // shuffle plus the top-k sort spill all at once — at the fourth
+        // decade (1.65B designed pairs) that sum exceeded the probe
+        // box's 74 GB free disk twice (SCALING_r13: heap OOM, then
+        // ENOSPC). Chunking by band ranges bounds it at ~1/chunks of
+        // each: every chunk runs the identical candidate→verify→top-3
+        // pipeline over its band slice (LshBands.bandOffset keeps the
+        // hyperplane family aligned), materializes only its ≤ 3·n-row
+        // top-3, and releases its pair checkpoint before the next chunk
+        // starts. Merge: exact — top-3 of a union is the top-3 of the
+        // per-chunk top-3s, after dropping the pairs two chunks both
+        // found (same pair ⇒ same sim, so the dedup is a pure
+        // slot-dedup). On a cluster the chunk count is the standard
+        // disk-provisioning dial (spark.graft.knn.chunkPairBytes);
+        // single-chunk remains the plan wherever the pair frame fits.
+        val ranges = (0 until chunks).map { g =>
+          (l * g / chunks, l * (g + 1) / chunks)
+        }.filter { case (lo, hi) => hi > lo }
+        val partials = ranges.map { case (lo, hi) =>
+          val (top0, sims) = knnTopKOverBands(s, e, n, r, lo, hi)
+          val top = graft.ops.SessionOps.truncate(top0)
+          // the chunk's pair checkpoint and shuffle files are garbage
+          // once its top-3 is independently materialized; release the
+          // blocks and nudge the ContextCleaner so the NEXT chunk's
+          // writes reuse the space
+          graft.ops.SessionOps.releaseQuiet(sims)
+          graft.ops.SessionOps.nudgeShuffleCleanup(s)
+          top
+        }
+        val merged = partials.reduce(_ unionByName _)
+          .dropDuplicates("vec_id", "nbr_id")
+        VectorOps.topKPerQuery(
+          merged, col("vec_id"), Seq(col("sim").desc, col("nbr_id")), k = 3)
+          .select("vec_id", "nbr_id", "sim")
+      }
     }),
 
     // -- superset: product quantization — the other standard embedding

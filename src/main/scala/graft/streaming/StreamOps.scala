@@ -23,6 +23,20 @@ case class FuzzyDocIn(k: String, doc_id: Long, text: String, n_chars: Long)
   * bucket × distinct buckets — corpus diversity, never stream length. */
 case class FuzzyClaimants(ids: Seq[Long], texts: Seq[String], lens: Seq[Long])
 
+/** Input row of [[StreamOps.fuzzyDedupStreamRotating]]: the coarse group
+  * key, the doc, its regime at arrival time, and its first-band minhash
+  * vector up to the rotation ceiling. */
+case class FuzzyRotDocIn(k: String, doc_id: Long, text: String,
+    n_chars: Long, regime: Int, mh: Seq[Long])
+
+/** Per-coarse-bucket state of [[StreamOps.fuzzyDedupStreamRotating]]:
+  * claimants keep their FULL minhash vectors so a later, FINER regime
+  * can still match them — the versioned-store discipline that makes
+  * mid-stream regime rotation leak-free. Bounded by
+  * [[StreamOps.FUZZY_GROUP_CLAIMANT_CAP]] per coarse bucket. */
+case class FuzzyRotClaimants(ids: Seq[Long], texts: Seq[String],
+    lens: Seq[Long], sigs: Seq[Seq[Long]])
+
 /** Output row of [[StreamOps.tokenBudgetAdmitStream]]. */
 case class AdmittedDoc(doc_id: Long, source: String, n_tokens: Long, cum_tokens: Long)
 
@@ -502,6 +516,111 @@ object StreamOps {
         d >= 0
       }
     }
+  }
+
+  /** Hard per-coarse-bucket claimant bound of
+    * [[fuzzyDedupStreamRotating]]: a coarse bucket unions the claimants
+    * of all its fine (current-regime) buckets, so the per-fine-bucket
+    * [[FUZZY_CLAIMANT_CAP]] alone would let a hot coarse bucket grow
+    * with its fine-bucket count. Past this many stored claimants in one
+    * group, new docs are admitted UNVERIFIED-as-claimants (kept, never
+    * stored) — recall degrades, correctness never does, state per group
+    * stays O(cap) texts. */
+  val FUZZY_GROUP_CLAIMANT_CAP = 64
+
+  /** [[fuzzyDedupStream]] with MID-STREAM REGIME ROTATION (r13 verdict
+    * item 7): the fixed-r twin pins its banding at plan time because a
+    * stream has no corpus count, so a long-running ingest could never
+    * adopt the batch-measured regime as the corpus grows. This variant
+    * can, with zero re-keying:
+    *
+    *  - state is keyed by the COARSEST regime `rKey` (the signature
+    *    prefix of minhashes 0..rKey−1) — and since a band signature at
+    *    r' > r is a refinement of the signature at r (same hash family,
+    *    prefix containment), every fine bucket of any later regime lives
+    *    wholly inside one coarse group: rotation never strands a
+    *    claimant in an unreachable key;
+    *  - each incoming row carries its own `regime` column (the
+    *    batch-measured r, stamped by the router; adaptiveRows is
+    *    monotone in n so regimes only grow), and is verified against
+    *    exactly the claimants that share its first `regime` minhashes —
+    *    the same verify set a fresh stream keyed at that regime would
+    *    see, because claimants persist their FULL minhash vectors
+    *    ([[FuzzyRotClaimants]].sigs, the versioned-store discipline of
+    *    the IVF maintenance twin);
+    *  - claimant admission stays capped per FINE bucket
+    *    ([[FUZZY_CLAIMANT_CAP]] among the matching claimants) plus the
+    *    [[FUZZY_GROUP_CLAIMANT_CAP]] group bound.
+    *
+    * `rMax` is the rotation ceiling (minhashes computed per row at plan
+    * time — 8 covers corpora to 16·2^8 ≈ 4k per coarse bucket times the
+    * OR-amplified batch recall; a stream that outgrows it restarts with
+    * a bigger ceiling, a checkpoint-compatible change since the key
+    * derivation at rKey is untouched). StreamingSpec pins: drops under
+    * a rotated regime still catch pre-rotation claimants (no dup
+    * leaks), and state stays within both caps. */
+  def fuzzyDedupStreamRotating(
+      docs: DataFrame, rKey: Int = 2, rMax: Int = 8): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(rKey >= 1 && rKey <= rMax, s"need 1 <= rKey <= rMax, got ($rKey, $rMax)")
+    val grams = array_sort(array_distinct(transform(
+      expr("transform(sequence(1, greatest(length(text) - 3, 1))," +
+        " i -> substring(text, i, 4))"),
+      g => graft.ops.TextOps.polyHash(g))))
+    val mh = (0 until rMax).map(p => graft.ops.TextOps.minHash(col("chs"),
+      graft.queries.TextQueries.fuzzyA(p), graft.queries.TextQueries.fuzzyB(p)))
+    val keyed = docs
+      .withColumn("chs", grams)
+      .withColumn("mh", array(mh: _*))
+      .select(
+        concat_ws("|", col("lang"), concat_ws("_",
+          lit(0) +: (0 until rKey).map(i => col("mh")(i)): _*)).as("k"),
+        col("doc_id").cast("long").as("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars"),
+        col("regime").cast("int").as("regime"), col("mh"))
+    implicit val inEnc = org.apache.spark.sql.Encoders.product[FuzzyRotDocIn]
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[DocKeep]
+    implicit val stEnc = org.apache.spark.sql.Encoders.product[FuzzyRotClaimants]
+    keyed.as[FuzzyRotDocIn]
+      .groupByKey(_.k)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[FuzzyRotDocIn],
+         state: GroupState[FuzzyRotClaimants]) => {
+          val (kept, st) = fuzzyRotFold(
+            state.getOption.getOrElse(FuzzyRotClaimants(Nil, Nil, Nil, Nil)),
+            rows.toSeq)
+          state.update(st)
+          kept.iterator
+        })
+      .toDF()
+  }
+
+  /** One bucket-batch of [[fuzzyDedupStreamRotating]]'s state machine,
+    * factored pure for the spec: docs fold in doc_id order; each doc's
+    * verify set is the claimants sharing its first `regime` minhashes;
+    * non-dups are kept, and stored as claimants below both caps. */
+  private[graft] def fuzzyRotFold(
+      st0: FuzzyRotClaimants, docs: Seq[FuzzyRotDocIn])
+      : (Seq[DocKeep], FuzzyRotClaimants) = {
+    var st = st0
+    val kept = Seq.newBuilder[DocKeep]
+    docs.sortBy(_.doc_id).foreach { d =>
+      val mates = st.sigs.indices.filter { i =>
+        st.sigs(i).take(d.regime) == d.mh.take(d.regime)
+      }
+      val isDup = fuzzyIsDup(FuzzyClaimants(
+        mates.map(st.ids), mates.map(st.texts), mates.map(st.lens)),
+        d.text, d.n_chars)
+      if (!isDup) {
+        kept += DocKeep(d.doc_id, d.text)
+        if (mates.size < FUZZY_CLAIMANT_CAP &&
+          st.ids.size < FUZZY_GROUP_CLAIMANT_CAP)
+          st = FuzzyRotClaimants(
+            st.ids :+ d.doc_id, st.texts :+ d.text,
+            st.lens :+ d.n_chars, st.sigs :+ d.mh)
+      }
+    }
+    (kept.result(), st)
   }
 
   /** Streaming twin of `multimodal_phash_neardup`: perceptual near-dup

@@ -38,6 +38,23 @@ object FuzzyBucketDiag {
       println(s"[fuzzydiag] $dir n=$n r=$r l=$l pairsUB=${stats.get(0)} " +
         s"maxBucket=${stats.get(1)} p999=${stats.get(2)} " +
         s"buckets=${stats.get(3)} bandRows=${stats.get(4)}")
+      // FUZZY_TOP=k: additionally dump the k most-populated buckets with
+      // sample member texts — the r14 forensic mode that found the
+      // cross-copy collision class behind the super-design pair growth.
+      sys.env.get("FUZZY_TOP").map(_.toInt).filter(_ > 0).foreach { k =>
+        val top = bands.groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("sz"))
+          .orderBy(col("sz").desc).limit(k).collect()
+        top.foreach { row =>
+          val (lg, bk, sz) = (row.getString(0), row.getString(1), row.getLong(2))
+          val sample = bands.filter(col("lang") === lg && col("bucket") === bk)
+            .join(d0.select(col("doc_id"), col("text")), "doc_id")
+            .select(col("doc_id"), col("text")).limit(4).collect()
+          println(s"[fuzzydiag]   bucket lang=$lg sz=$sz key=${bk.take(40)}")
+          sample.foreach(x => println(
+            s"[fuzzydiag]     doc=${x.getLong(0)} text='${x.getString(1).take(100)}'"))
+        }
+      }
       graft.ops.SessionOps.dropCachedBlocks(spark)
     }
     spark.stop()

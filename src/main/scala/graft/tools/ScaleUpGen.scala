@@ -46,11 +46,16 @@ import org.apache.spark.sql.functions._
   * superlinearly by construction; likewise coordinate rotations compose
   * mod dim. `chain` uses transforms DISJOINT from the first decade's:
   *
-  *  - documents: every token gets a per-copy UPPERCASE suffix tag — the
-  *    corpus alphabet is a–z, so tagged vocabularies are disjoint from
-  *    every Caesar image and from each other; token-set structure
-  *    within a copy is exactly the source's (one extra char per token,
-  *    the same for every copy, keeps char-level costs linear);
+  *  - documents: a per-copy CHARACTER BIJECTION — copy c's letters
+  *    translate to a disjoint 26-char unicode block (see blockChar).
+  *    Vocabularies across copies are disjoint, within-copy token-set
+  *    structure is exactly the source's, and (r14) the char-4-gram
+  *    space maps 1:1 per copy, so char-gram minhash bucket structure
+  *    replicates the source's exactly — the previous suffix-tag
+  *    transform appended one SHARED letter to every token of a copy,
+  *    whose universal tag-grams captured the minhash minimizers and
+  *    saturated fuzzy band signatures (pairs measured 139× per 10×
+  *    data at decade 3; a corpus artifact, not an operator defect);
   *  - embeddings: dihedral coordinate permutations — rotation-type
   *    copies c < ⌈copies/2⌉ rotate by c·copies, reflection-type copies
   *    reverse then rotate by (c−⌈copies/2⌉)·copies. Composed with the
@@ -66,10 +71,11 @@ import org.apache.spark.sql.functions._
   * mode `chain2` derives the FOURTH decade (sf10 → sf100). The chain
   * transforms cannot compose with themselves:
   *
-  *  - documents: suffixTag DOES compose (two-letter uppercase suffixes,
-  *    one per decade — the 100 (decade-3, decade-4) letter pairs are
-  *    pairwise distinct, so vocabularies stay disjoint and the dup-pair
-  *    table stays linear), so chain2 reuses it;
+  *  - documents: the block bijection composes by construction — chain2
+  *    translates decade-3's `copies` blocks to blocks
+  *    [c·copies, (c+1)·copies), so the composed (decade-3, decade-4)
+  *    block index is unique across all copies² effective copies and
+  *    gram/vocab disjointness holds at the fourth decade too;
   *  - embeddings: dihedral permutations do NOT compose — D_dims has only
   *    2·dims elements (128 at dims=64), but decade 4 needs 1000 pairwise
   *    distinct per-copy orthogonal maps. chain2 instead applies a per-copy
@@ -89,15 +95,51 @@ import org.apache.spark.sql.functions._
 object ScaleUpGen {
   private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
 
-  /** chain-mode documents transform: suffix-tag every token with a
-    * per-copy uppercase letter (disjoint from the a–z corpus and from
-    * all Caesar images). Requires copies ≤ 26. */
-  private def suffixTag(text: Column, copy: Column, copies: Int): Column =
-    (1 until copies).foldLeft(
-      when(copy === 0, regexp_replace(text, "(\\S+)", "$1A"))) { (acc, c) =>
+  /** Letter `letter` (0–25) of per-copy character block `block`:
+    * block 0 is the source a–z; block k ≥ 1 is the 26-char run starting
+    * at U+0100 + 26·(k−1) (Latin Extended onward — BMP, surrogate-free).
+    * A per-copy CHARACTER BIJECTION is the only document transform that
+    * is honest at EVERY granularity at once: token vocabularies across
+    * copies are disjoint (different char blocks), within-copy token-set
+    * structure is exactly the source's, AND — the r14 lesson — the
+    * char-4-gram space maps 1:1 per copy, so gram-level Jaccard between
+    * any two within-copy docs is EXACTLY the source pair's and no gram
+    * is shared across copies. The r13 suffixTag it replaces appended
+    * the SAME letter to every token of a copy, which injected
+    * UNIVERSAL tag-adjacent grams into every document; char-gram
+    * minhash minimizers then piled onto those shared grams and band
+    * signatures saturated within each copy cohort — measured (PairWork,
+    * r14) as candidate pairs growing 139×/1660× per decade against the
+    * 10×/14× design, the corpus corruption behind the
+    * dedup_fuzzy_minhash SUPERLINEAR verdicts of SCALING_r12/r13. */
+  private def blockChar(block: Int, letter: Int): Char =
+    if (block == 0) ('a' + letter).toChar
+    else (0x100 + 26 * (block - 1) + letter).toChar
+
+  private def blockAlphabet(blocks: Range): String =
+    blocks.flatMap(b => (0 until 26).map(blockChar(b, _))).mkString
+
+  /** chain/chain2 documents transform: translate copy c's letters from
+    * source blocks [0, srcBlocks) to blocks [c·srcBlocks,
+    * (c+1)·srcBlocks) — a per-copy character bijection (see
+    * [[blockChar]]). chain (decade 3) has srcBlocks = 1 (the a–z
+    * corpus); chain2 (decade 4) has srcBlocks = decade-3's copy count,
+    * so the composed (decade-3, decade-4) block index is unique for all
+    * copies² effective copies and every copy pair's gram sets stay
+    * disjoint. Token lengths are untouched (char-level costs scale
+    * exactly); letters above block 0 encode as 2-byte UTF-8, which
+    * changes byte totals but no char-level semantics. */
+  private def blockShift(
+      text: Column, copy: Column, copies: Int, srcBlocks: Int): Column = {
+    require(0x100 + 26 * (copies * srcBlocks - 1) < 0xD800,
+      "block alphabet would reach the surrogate range")
+    val src = blockAlphabet(0 until srcBlocks)
+    (1 until copies).foldLeft(when(copy === 0, text)) { (acc, c) =>
       acc.when(copy === c,
-        regexp_replace(text, "(\\S+)", "$1" + ('A' + c).toChar))
+        translate(text, src,
+          blockAlphabet(c * srcBlocks until (c + 1) * srcBlocks)))
     }
+  }
 
   /** Per-row Caesar cipher: a when-chain over the (small, literal) copy
     * domain so each branch is a foldable `translate`. Caveat: the shift
@@ -122,7 +164,6 @@ object ScaleUpGen {
     val only: Set[String] =
       if (args.length > 4) args(4).split(",").map(_.trim).toSet else Set.empty
     def wanted(t: String): Boolean = only.isEmpty || only(t)
-    require(!chain || copies <= 26, "chain mode tags copies with A-Z")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -148,10 +189,13 @@ object ScaleUpGen {
     if (wanted("documents")) {
       val docs = read("documents")
       val docStride = maxOf(docs, "doc_id")
+      // chain2's source alphabet spans decade-3's blocks — by the chain
+      // contract both decades run with the same copy count
       write(explodeCopies(docs)
         .withColumn("doc_id", col("doc_id") + col("copy") * docStride)
         .withColumn("text",
-          if (chain) suffixTag(col("text"), col("copy"), copies)
+          if (chain2) blockShift(col("text"), col("copy"), copies, copies)
+          else if (chain) blockShift(col("text"), col("copy"), copies, 1)
           else caesar(col("text"), col("copy"), copies)),
         "documents")
     }

@@ -181,7 +181,14 @@ object ScalingProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def release(): Unit = graft.ops.SessionOps.dropCachedBlocks(spark)
+    def release(): Unit = {
+      graft.ops.SessionOps.dropCachedBlocks(spark)
+      // also nudge shuffle-file cleanup: at the big decades a prior
+      // query's shuffle files otherwise survive into the next query's
+      // run (no GC on a 48 GB heap for many minutes) and stack toward
+      // the disk ceiling — a contributor to the r13 knn ENOSPC
+      graft.ops.SessionOps.nudgeShuffleCleanup(spark)
+    }
 
     def rows(dir: String, table: String): Long =
       graft.model.Tables.load(spark, dir, table).count()
@@ -256,16 +263,51 @@ object ScalingProbe {
         val ts = time(q, small)
         val tb = time(q, big)
         val tr = tb / ts
+        // WORK normalization (r13 verdict item 1): an adaptive-LSH
+        // operator's designed cost is Θ(candidate pairs), and its band
+        // count L grows ~n^ρ by the OR-amplification law — so even a
+        // PERFECT execution exceeds the raw-data slack line. For queries
+        // with a registered estimator the verdict decomposes into (a)
+        // pairs follow the design ratio (n·L growth) and (b) time
+        // follows max(data, pairs) — see PairWork's scaladoc. Measured
+        // AFTER the timed runs so the stats jobs can't warm them.
+        val work = PairWork.estimators.get(q).map { est =>
+          val ws = est(spark, small); release()
+          val wb = est(spark, big); release()
+          (ws, wb)
+        }
         val verdict =
           if (tb < MIN_SECS) "ok (below noise floor)"
-          else if (tr > SLACK * dr) { flagged ::= q; "SUPERLINEAR" }
-          else "ok"
+          else work match {
+            case Some((ws, wb)) =>
+              val wr = wb.pairsUB / math.max(1.0, ws.pairsUB)
+              val designR = (wb.n.toDouble * wb.l) / (ws.n.toDouble * ws.l)
+              val workOk = wr <= SLACK * designR
+              val timeOk = tr <= SLACK * math.max(dr, wr)
+              if (workOk && timeOk) "ok (work-normalized)"
+              else {
+                flagged ::= q
+                if (!workOk) "SUPERLINEAR (pairs exceed the design law)"
+                else "SUPERLINEAR (time exceeds the measured work)"
+              }
+            case None =>
+              if (tr > SLACK * dr) { flagged ::= q; "SUPERLINEAR" } else "ok"
+          }
         println(f"$q%-28s $ts%8.2f $tb%8.2f $tr%8.2f $dr%8.1f  $verdict")
+        val workJson = work.map { case (ws, wb) =>
+          val wr = wb.pairsUB / math.max(1.0, ws.pairsUB)
+          val designR = (wb.n.toDouble * wb.l) / (ws.n.toDouble * ws.l)
+          s""","w_small":${ws.json},"w_big":${wb.json},""" +
+            s""""w_ratio":${f"$wr%.2f"},"w_design_ratio":${f"$designR%.2f"},""" +
+            s""""t_per_pair_ratio":${f"${tr / math.max(1e-9, wr)}%.3f"}"""
+        }.getOrElse("")
         jsonRows += s"""{"query":"$q","t_small":${f"$ts%.3f"},"t_big":${f"$tb%.3f"},""" +
           s""""t_ratio":${f"$tr%.2f"},"d_ratio":${f"$dr%.1f"},""" +
-          s""""inputs":[${inputs.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
-          s""""verdict":"${if (verdict.startsWith("SUPER")) "SUPERLINEAR"
-            else if (tb < MIN_SECS) "noise_floor" else "ok"}"}"""
+          s""""inputs":[${inputs.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]""" +
+          workJson +
+          s""","verdict":"${if (verdict.startsWith("SUPER")) "SUPERLINEAR"
+            else if (tb < MIN_SECS) "noise_floor" else "ok"}",""" +
+          s""""verdict_detail":"$verdict"}"""
       } catch {
         case e: Throwable =>
           println(f"$q%-28s ERROR ${String.valueOf(e.getMessage).take(60)}")

@@ -236,6 +236,55 @@ class AdaptiveLshSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("LshBands bandOffset == the matching slice of the full signature") {
+    // The band-chunked kNN computes each chunk's planes directly
+    // (plane p = (offset + t)·rows + i) instead of the full L-band
+    // signature per chunk; the contract is that chunk buckets equal the
+    // corresponding slice of the one-shot signature, bit for bit.
+    val e = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val r = 5
+    val l = 5
+    val rows = e.select(
+      LshBands.lshBands(col("embedding"), l, r, 64).as("full"),
+      LshBands.lshBands(col("embedding"), 2, r, 64, bandOffset = 3).as("chunk"))
+      .select(slice(col("full"), 4, 2).as("sliced"), col("chunk"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      assert(x.getSeq[Int](0) == x.getSeq[Int](1),
+        s"offset chunk diverged from the full signature's slice: $x")
+    }
+  }
+
+  test("band-chunked kNN equals the single-chunk plan (bounded-disk mode)") {
+    // The r14 fourth-decade fix: when the estimated pair frame exceeds
+    // spark.graft.knn.chunkPairBytes, knn_join_lsh_adaptive processes L
+    // in band slices (per-chunk top-3, released checkpoints) and merges
+    // exactly. Forcing 1-byte chunks here runs one chunk PER BAND — the
+    // maximal split — and the result must be row-identical to the
+    // default single-chunk plan, duplicates across chunks deduped before
+    // the final top-3.
+    val q = SparkEntry.queries("knn_join_lsh_adaptive")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = rows(q(spark, sf))
+    val key = "spark.graft.knn.chunkPairBytes"
+    spark.conf.set(key, "1")
+    try {
+      val chunked = q(spark, sf)
+      // the chunked plan's leaves are the per-chunk top-3 checkpoints,
+      // not one shared pair materialization
+      val rddIds = chunked.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }
+      assert(rddIds.distinct.size > 1,
+        s"expected one materialization per band chunk, got $rddIds")
+      assert(rows(chunked) == single,
+        "band-chunked kNN diverged from the single-chunk result")
+    } finally spark.conf.unset(key)
+  }
+
   test("candidate volume stays linear-bounded at the fixture") {
     // The whole point of adaptivity: candidate pairs ~ L·TARGET·n, not
     // n²/2^planes. The 16x skew headroom still fails any quadratic

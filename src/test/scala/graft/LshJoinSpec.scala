@@ -33,6 +33,18 @@ class LshJoinSpec extends AnyFunSuite {
   }
 
   private def withForcedSalted[T](body: => T): T = {
+    // "1": positive (so the size-gated payload-attach broadcasts stay
+    // legal — a disable via ≤ 0 now reaches them too, pinned below) but
+    // smaller than any banded frame's estimate, so candidateJoin always
+    // takes the salted branch — the same decision rule it applies at
+    // scale.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  private def withBroadcastDisabled[T](body: => T): T = {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "-1")
@@ -173,5 +185,57 @@ class LshJoinSpec extends AnyFunSuite {
     assert(over.exists(_.toUpperCase.contains("SHUFFLE_HASH")) &&
       !over.exists(_.toUpperCase.contains("BROADCAST")),
       s"above-cap attach side must fall back to SHUFFLE_HASH: $over")
+  }
+
+  test("attachSide honors a session-wide broadcast disable (threshold <= 0)") {
+    // ADVICE r13: the explicit broadcast() hint must not overrule an
+    // operator who turned broadcasting off for a small driver — under
+    // autoBroadcastJoinThreshold = -1 even an in-cap payload side falls
+    // back to SHUFFLE_HASH, the same convention candidateJoin's
+    // fitsBroadcast applies.
+    import org.apache.spark.sql.functions._
+    val t = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id").as("a_id"), col("text").as("ta"))
+    def hints(df: DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+          h.hints.strategy.map(_.toString).getOrElse("")
+      }
+    val inCap = hints(graft.ops.LshJoin.attachSide(t, BigInt(1024)))
+    assert(inCap.exists(_.toUpperCase.contains("BROADCAST")),
+      s"in-cap attach must broadcast under a default session: $inCap")
+    withBroadcastDisabled {
+      val disabled = hints(graft.ops.LshJoin.attachSide(t, BigInt(1024)))
+      assert(disabled.exists(_.toUpperCase.contains("SHUFFLE_HASH")) &&
+        !disabled.exists(_.toUpperCase.contains("BROADCAST")),
+        s"threshold <= 0 must force SHUFFLE_HASH on the attach side: $disabled")
+    }
+  }
+
+  test("measuredBytes: estimate trusted off-boundary, measured on it") {
+    // Fixed-width frames and far-from-boundary var-len frames keep the
+    // optimizer estimate (no extra job); a var-len frame in the boundary
+    // band gets the exact octet-length measurement, which exceeds the
+    // compressed-parquet estimate on text (the r13 1.05-vs-2.3 GB gap
+    // this gate closes).
+    import org.apache.spark.sql.functions._
+    val fixed = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id").as("a_id"), col("n_chars"))
+    assert(graft.ops.LshJoin.measuredBytes(fixed) ==
+      fixed.queryExecution.optimizedPlan.stats.sizeInBytes,
+      "fixed-width frame must trust the optimizer estimate")
+    val text = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id").as("a_id"), col("text").as("ta"))
+    val est = text.queryExecution.optimizedPlan.stats.sizeInBytes
+    val measured = BigInt(graft.ops.SessionOps.payloadBytes(text))
+    // the sf0.001 fixture is tiny, so the live call takes the fast path;
+    // the boundary behavior is the payloadBytes value itself: strictly
+    // the raw octet sum plus per-row overhead, here bigger than the
+    // fixture's compressed estimate would ever admit at scale
+    val rawText = text.agg(sum(octet_length(col("ta")))).head().getLong(0)
+    assert(measured >= BigInt(rawText),
+      s"payloadBytes ($measured) must cover the raw octets ($rawText)")
+    assert(graft.ops.LshJoin.measuredBytes(text) == est,
+      "tiny fixture must skip the measurement (est*8 <= budget)")
   }
 }

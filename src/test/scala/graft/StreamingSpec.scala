@@ -654,6 +654,69 @@ class StreamingSpec extends AnyFunSuite {
       s"claimant dup must drop, past-cap dup must admit; got ${kept2.map(_.doc_id)}")
   }
 
+  test("streaming fuzzy dedup: regime rotation mid-stream, no dup leaks") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String, Int)]
+    val q = StreamOps.fuzzyDedupStreamRotating(
+      in.toDF().toDF("doc_id", "text", "lang", "regime"), rKey = 2, rMax = 8)
+      .writeStream.format("memory").queryName("fzrot_out")
+      .outputMode(OutputMode.Append).start()
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat naps quietly beside the warm stone hearth"
+    val other = "completely unrelated payload about parquet column " +
+      "statistics and shuffle partitioning in distributed engines"
+    val fresh = "a third document that shares no phrasing with either " +
+      "of the earlier two and keeps its own vocabulary entirely"
+    val kept = try {
+      // batch 1 arrives under regime 2 — base and other claim buckets
+      in.addData((10L, base, "en", 2), (20L, other, "en", 2))
+      q.processAllAvailable()
+      // the corpus "grew": batch 2 arrives under regime 4. The exact
+      // replay of base must STILL drop — its regime-4 verify set reaches
+      // the regime-2 claimant through the stored full minhash vector
+      // (an exact dup shares all 8 hashes). This is the leak the
+      // fixed-r twin cannot avoid without re-keying state.
+      in.addData((30L, base, "en", 4), (40L, fresh, "en", 4))
+      q.processAllAvailable()
+      spark.table("fzrot_out").select("doc_id").as[Long].collect().sorted.toSeq
+    } finally q.stop()
+    assert(kept.contains(10L) && kept.contains(20L) && kept.contains(40L),
+      s"claimants and the fresh doc must survive: $kept")
+    assert(!kept.contains(30L),
+      s"exact dup must drop ACROSS the regime rotation (kept: $kept)")
+  }
+
+  test("fuzzyRotFold: regime refines the verify set; both claimant caps bound state") {
+    import graft.streaming.{FuzzyRotClaimants, FuzzyRotDocIn}
+    val sig = (tail: Long) => Seq(1L, 1L, tail, 9L, 9L, 9L, 9L, 9L)
+    val empty = FuzzyRotClaimants(Nil, Nil, Nil, Nil)
+    // d1 claims; d2 shares the coarse (rKey=2) prefix but is
+    // verified-distinct (equal lengths, far texts), so both store
+    val (k1, st1) = StreamOps.fuzzyRotFold(empty, Seq(
+      FuzzyRotDocIn("k", 1L, "x" * 100, 100L, 2, sig(1L)),
+      FuzzyRotDocIn("k", 2L, "y" * 100, 100L, 2, sig(2L))))
+    assert(k1.map(_.doc_id) == Seq(1L, 2L) && st1.ids.size == 2)
+    // at regime 3, d3 (exact copy of d1) matches ONLY d1's fine bucket
+    // and drops; d4 (exact copy of d2's text but a DIFFERENT regime-3
+    // signature) has an empty verify set and survives — the same
+    // outcome a fresh regime-3 stream would produce
+    val (k2, _) = StreamOps.fuzzyRotFold(st1, Seq(
+      FuzzyRotDocIn("k", 3L, "x" * 100, 100L, 3, sig(1L)),
+      FuzzyRotDocIn("k", 4L, "y" * 100, 100L, 3, sig(3L))))
+    assert(k2.map(_.doc_id) == Seq(4L),
+      s"regime-3 verify set must refine to the matching claimant: $k2")
+    // group cap: 70 docs, each its own fine bucket (distinct sig tails)
+    // and pairwise length-pruned distinct — all kept, stored claimants
+    // bounded by FUZZY_GROUP_CLAIMANT_CAP
+    val many = (0 until 70).map { i =>
+      FuzzyRotDocIn("k", 100L + i, "z", 100L + i, 8, sig(100L + i))
+    }
+    val (k3, st3) = StreamOps.fuzzyRotFold(empty, many)
+    assert(k3.size == 70, "past-cap docs admit unverified, never drop")
+    assert(st3.ids.size == StreamOps.FUZZY_GROUP_CLAIMANT_CAP,
+      s"group state must cap at ${StreamOps.FUZZY_GROUP_CLAIMANT_CAP}, got ${st3.ids.size}")
+  }
+
   test("streaming IVF assignment: map-side codebook matches the batch expression exactly") {
     import org.apache.spark.sql.functions.{broadcast, col}
     implicit val sqlCtx = spark.sqlContext

@@ -36,6 +36,17 @@ object PairWork {
     * unbounded strings (design RATIOS are still defined via n·L). */
   case class Stats(n: Long, r: Int, l: Int, pairsUB: Double,
       maxBucket: Long, bandRows: Long, designPairs: Double) {
+    /** The operator's designed MAP-SIDE work: n·L·r signature hashes
+      * (each a pass over the doc's grams / the vector's dims — constant
+      * per (doc, hash)). When the banding is healthy the pair table is
+      * small and THIS term dominates wall time; the adaptive law grows
+      * it ~n^(1+ρ) by construction (L = ⌈ln 10 / c^r⌉), so a probe
+      * normalizing by data or pairs alone under-estimates the designed
+      * ratio — measured r14 on the bijection-regenerated corpus:
+      * dedup_fuzzy_minhash pairs grew 12.75× per decade (inside the 14×
+      * design) while wall grew 25.1×, which is 1.42× the 17.7×
+      * signature-work ratio, inside slack. */
+    def sigWork: Double = n.toDouble * l * r
     def json: String =
       s"""{"n":$n,"r":$r,"l":$l,"pairsUB":$pairsUB,""" +
         s""""maxBucket":$maxBucket,"bandRows":$bandRows,""" +

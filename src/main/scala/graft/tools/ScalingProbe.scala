@@ -280,10 +280,18 @@ object ScalingProbe {
           if (tb < MIN_SECS) "ok (below noise floor)"
           else work match {
             case Some((ws, wb)) =>
+              // two designed cost terms: candidate pairs (join/verify
+              // side, corpus-dependent — must stay inside the n·L
+              // design ratio) and n·L·r signature hashes (map side,
+              // deterministic). Total cost is a weighted sum, so its
+              // ratio is bounded by the max of the term ratios — the
+              // same lenient-by-construction bound d_ratio uses across
+              // input tables.
               val wr = wb.pairsUB / math.max(1.0, ws.pairsUB)
+              val sr = wb.sigWork / ws.sigWork
               val designR = (wb.n.toDouble * wb.l) / (ws.n.toDouble * ws.l)
               val workOk = wr <= SLACK * designR
-              val timeOk = tr <= SLACK * math.max(dr, wr)
+              val timeOk = tr <= SLACK * math.max(dr, math.max(wr, sr))
               if (workOk && timeOk) "ok (work-normalized)"
               else {
                 flagged ::= q
@@ -296,10 +304,12 @@ object ScalingProbe {
         println(f"$q%-28s $ts%8.2f $tb%8.2f $tr%8.2f $dr%8.1f  $verdict")
         val workJson = work.map { case (ws, wb) =>
           val wr = wb.pairsUB / math.max(1.0, ws.pairsUB)
+          val sr = wb.sigWork / ws.sigWork
           val designR = (wb.n.toDouble * wb.l) / (ws.n.toDouble * ws.l)
           s""","w_small":${ws.json},"w_big":${wb.json},""" +
             s""""w_ratio":${f"$wr%.2f"},"w_design_ratio":${f"$designR%.2f"},""" +
-            s""""t_per_pair_ratio":${f"${tr / math.max(1e-9, wr)}%.3f"}"""
+            s""""w_sig_ratio":${f"$sr%.2f"},""" +
+            s""""t_per_work_ratio":${f"${tr / math.max(1e-9, math.max(wr, sr))}%.3f"}"""
         }.getOrElse("")
         jsonRows += s"""{"query":"$q","t_small":${f"$ts%.3f"},"t_big":${f"$tb%.3f"},""" +
           s""""t_ratio":${f"$tr%.2f"},"d_ratio":${f"$dr%.1f"},""" +

@@ -95,6 +95,42 @@ class SessionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("releaseQuiet refuses to delete checkpoint files outside the context's checkpoint dir") {
+    // The guard on the one step of releaseQuiet that can DESTROY data on
+    // a contract violation: the recursive file delete only fires for
+    // paths under sparkContext.getCheckpointDir. A checkpoint whose
+    // files live anywhere else (user-created, or the context was
+    // repointed) is left on disk and the refusal is logged — never
+    // silently deleted.
+    val sc = spark.sparkContext
+    val prevDir = sc.getCheckpointDir
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ckpt-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ckpt-b").toString
+    spark.conf.set(SessionOps.RELIABLE_KEY, "true")
+    sc.setCheckpointDir(dirA)
+    try {
+      val ck = SessionOps.truncate(spark.range(25).toDF("x"))
+      val file = ck.queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+        .rdd.getCheckpointFile
+      assert(file.isDefined, "reliable truncate must carry a checkpoint file")
+      val p = new org.apache.hadoop.fs.Path(file.get)
+      val fs = p.getFileSystem(sc.hadoopConfiguration)
+      // repoint the context: the checkpoint now lives OUTSIDE its dir
+      // (setCheckpointDir mints a fresh UUID subroot every call, so
+      // there is no way back under the original root — the
+      // delete-under-root half lives in the reliable-release test
+      // above, which never repoints)
+      sc.setCheckpointDir(dirB)
+      SessionOps.releaseQuiet(ck)
+      assert(fs.exists(p),
+        s"checkpoint outside the context dir must NOT be deleted: ${file.get}")
+    } finally {
+      spark.conf.set(SessionOps.RELIABLE_KEY, "false")
+      prevDir.foreach(sc.setCheckpointDir)
+    }
+  }
+
   test("iterative fold keeps the persistent-RDD count flat") {
     // The shape every trainer loop has: round N checkpoints its state,
     // releases round N-1. The persistent set must not grow with rounds

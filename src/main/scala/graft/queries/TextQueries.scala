@@ -1078,8 +1078,10 @@ object TextQueries extends QueryPack {
     "dedup_fuzzy_minhash" -> ((s, dir) => {
       val d0 = docs(s, dir).select(
         col("doc_id"), col("text"), col("lang"), col("n_chars"))
-      val r = graft.queries.VectorQueries.adaptiveRows(d0.count())
-      val plan = fuzzyCandidates(s, d0, r, fuzzyBands(r))
+      val n = d0.count()
+      val r = graft.queries.VectorQueries.adaptiveRows(n)
+      val plan = fuzzyCandidates(s, d0, r, fuzzyBands(r),
+        stageBands = n >= FUZZY_STAGE_MIN_DOCS)
       val ta = d0.select(col("doc_id").as("a_id"), col("text").as("ta"),
         col("n_chars").as("la"))
       val tb = d0.select(col("doc_id").as("b_id"), col("text").as("tb"),
@@ -1102,8 +1104,22 @@ object TextQueries extends QueryPack {
     * an LshJoin.Plan so the verify join inherits the broadcast/salted
     * decision. `d0` must carry (doc_id, text, lang, n_chars). */
   private[graft] def fuzzyCandidates(
-      s: SparkSession, d0: DataFrame, r: Int, l: Int): graft.ops.LshJoin.Plan = {
-    val bands = fuzzyBandsFrame(s, d0, r, l)
+      s: SparkSession, d0: DataFrame, r: Int, l: Int,
+      stageBands: Boolean = false): graft.ops.LshJoin.Plan = {
+    // stageBands (r14): candidateJoin consumes the banded frame as BOTH
+    // join sides, and each side re-runs the full L·r-minhash signature
+    // pass — at the fourth decade that is two 133-hash scans of 5M docs,
+    // measured (ProfileQuery, sf10) as the top-2 stages of the query.
+    // Above FUZZY_STAGE_MIN_DOCS the frame is checkpointed once
+    // (~40 B/row · n·L) so both sides read the materialization; below
+    // it the plan is untouched (the recompute is cheaper than the
+    // materialization at bench scale, and the broadcast-branch plan
+    // shape the specs pin stays byte-identical). The checkpoint lives
+    // for the query's lifetime — the knn pattern; harnesses reclaim via
+    // SessionOps.dropCachedBlocks.
+    val bands0 = fuzzyBandsFrame(s, d0, r, l)
+    val bands =
+      if (stageBands) graft.ops.SessionOps.truncate(bands0) else bands0
     // length prune: dist ≥ |la−lb| and dist ≤ max/5 force 5·min ≥ 4·max.
     // No verifyCols offered DELIBERATELY: the pairs get a distinct()
     // below (a pair can collide in several of the L bands), and carrying
@@ -1134,12 +1150,27 @@ object TextQueries extends QueryPack {
       TextOps.minHash(col("chs"), fuzzyA(p), fuzzyB(p)).as(s"mh$p"))
     val withMh = base.select(
       Seq(col("doc_id"), col("lang"), col("n_chars").as("n")) ++ mhCols: _*)
+    // Band key: xxhash64 over (band index, the band's r minhashes) — an
+    // 8-byte long where the r13 concat_ws key was a ~45-char string. At
+    // r = 19 the string keys were most of the candidate shuffle's bytes
+    // (ProfileQuery, sf10: 2.2 GB for 22.5M salted band rows) and every
+    // join compare re-hashed them. Collision safety is structural, not
+    // probabilistic hope: a 64-bit collision can only ADD a candidate
+    // pair, and every candidate passes the EXACT verify (length prune +
+    // capped levenshtein), so the query's output is identical — the
+    // oracle never sees Spark's bucket encoding (its SQL bands with its
+    // own keys and verifies the same exact predicate).
     def bandKey(j: Int) =
-      concat_ws("_", lit(j) +: (0 until r).map(i => col(s"mh${j * r + i}")): _*)
+      xxhash64(lit(j) +: (0 until r).map(i => col(s"mh${j * r + i}")): _*)
     withMh.select(
       col("doc_id"), col("lang"), col("n"),
       explode(array((0 until l).map(bandKey): _*)).as("bucket"))
   }
+
+  /** Corpus size past which [[fuzzyCandidates]] checkpoints its banded
+    * frame (see stageBands) — sf0.1 (50k docs) stays on the un-staged
+    * plan, the probe decades (500k+) stage. */
+  private[graft] val FUZZY_STAGE_MIN_DOCS = 200000L
 
   /** dedup_fuzzy_minhash band count: the OR-amplification law
     * L = ⌈ln 10 / s*^r⌉ at the gram-Jaccard design point s* = 0.95

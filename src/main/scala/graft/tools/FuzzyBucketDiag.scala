@@ -46,11 +46,11 @@ object FuzzyBucketDiag {
           .agg(count(lit(1)).as("sz"))
           .orderBy(col("sz").desc).limit(k).collect()
         top.foreach { row =>
-          val (lg, bk, sz) = (row.getString(0), row.getString(1), row.getLong(2))
+          val (lg, bk, sz) = (row.getString(0), row.get(1), row.getLong(2))
           val sample = bands.filter(col("lang") === lg && col("bucket") === bk)
             .join(d0.select(col("doc_id"), col("text")), "doc_id")
             .select(col("doc_id"), col("text")).limit(4).collect()
-          println(s"[fuzzydiag]   bucket lang=$lg sz=$sz key=${bk.take(40)}")
+          println(s"[fuzzydiag]   bucket lang=$lg sz=$sz key=${String.valueOf(bk).take(40)}")
           sample.foreach(x => println(
             s"[fuzzydiag]     doc=${x.getLong(0)} text='${x.getString(1).take(100)}'"))
         }

@@ -37,7 +37,13 @@ object LshJoin {
     * `a_<col>`/`b_<col>` (the salted fused-verify path — see
     * [[candidateJoin]]'s `verifyCols`). */
   case class Plan(candidates: DataFrame, broadcastBuild: Boolean,
-      carried: Seq[String] = Nil)
+      carried: Seq[String] = Nil,
+      /** Σ sz·(sz−1)/2 over the salted branch's band buckets — an UPPER
+        * bound on candidate pairs (pre-extraCond, pre-distinct), so the
+        * pairs-side broadcast gate it feeds is conservative toward the
+        * shuffle path. None on the broadcast branch (small corpus, the
+        * payload broadcasts are already the right shape). */
+      estBucketPairs: Option[Double] = None)
 
   /** True when `df`'s optimizer size estimate fits the session's broadcast
     * threshold (and the threshold is positive — `-1` disables broadcasting
@@ -100,9 +106,10 @@ object LshJoin {
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       Plan(cand, broadcastBuild = true)
     } else {
+      val (bucketPairs, bandRows) = bucketPairStats(lean)
       val carry =
         if (verifyCols.isEmpty) Nil
-        else if (shouldFuseVerify(lean, salts)) verifyCols
+        else if (fuseRule(bucketPairs, bandRows, salts)) verifyCols
         else Nil
       // Probe picks ONE salt (deterministic in doc_id); build replicated
       // to ALL salts. The join's shuffle keys become (bucket, salt).
@@ -116,7 +123,8 @@ object LshJoin {
           Seq(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")) ++
             carry.flatMap(c =>
               Seq(col(s"x.$c").as(s"a_$c"), col(s"y.$c").as(s"b_$c"))): _*)
-      Plan(cand, broadcastBuild = false, carried = carry)
+      Plan(cand, broadcastBuild = false, carried = carry,
+        estBucketPairs = Some(bucketPairs))
     }
   }
 
@@ -137,13 +145,21 @@ object LshJoin {
     * payload) — at the scale where that branch is taken, one pass over
     * the key column is noise next to the pair join it sizes. */
   private[graft] def shouldFuseVerify(lean: DataFrame, salts: Int): Boolean = {
+    val (pairs, rows) = bucketPairStats(lean)
+    fuseRule(pairs, rows, salts)
+  }
+
+  /** The one bucket-stats pass behind both salted-branch decisions
+    * (fuse-vs-ship AND the pairs-side-broadcast verify gate): candidate
+    * pairs upper bound Σ sz·(sz−1)/2 and total band rows. */
+  private[graft] def bucketPairStats(lean: DataFrame): (Double, Long) = {
     val r = lean.select(col("bucket")).groupBy("bucket")
       .agg(count(lit(1)).as("c"))
       .agg(
         coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)).as("pairs"),
         coalesce(sum(col("c")), lit(0L)).as("bandRows"))
       .head()
-    fuseRule(r.getDouble(0), r.getLong(1), salts)
+    (r.getDouble(0), r.getLong(1))
   }
 
   /** The pure inequality behind [[shouldFuseVerify]], separated so the
@@ -185,10 +201,46 @@ object LshJoin {
       plan.candidates.join(broadcast(ta), "a_id").join(broadcast(tb), "b_id")
     else if (plan.carried.nonEmpty)
       plan.candidates
-    else
-      plan.candidates
-        .join(attachSide(ta, measuredBytes(ta)), "a_id")
-        .join(attachSide(tb, measuredBytes(tb)), "b_id")
+    else {
+      // Pairs-side broadcast (r14): on the salted branch the candidate
+      // UPPER bound is already measured (Plan.estBucketPairs, the same
+      // stats pass the fuse rule uses). When the bare id pairs fit
+      // [[PAIRS_BROADCAST_CAP]], attaching payload by broadcasting the
+      // PAIRS and probing with the payload SCANS is the shape that
+      // survives any corpus size: the payload is never collected (the
+      // r13 payload broadcast was one single-threaded multi-GB
+      // hash-relation build at the fourth decade — ProfileQuery) and
+      // never shuffled; each side is one map-side pass over its scan,
+      // and the two pairs-sized enriched frames meet in a small
+      // hash join (SHUFFLE_HASH: pair-cardinality streams are never
+      // sorted, the standing contract). Above the cap — or under a
+      // session-wide broadcast disable — the payload-side gate below
+      // decides as before.
+      val s = ta.sparkSession
+      val bcastOk = s.sessionState.conf.autoBroadcastJoinThreshold > 0
+      val pairsFit = plan.estBucketPairs.exists(p =>
+        p * PAIR_ID_BYTES <= graft.ops.SessionOps.broadcastBudget(
+          s, PAIRS_BROADCAST_CAP).toDouble)
+      if (bcastOk && pairsFit) {
+        val pairs = plan.candidates
+        val pa = ta.join(broadcast(pairs), "a_id")
+        val pb = tb.join(broadcast(pairs), "b_id")
+        pa.join(pb.hint("SHUFFLE_HASH"), Seq("a_id", "b_id"))
+      } else
+        plan.candidates
+          .join(attachSide(ta, measuredBytes(ta)), "a_id")
+          .join(attachSide(tb, measuredBytes(tb)), "b_id")
+    }
+
+  /** UnsafeRow bytes of one bare (a_id, b_id) candidate pair in a
+    * broadcast build. */
+  private val PAIR_ID_BYTES = 32.0
+
+  /** Bare candidate-pair table small enough to broadcast for the
+    * pairs-side verify attach — 64 MB (~2M pairs): small next to every
+    * executor's memory, and the two enriched pairs×payload frames it
+    * implies stay comfortably sub-GB at typical document payloads. */
+  private val PAIRS_BROADCAST_CAP: Long = 64L * 1024 * 1024
 
   /** Collect-side byte estimate for one payload table, with the string
     * expansion closed (ADVICE r13): the optimizer's `sizeInBytes` is the

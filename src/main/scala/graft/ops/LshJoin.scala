@@ -195,7 +195,17 @@ object LshJoin {
     * table, probe with the pair stream, nothing pair-cardinality ever
     * sorted — the same contract as VectorQueries.attachVerify. The
     * size-gated corpus-derived broadcast hints are covered by each
-    * consumer's reviewed PlanAudit.BROADCAST_OK waiver. */
+    * consumer's reviewed PlanAudit.BROADCAST_OK waiver.
+    *
+    * PRECONDITION (ADVICE r14): `plan.candidates` must hold DISTINCT
+    * (a_id, b_id) pairs. The pairs-side broadcast branch joins the pair
+    * set against EACH payload side and then meets the two enriched
+    * frames on (a_id, b_id) — a pair appearing k times would emit k rows
+    * into each side and k² out of the meet, where the payload-side
+    * attach shape emits k. Every current caller satisfies this (the
+    * minhash/fuzzy first-collision-band filters and the shingle/phash
+    * `distinct()` both dedup before verify); a future multi-band caller
+    * that doesn't must `distinct()` first or take the attach branch. */
   def verifyJoin(plan: Plan, ta: DataFrame, tb: DataFrame): DataFrame =
     if (plan.broadcastBuild)
       plan.candidates.join(broadcast(ta), "a_id").join(broadcast(tb), "b_id")
@@ -217,11 +227,17 @@ object LshJoin {
       // session-wide broadcast disable — the payload-side gate below
       // decides as before.
       val s = ta.sparkSession
+      // the pairs-side broadcast is an r14 join contract like the rest:
+      // the A/B "no join contracts" arm must fall through to the unhinted
+      // attach below, or the toggle's wall-clock attribution is muddied
+      // wherever pairsFit holds (ADVICE r14)
+      val abOff = graft.ops.SessionOps.abFlag(
+        s, graft.ops.SessionOps.AB_NO_JOIN_CONTRACTS)
       val bcastOk = s.sessionState.conf.autoBroadcastJoinThreshold > 0
       val pairsFit = plan.estBucketPairs.exists(p =>
         p * PAIR_ID_BYTES <= graft.ops.SessionOps.broadcastBudget(
           s, PAIRS_BROADCAST_CAP).toDouble)
-      if (bcastOk && pairsFit) {
+      if (!abOff && bcastOk && pairsFit) {
         val pairs = plan.candidates
         val pa = ta.join(broadcast(pairs), "a_id")
         val pb = tb.join(broadcast(pairs), "b_id")
@@ -239,8 +255,10 @@ object LshJoin {
   /** Bare candidate-pair table small enough to broadcast for the
     * pairs-side verify attach — 64 MB (~2M pairs): small next to every
     * executor's memory, and the two enriched pairs×payload frames it
-    * implies stay comfortably sub-GB at typical document payloads. */
-  private val PAIRS_BROADCAST_CAP: Long = 64L * 1024 * 1024
+    * implies stay comfortably sub-GB at typical document payloads.
+    * Shared with VectorQueries.attachVerify (r15) — one gate, both
+    * payload families. */
+  private[graft] val PAIRS_BROADCAST_CAP: Long = 64L * 1024 * 1024
 
   /** Collect-side byte estimate for one payload table, with the string
     * expansion closed (ADVICE r13): the optimizer's `sizeInBytes` is the
@@ -253,16 +271,26 @@ object LshJoin {
     * broadcast; already over on the compressed floor → actual can only
     * be bigger); only the boundary band pays one
     * SessionOps.payloadBytes aggregate — a narrow pass over the n-row
-    * payload table, noise next to the pair join it gates. */
+    * payload table, noise next to the pair join it gates.
+    *
+    * Var-len now includes CONTAINER types (ADVICE r14): an
+    * array<bigint> minhash column compresses in parquet and collects at
+    * 8 B/element, the same understatement class as text — the old
+    * String/Binary-only check let exactly the frames attachSide can
+    * broadcast (shingle's `sh`, un-fused minhash `th`) skip the
+    * boundary measurement. Frames holding a column payloadBytes cannot
+    * price (maps, structs, nested arrays) are gated at the worst-case
+    * [[PAYLOAD_EXPANSION_MAX]] expansion of the estimate instead —
+    * broadcast only when even 8× the compressed size fits. */
   private[graft] def measuredBytes(t: DataFrame): BigInt = {
-    import org.apache.spark.sql.types.{BinaryType, StringType}
     val est = t.queryExecution.optimizedPlan.stats.sizeInBytes
-    val varLen = t.schema.exists(f =>
-      f.dataType == StringType || f.dataType == BinaryType)
+    val varLen = t.schema.exists(f => !graft.ops.SessionOps.fixedWidth(f.dataType))
     val budget = BigInt(graft.ops.SessionOps.broadcastBudget(
       t.sparkSession, PAYLOAD_BROADCAST_CAP))
     if (!varLen || est * PAYLOAD_EXPANSION_MAX <= budget || est > budget) est
-    else BigInt(graft.ops.SessionOps.payloadBytes(t))
+    else if (graft.ops.SessionOps.allMeasurable(t.schema))
+      BigInt(graft.ops.SessionOps.payloadBytes(t))
+    else est * PAYLOAD_EXPANSION_MAX
   }
 
   /** Worst-case collect-side expansion of a parquet size estimate for

@@ -277,16 +277,59 @@ object SessionOps {
     * the estimate is far from the boundary (LshJoin.measuredBytes). */
   def payloadBytes(df: DataFrame): Long = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{BinaryType, StringType}
     val perRow = df.schema.fields.map { f =>
-      f.dataType match {
-        case StringType | BinaryType =>
-          coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
-        case _ => lit(8L)
-      }
+      colBytes(f).getOrElse(lit(8L))
     }.reduceLeft(_ + _) + lit(32L)
     df.agg(coalesce(sum(perRow), lit(0L))).head().getLong(0)
   }
+
+  /** Collect-side byte expression for one column, or None when the type
+    * has no cheap measurement (maps, structs, nested arrays) — callers
+    * treat a None column as UNMEASURABLE and gate conservatively
+    * (LshJoin.measuredBytes prices the whole frame at the worst-case
+    * expansion instead). Array elements are priced at 8 B each plus a
+    * 16 B header — UnsafeArrayData stores primitives 8-byte aligned, so
+    * this bounds int/float arrays from above — and string/binary
+    * elements at their octet length plus an 8 B offset slot (ADVICE r14:
+    * the old per-column flat 8 B priced a minhash array<bigint> like a
+    * scalar, understating a collect ~100×). */
+  private[graft] def colBytes(f: org.apache.spark.sql.types.StructField)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    f.dataType match {
+      case StringType | BinaryType =>
+        Some(coalesce(octet_length(col(f.name)).cast("long"), lit(0L)))
+      case ArrayType(StringType | BinaryType, _) =>
+        Some(coalesce(
+          aggregate(col(f.name), lit(0L),
+            (acc, x) => acc + coalesce(octet_length(x).cast("long"), lit(0L)))
+            + size(col(f.name)).cast("long") * lit(8L) + lit(16L),
+          lit(0L)))
+      case ArrayType(et, _) if fixedWidth(et) =>
+        Some(coalesce(
+          size(col(f.name)).cast("long") * lit(8L) + lit(16L), lit(0L)))
+      case _: ArrayType | _: MapType | _: StructType => None
+      case _ => Some(lit(8L))
+    }
+  }
+
+  /** Fixed-width scalar types — the ones the optimizer's parquet size
+    * estimate cannot understate past the codec ratio. */
+  private[graft] def fixedWidth(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | DateType | TimestampType |
+           TimestampNTZType | _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** True when every column of `schema` has a measurable collect-side
+    * byte expression ([[colBytes]]). */
+  private[graft] def allMeasurable(schema: org.apache.spark.sql.types.StructType): Boolean =
+    schema.fields.forall(f => colBytes(f).isDefined)
 
   /** The byte budget a size-gated broadcast may actually spend on THIS
     * session: the caller's design cap, clamped to 60% of

@@ -598,15 +598,25 @@ object StreamOps {
   /** One bucket-batch of [[fuzzyDedupStreamRotating]]'s state machine,
     * factored pure for the spec: docs fold in doc_id order; each doc's
     * verify set is the claimants sharing its first `regime` minhashes;
-    * non-dups are kept, and stored as claimants below both caps. */
+    * non-dups are kept, and stored as claimants below both caps.
+    *
+    * A row's `regime` is CLAMPED to `[1, |mh|]` (ADVICE r14): the stored
+    * vectors carry exactly `rMax` hashes, so a mis-stamped
+    * `regime > rMax` would otherwise silently `take`-truncate both sides
+    * to `rMax` hashes — kept/dropped stays correct (the verify is
+    * exact), but the documented "same verify set as a fresh stream at
+    * that regime" contract would not hold. The clamp makes the effective
+    * regime explicit: an over-stamped row verifies at the ceiling
+    * granularity `rMax`, an under-stamped (`< 1`) row at the coarsest. */
   private[graft] def fuzzyRotFold(
       st0: FuzzyRotClaimants, docs: Seq[FuzzyRotDocIn])
       : (Seq[DocKeep], FuzzyRotClaimants) = {
     var st = st0
     val kept = Seq.newBuilder[DocKeep]
     docs.sortBy(_.doc_id).foreach { d =>
+      val g = math.max(1, math.min(d.regime, d.mh.size))
       val mates = st.sigs.indices.filter { i =>
-        st.sigs(i).take(d.regime) == d.mh.take(d.regime)
+        st.sigs(i).take(g) == d.mh.take(g)
       }
       val isDup = fuzzyIsDup(FuzzyClaimants(
         mates.map(st.ids), mates.map(st.texts), mates.map(st.lens)),

@@ -238,4 +238,59 @@ class LshJoinSpec extends AnyFunSuite {
     assert(graft.ops.LshJoin.measuredBytes(text) == est,
       "tiny fixture must skip the measurement (est*8 <= budget)")
   }
+
+  test("payloadBytes prices container columns; unmeasurable types classified (ADVICE r14)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, LongType, MapType, StringType}
+    import graft.ops.SessionOps
+    // array<long> payload — the minhash/shingle shape attachSide can
+    // broadcast: elements priced at 8 B each, not the old flat 8 B scalar
+    val arr = spark.range(10).select(col("id").as("a_id"),
+      sequence(lit(1L), lit(100L)).as("sh"))
+    val pb = SessionOps.payloadBytes(arr)
+    assert(pb >= 10L * 100L * 8L,
+      s"array elements must be priced (got $pb for 1000 longs)")
+    // array<string>: element octet lengths dominate
+    val sarr = spark.range(4).select(col("id").as("a_id"),
+      array(lit("x" * 1000), lit("y" * 1000)).as("ts"))
+    assert(SessionOps.payloadBytes(sarr) >= 4L * 2000L,
+      "string-array octets must be priced")
+    // classification feeding measuredBytes' gate: containers are var-len,
+    // maps/structs are unmeasurable (gated at worst-case expansion)
+    assert(!SessionOps.fixedWidth(ArrayType(LongType)) &&
+      SessionOps.fixedWidth(LongType) && !SessionOps.fixedWidth(StringType))
+    assert(SessionOps.allMeasurable(arr.schema) &&
+      SessionOps.allMeasurable(sarr.schema))
+    val m = spark.range(2).select(
+      map(lit("k"), lit(1L)).as("m"), col("id").as("a_id"))
+    assert(!SessionOps.allMeasurable(m.schema),
+      "map columns have no cheap measurement and must flag the frame")
+  }
+
+  test("pairs-side broadcast honors the AB no-join-contracts arm (ADVICE r14)") {
+    import org.apache.spark.sql.functions._
+    val cand = spark.range(5).select(
+      col("id").as("a_id"), (col("id") + 100L).as("b_id"))
+    val ta = spark.range(200).select(
+      col("id").as("a_id"), col("id").cast("double").as("va"))
+    val tb = spark.range(200).select(
+      col("id").as("b_id"), col("id").cast("double").as("vb"))
+    val plan = graft.ops.LshJoin.Plan(
+      cand, broadcastBuild = false, estBucketPairs = Some(5.0))
+    def hints(df: DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+          h.hints.strategy.map(_.toString).getOrElse("")
+      }
+    val on = hints(graft.ops.LshJoin.verifyJoin(plan, ta, tb))
+    assert(on.exists(_.toUpperCase.contains("BROADCAST")),
+      s"in-cap pair set must take the pairs-side broadcast: $on")
+    val key = graft.ops.SessionOps.AB_NO_JOIN_CONTRACTS
+    spark.conf.set(key, "true")
+    try {
+      val off = hints(graft.ops.LshJoin.verifyJoin(plan, ta, tb))
+      assert(!off.exists(_.toUpperCase.contains("BROADCAST")),
+        s"AB no-join-contracts arm must fall through to the unhinted attach: $off")
+    } finally spark.conf.set(key, "false")
+  }
 }

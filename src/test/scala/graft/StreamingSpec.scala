@@ -717,6 +717,28 @@ class StreamingSpec extends AnyFunSuite {
       s"group state must cap at ${StreamOps.FUZZY_GROUP_CLAIMANT_CAP}, got ${st3.ids.size}")
   }
 
+  test("fuzzyRotFold clamps a mis-stamped regime to [1, rMax] (ADVICE r14)") {
+    import graft.streaming.{FuzzyRotClaimants, FuzzyRotDocIn}
+    val sig = (tail: Long) => Seq(1L, 1L, tail, 9L, 9L, 9L, 9L, 9L)
+    val empty = FuzzyRotClaimants(Nil, Nil, Nil, Nil)
+    val (_, st1) = StreamOps.fuzzyRotFold(empty, Seq(
+      FuzzyRotDocIn("k", 1L, "x" * 100, 100L, 2, sig(1L))))
+    // regime 99 > |mh| = 8: the clamp verifies at the ceiling
+    // granularity — an exact copy with the full signature must still
+    // meet d1's fine bucket and drop, exactly as a regime-8 stamp would
+    val (k2, _) = StreamOps.fuzzyRotFold(st1, Seq(
+      FuzzyRotDocIn("k", 2L, "x" * 100, 100L, 99, sig(1L))))
+    assert(k2.isEmpty,
+      s"over-stamped regime must verify at the rMax granularity: $k2")
+    // regime 0 clamps to 1: the coarsest verify set — d3's prefix-1
+    // matches d1 despite a different signature tail, so the exact-copy
+    // text verifies as a dup
+    val (k3, _) = StreamOps.fuzzyRotFold(st1, Seq(
+      FuzzyRotDocIn("k", 3L, "x" * 100, 100L, 0, sig(777L))))
+    assert(k3.isEmpty,
+      s"under-stamped regime must verify at the coarsest granularity: $k3")
+  }
+
   test("streaming IVF assignment: map-side codebook matches the batch expression exactly") {
     import org.apache.spark.sql.functions.{broadcast, col}
     implicit val sqlCtx = spark.sqlContext

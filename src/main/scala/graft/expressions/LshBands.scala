@@ -37,8 +37,21 @@ import org.apache.spark.sql.types._
   * against the HOF formulation at lengths 1..dims+8).
   */
 case class LshBands(child: Expression, bands: Int, rows: Int, dims: Int,
-    bandOffset: Int = 0)
+    bandOffset: Int = 0, thresholds: Seq[Double] = Nil)
     extends UnaryExpression {
+  // `thresholds` (r15 centered projections): per-plane sign-test
+  // thresholds indexed by LOCAL plane t·rows + i (the caller passes the
+  // slice for its bandOffset). Empty = sign-at-zero, the pre-r15
+  // behavior every frozen contract keeps. Non-empty thresholds are the
+  // per-plane sample MEDIANS (VectorQueries.adaptiveThresholds): bit i
+  // becomes dp > thr[t·rows+i], splitting each plane's population ~50/50
+  // against the corpus's own anisotropy — the r14 watch item measured
+  // sign-at-zero planes at mean bias q ≈ 0.6, whose product over r
+  // planes clumped buckets 2.07× over Poisson at sf100 and compounded
+  // per decade. The oracle derives the identical medians in SQL from
+  // the identical ordered-fold dots, so bucket ids stay bit-identical.
+  require(thresholds.isEmpty || thresholds.size == bands * rows,
+    s"need bands*rows (${bands * rows}) thresholds, got ${thresholds.size}")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean =
@@ -81,7 +94,8 @@ case class LshBands(child: Expression, bands: Int, rows: Int, dims: Int,
           dp += x * graft.ops.VectorOps.adaptivePlaneWeight(p, d).toDouble
           d += 1
         }
-        if (dp > 0.0) bucket |= (1 << i)
+        val thr = if (thresholds.isEmpty) 0.0 else thresholds(t * rows + i)
+        if (dp > thr) bucket |= (1 << i)
         i += 1
       }
       out(t) = bucket
@@ -101,6 +115,16 @@ case class LshBands(child: Expression, bands: Int, rows: Int, dims: Int,
       val p = ctx.freshName("p")
       val dp = ctx.freshName("dp")
       val bucket = ctx.freshName("bucket")
+      // centered projections: the per-plane threshold array rides along
+      // as a referenced object (≤ bands·rows ≈ 900 doubles); the empty
+      // case keeps the literal 0.0 compare so frozen sign-at-zero
+      // consumers generate the identical code they always did
+      val thrTest =
+        if (thresholds.isEmpty) s"if ($dp > 0.0)"
+        else {
+          val thrRef = ctx.addReferenceObj("lshThr", thresholds.toArray, "double[]")
+          s"if ($dp > $thrRef[$t * $rows + $i])"
+        }
       // same emit-only-when-nullable guard discipline as SquaredDistance /
       // CosineSimilarity: containsNull=false inputs keep the loop
       // branch-free. The label breaks all three loops on a null element.
@@ -127,7 +151,7 @@ case class LshBands(child: Expression, bands: Int, rows: Int, dims: Int,
          |        ((((k$dp * k$dp + k$dp * 2654435761L) % 2038074743L)
          |          / 131072L) % 17L - 8L);
          |    }
-         |    if ($dp > 0.0) $bucket |= (1 << $i);
+         |    $thrTest $bucket |= (1 << $i);
          |  }
          |  $out[$t] = $bucket;
          |}
@@ -151,9 +175,12 @@ object LshBands {
     * band-chunked consumer (knn_join_lsh_adaptive's bounded-disk chunks)
     * computes exactly its chunk's planes per row instead of the full
     * L-band signature per chunk, and every chunk's buckets equal the
-    * corresponding slice of the one-shot signature. */
+    * corresponding slice of the one-shot signature. `thresholds` (r15):
+    * per-plane centered sign-test thresholds for the SAME local band
+    * range, empty = sign-at-zero (see the class doc). */
   def lshBands(emb: Column, bands: Int, rows: Int, dims: Int,
-      bandOffset: Int = 0): Column =
+      bandOffset: Int = 0, thresholds: Seq[Double] = Nil): Column =
     ColumnBridge.column(
-      LshBands(ColumnBridge.expression(emb), bands, rows, dims, bandOffset))
+      LshBands(ColumnBridge.expression(emb), bands, rows, dims, bandOffset,
+        thresholds))
 }

@@ -219,10 +219,12 @@ object VectorOps {
     * (spec-proven bit-equal) is what the adaptive call sites run — one
     * plane here is a closure-dispatched 64-element fold, and adaptive
     * signatures need bands·rows of them per row. */
-  def lshBandBucket(emb: Column, band: Int, rows: Int, dims: Int): Column =
+  def lshBandBucket(emb: Column, band: Int, rows: Int, dims: Int,
+      thresholds: Seq[Double] = Nil): Column =
     (0 until rows).map { i =>
       val p = band * rows + i
       val w = array((0 until dims).map(d => lit(adaptivePlaneWeight(p, d).toDouble)): _*)
-      when(dot(emb, w) > 0.0, lit(1 << i)).otherwise(lit(0))
+      val thr = if (thresholds.isEmpty) 0.0 else thresholds(i)
+      when(dot(emb, w) > lit(thr), lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 }

@@ -94,6 +94,73 @@ object VectorQueries extends QueryPack {
   private[graft] def adaptiveRows(n: Long): Int =
     (4 to 30).find(r => (LSH_TARGET_BUCKET << r) >= n).getOrElse(30)
 
+  /** Target row count of the deterministic threshold sample behind the
+    * centered projections (r15): big enough that a per-plane sample
+    * median sits within ~1% of the population median, small enough that
+    * the threshold pass is corpus-size-independent (≤ ~32k rows × L·r
+    * dots through one rank window, whatever n is). */
+  private[graft] val LSH_THRESHOLD_SAMPLE = 16384L
+
+  /** Modulus of the deterministic threshold sample: the smallest power
+    * of two keeping n / 2^m ≤ [[LSH_THRESHOLD_SAMPLE]] — the same
+    * integer shift-compare derivation as [[adaptiveRows]], so Spark and
+    * the DuckDB oracle pick the identical sample rows
+    * (vec_id % mod = 0) from the identical count(*). */
+  private[graft] def lshSampleMod(n: Long): Long =
+    1L << (0 to 30).find(m => (LSH_THRESHOLD_SAMPLE << m) >= n).getOrElse(30)
+
+  /** Per-plane MEDIAN-SPLIT thresholds for the adaptive hyperplane
+    * family — the r14 bucket-clumping fix (centered projections). The
+    * r14 sf100 probe measured sign-at-zero buckets 2.07× over the
+    * Poisson line, compounding per decade: this corpus's anisotropy
+    * biases the mean per-plane sign split to q ≈ 0.6, and bucket
+    * clumping multiplies the per-plane factor 2(q²+(1−q)²) across the
+    * band's r planes. Splitting each plane at its sample median makes
+    * q = 0.5 by construction against ANY corpus anisotropy.
+    *
+    * Cross-engine determinism (the property everything here serves):
+    *  - sample rows by `vec_id % lshSampleMod(n) = 0` — pure integer
+    *    arithmetic on the shared count(*);
+    *  - each sampled row's per-plane dot is the SAME ordered fold both
+    *    engines already use for the sign test ([[graft.expressions.LshPlaneDots]]
+    *    ↔ the oracle's `dots` CTE) — bit-identical doubles;
+    *  - the threshold is the value at rank ⌊(cnt+1)/2⌋ of the plane's
+    *    sorted sample (LOWER median — an actual element, never an
+    *    interpolated mean, so engine interpolation conventions can't
+    *    produce last-ulp drift), via the same row_number window in both
+    *    engines. Ties in dp leave the value at a fixed rank unchanged,
+    *    so tie-break order is irrelevant.
+    *
+    * Scale shape: one extra narrow scan of (vec_id, embedding) that
+    * materializes only the ~16k sample rows, then sample·L·r (pos, dp)
+    * rows through one rank window — corpus-size-independent, noise next
+    * to the signature pass it debiases. The ≤ L·r ≈ 900 thresholds are
+    * a bounded driver collect (the sanctioned d²-class), embedded into
+    * the codegen'd [[graft.expressions.LshBands]] as literals. Planes
+    * are independent, so a band-chunked caller's [lo, hi) slice equals
+    * the same slice of the full derivation (chunked ≡ single-chunk
+    * stays pinned in AdaptiveLshSpec). */
+  private[graft] def adaptiveThresholds(
+      s: SparkSession, e: DataFrame, n: Long, r: Int,
+      lo: Int, hi: Int): Array[Double] = {
+    import org.apache.spark.sql.expressions.Window
+    val smod = lshSampleMod(n)
+    val dps = e
+      .filter(pmod(col("vec_id"), lit(smod)) === 0 &&
+        size(col("embedding")) === DIMS)
+      .select(posexplode(graft.expressions.LshPlaneDots.planeDots(
+        col("embedding"), hi - lo, r, DIMS, lo)).as(Seq("pos", "dp")))
+    val rk = Window.partitionBy("pos").orderBy("dp")
+    val cw = Window.partitionBy("pos")
+    val rows = dps.select(col("pos"), col("dp"),
+        row_number().over(rk).as("rk"), count(lit(1)).over(cw).as("cnt"))
+      .filter(col("rk") === floor((col("cnt") + lit(1)) / lit(2)))
+      .select("pos", "dp").collect()
+    val thr = new Array[Double]((hi - lo) * r)
+    rows.foreach(x => thr(x.getInt(0)) = x.getDouble(1))
+    thr
+  }
+
   private[graft] def adaptiveBands(r: Int): Int = {
     val cStar = 1.0 - math.acos(0.9) / math.Pi
     math.max(4, math.ceil(math.log(10.0) / math.pow(cStar, r)).toInt)
@@ -147,9 +214,11 @@ object VectorQueries extends QueryPack {
     val estPairBytes =
       (hi - lo).toLong * n * (LSH_TARGET_BUCKET - 1) / 2 * PAIR_SHUFFLE_BYTES
     val nPart = graft.ops.SessionOps.scaledPartitions(s, estPairBytes)
+    val thr = adaptiveThresholds(s, e, n, r, lo, hi)
     val sigs = e.select(col("vec_id"),
       posexplode(graft.expressions.LshBands.lshBands(
-        col("embedding"), hi - lo, r, DIMS, lo)).as(Seq("band", "bucket")))
+        col("embedding"), hi - lo, r, DIMS, lo, thr.toSeq))
+        .as(Seq("band", "bucket")))
     val a = sigs.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
     val b = sigs.select(col("band"), col("bucket"), col("vec_id").as("b_id"))
     val cand = a.repartition(nPart, col("band"), col("bucket"))
@@ -162,7 +231,7 @@ object VectorQueries extends QueryPack {
       .repartition(nPart, col("a_id"), col("b_id"))
       .distinct()
     attachVerify(cand, e,
-      e.queryExecution.optimizedPlan.stats.sizeInBytes, nPart)
+      e.queryExecution.optimizedPlan.stats.sizeInBytes, nPart, estPairBytes)
   }
 
   /** One knn_join_lsh_adaptive pipeline stage over bands [lo, hi): the
@@ -223,9 +292,28 @@ object VectorQueries extends QueryPack {
     * Θ(n^1.22) pair stream just probes it. The b-side upgrades to a
     * broadcast only while the vector table's estimated bytes fit the
     * cap — a size-gated hint on corpus-derived data, carried by the
-    * reviewed PlanAudit.BROADCAST_OK waivers for the two consumers. */
+    * reviewed PlanAudit.BROADCAST_OK waivers for the two consumers.
+    *
+    * PAIRS-SIDE broadcast (r15, the LshJoin.verifyJoin shape extended
+    * here per the r14 verdict): while `estPairBytes` — the adaptive
+    * law's designed pair volume at the 1.5×-margined
+    * [[PAIR_SHUFFLE_BYTES]] — fits LshJoin's 64 MB pairs cap (clamped
+    * to the driver budget), the bare (a_id, b_id) set is broadcast and
+    * each embedding side attaches in ONE map-side pass over its own
+    * scan: the vector table is never collected (the 256 B/vector
+    * payload is WIDER than text — a 5M-corpus b-side broadcast is a
+    * 1.3 GB single-threaded hash-relation build, the exact shape the
+    * fuzzy r14 change killed) and never shuffled; the two pairs-sized
+    * enriched frames meet in a small SHUFFLE_HASH join. The design
+    * estimate is honest as a gate since the r15 centered projections
+    * hold measured pairs at the Poisson line (pre-centering clumping
+    * reached 2.07× — still inside the 64 MB cap's 8× headroom against
+    * any realistic driver budget). PRECONDITION: `cand` holds DISTINCT
+    * pairs (the candidate distinct upstream) — duplicates would square
+    * through the two-sided meet, same contract as LshJoin.verifyJoin. */
   private[graft] def attachVerify(
-      cand: DataFrame, e: DataFrame, vecBytes: BigInt, nPart: Int): DataFrame = {
+      cand: DataFrame, e: DataFrame, vecBytes: BigInt, nPart: Int,
+      estPairBytes: Long = Long.MaxValue): DataFrame = {
     val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     // explicit a_id repartition at the pair-sized width: it satisfies the
@@ -238,6 +326,16 @@ object VectorQueries extends QueryPack {
       return cand.join(ea, "a_id").join(eb, "b_id")
         .select(col("a_id"), col("b_id"),
           cosineSim(col("a_emb"), col("b_emb")).as("sim"))
+    val bcastOk =
+      e.sparkSession.sessionState.conf.autoBroadcastJoinThreshold > 0
+    if (bcastOk && estPairBytes <= graft.ops.SessionOps.broadcastBudget(
+      e.sparkSession, graft.ops.LshJoin.PAIRS_BROADCAST_CAP)) {
+      val pa = ea.join(broadcast(cand), "a_id")
+      val pb = eb.join(broadcast(cand), "b_id")
+      return pa.join(pb.hint("SHUFFLE_HASH"), Seq("a_id", "b_id"))
+        .select(col("a_id"), col("b_id"),
+          cosineSim(col("a_emb"), col("b_emb")).as("sim"))
+    }
     val withA = cand.repartition(nPart, col("a_id"))
       .join(ea.hint("SHUFFLE_HASH"), "a_id")
     // threshold ≤ 0 honors a session-wide broadcast disable, matching
@@ -308,7 +406,16 @@ object VectorQueries extends QueryPack {
     * plane weights from the shared integer formula, each plane's dot an
     * ascending-d ordered fold (bit-parity with the fused
     * [[graft.expressions.LshBands]] loop), buckets per band, and the
-    * cross-band-deduped a<b candidate pairs with verified cosine. */
+    * cross-band-deduped a<b candidate pairs with verified cosine.
+    *
+    * r15 centered projections, in lockstep with [[adaptiveThresholds]]:
+    * the `thr` CTE samples `vec_id % smod = 0` (smod from the shared
+    * shift-compare rule), ranks each plane's bit-identical dots with the
+    * SAME row_number window, and takes the LOWER-median element at rank
+    * (cnt+1)//2 — an actual dp value, so no interpolation convention can
+    * drift; the sign test becomes dp > thr. A plane with an empty
+    * sample (no full-length sampled row) falls back to 0.0 via the LEFT
+    * JOIN + COALESCE, matching the Spark array's 0.0 default. */
   private lazy val ADAPTIVE_LSH_CTES: String = {
     // the r → bands table, evaluated by the SAME Scala function the
     // Spark plan uses — both engines see identical integers
@@ -337,10 +444,25 @@ object VectorQueries extends QueryPack {
        |                  // 131072) % 17 - 8 AS DOUBLE) AS w
        |    FROM embeddings e, pd, (SELECT unnest(range(0, $DIMS)) AS d) ds
        |  ) GROUP BY vec_id, band, i
+       |), smod AS (
+       |  SELECT (1 << m) AS m FROM (
+       |    SELECT min(m) AS m
+       |    FROM (SELECT unnest(range(0, 31)) AS m) ms, nn
+       |    WHERE (CAST($LSH_THRESHOLD_SAMPLE AS BIGINT) << m) >= nn.n
+       |  )
+       |), thr AS (
+       |  SELECT band, i, dp AS thr FROM (
+       |    SELECT band, i, dp,
+       |           row_number() OVER (PARTITION BY band, i ORDER BY dp) AS rk,
+       |           count(*) OVER (PARTITION BY band, i) AS cnt
+       |    FROM dots, smod WHERE vec_id % smod.m = 0 AND dp IS NOT NULL
+       |  ) WHERE rk = (cnt + 1) // 2
        |), sigs AS (
-       |  SELECT vec_id, band,
-       |         sum(CASE WHEN dp > 0.0 THEN (1 << i) ELSE 0 END) AS bucket
-       |  FROM dots GROUP BY vec_id, band
+       |  SELECT d.vec_id, d.band,
+       |         sum(CASE WHEN d.dp > COALESCE(t.thr, 0.0)
+       |                  THEN (1 << d.i) ELSE 0 END) AS bucket
+       |  FROM dots d LEFT JOIN thr t ON t.band = d.band AND t.i = d.i
+       |  GROUP BY d.vec_id, d.band
        |), apairs AS (
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket

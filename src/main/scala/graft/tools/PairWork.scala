@@ -75,8 +75,12 @@ object PairWork {
     val dims = e.select(size(col("embedding"))).head().getInt(0)
     val r = graft.queries.VectorQueries.adaptiveRows(n)
     val l = graft.queries.VectorQueries.adaptiveBands(r)
+    // the r15 centered thresholds: the probe must profile the SAME
+    // banded frame the live query builds, or its pair counts judge a
+    // signature nobody runs
+    val thr = graft.queries.VectorQueries.adaptiveThresholds(s, e, n, r, 0, l)
     val sigs = e.select(posexplode(graft.expressions.LshBands.lshBands(
-      col("embedding"), l, r, dims)).as(Seq("band", "bucket")))
+      col("embedding"), l, r, dims, 0, thr.toSeq)).as(Seq("band", "bucket")))
     val (pairs, maxSz, rows) = bucketStats(sigs, Seq("band", "bucket"))
     Stats(n, r, l, pairs, maxSz, rows,
       l.toDouble * n * (graft.queries.VectorQueries.LSH_TARGET_BUCKET - 1) / 2)

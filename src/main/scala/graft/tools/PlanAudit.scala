@@ -164,18 +164,27 @@ object PlanAudit {
       "LshJoin size-gated (salted-shuffle fallback)")),
     "dedup_fuzzy_minhash" -> ((3, """UNBOUNDED hint \(leaves: documents\.parquet\)""",
       "LshJoin size-gated (salted-shuffle fallback)")),
-    // r13: the adaptive verify attach broadcasts the b-side vector table
-    // only while its estimated bytes fit VERIFY_BROADCAST_CAP (2 GB);
-    // above the cap the SAME construction plans a shuffled hash join —
-    // the exact size-gated class as the LshJoin entries above. Both
-    // branches are spec-pinned (AdaptiveLshSpec: cap respected → hint,
-    // above cap → SHUFFLE_HASH, no broadcast hint). knn_join_lsh_adaptive
-    // reaches the shared adaptivePairSims through its truncate, so its
-    // one hint surfaces on the sub-exec (checkpoint-segment) listener.
-    "ann_lsh_adaptive" -> ((1, """UNBOUNDED hint \(leaves: embeddings\.parquet\)""",
-      "verify attach size-gated (VERIFY_BROADCAST_CAP; above-cap = SHUFFLE_HASH)")),
-    "knn_join_lsh_adaptive" -> ((1, """UNBOUNDED hint \(leaves: embeddings\.parquet\)""",
-      "verify attach size-gated (VERIFY_BROADCAST_CAP; above-cap = SHUFFLE_HASH)")))
+    // r13/r15: the adaptive verify attach has two size-gated broadcast
+    // branches, both reviewed. While the DESIGNED pair volume fits the
+    // shared 64 MB pairs cap (r15, the LshJoin.verifyJoin shape), the
+    // bare (a_id, b_id) candidate set broadcasts on BOTH sides of the
+    // map-side attach — 2 hints whose subtree carries the candidate
+    // self-join's two embeddings leaves; the payload is never in any
+    // broadcast build. Above the pairs cap, the b-side vector table
+    // broadcasts only while its estimated bytes fit
+    // VERIFY_BROADCAST_CAP (2 GB) — 1 single-leaf hint; above that the
+    // SAME construction plans shuffled hash joins. All branches are
+    // spec-pinned (AdaptiveLshSpec). knn_join_lsh_adaptive reaches the
+    // shared adaptivePairSims through its truncate, so its hints
+    // surface on the sub-exec (checkpoint-segment) listener.
+    "ann_lsh_adaptive" -> ((2,
+      """UNBOUNDED hint \(leaves: embeddings\.parquet(,embeddings\.parquet)?\)""",
+      "verify attach size-gated (pairs cap -> pair-set broadcast x2; " +
+        "VERIFY_BROADCAST_CAP -> b-side; above = SHUFFLE_HASH)")),
+    "knn_join_lsh_adaptive" -> ((2,
+      """UNBOUNDED hint \(leaves: embeddings\.parquet(,embeddings\.parquet)?\)""",
+      "verify attach size-gated (pairs cap -> pair-set broadcast x2; " +
+        "VERIFY_BROADCAST_CAP -> b-side; above = SHUFFLE_HASH)")))
 
   /** Queries with REVIEWED exceptions to the bounded-BNLJ rule
     * ([[BroadcastBound.nonEquiJoinAudit]]): non-equi joins where neither

@@ -168,11 +168,18 @@ class AdaptiveLshSpec extends AnyFunSuite {
     assert(sims.forall(_ >= 0.9), s"plant broke: min sim ${sims.min}")
     // recover the pairs under THREE parameter regimes: the fixture's
     // own (r=5), the sf1 decade's (r=11), and the sf10 decade's (r=14).
-    // Recall must hold at each — that is the whole adaptive claim.
+    // Recall must hold at each — that is the whole adaptive claim. Since
+    // r15 the live path centers every plane at its sample median, so the
+    // recall law is proven under the CENTERED signature: a median shift
+    // moves each hyperplane off the origin by the corpus's own bias,
+    // and near-dup pairs (sim ≥ 0.9) must still co-bucket at the design
+    // rate.
     for (r <- Seq(5, 11, 14)) {
       val l = VectorQueries.adaptiveBands(r)
+      val thr = VectorQueries.adaptiveThresholds(
+        spark, df, vecs.size.toLong, r, 0, l)
       val sigs = df.select(col("vec_id"),
-        posexplode(LshBands.lshBands(col("embedding"), l, r, 64))
+        posexplode(LshBands.lshBands(col("embedding"), l, r, 64, 0, thr.toSeq))
           .as(Seq("band", "bucket")))
       val a = sigs.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
       val b = sigs.select(col("band"), col("bucket"), col("vec_id").as("b_id"))
@@ -295,8 +302,9 @@ class AdaptiveLshSpec extends AnyFunSuite {
     val n = e.count()
     val r = VectorQueries.adaptiveRows(n)
     val l = VectorQueries.adaptiveBands(r)
+    val thr = VectorQueries.adaptiveThresholds(spark, e, n, r, 0, l)
     val sigs = e.select(col("vec_id"),
-      posexplode(LshBands.lshBands(col("embedding"), l, r, 64))
+      posexplode(LshBands.lshBands(col("embedding"), l, r, 64, 0, thr.toSeq))
         .as(Seq("band", "bucket")))
     val perBucket = sigs.groupBy(col("band"), col("bucket")).count()
     val candPairs = perBucket
@@ -304,6 +312,79 @@ class AdaptiveLshSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(candPairs <= 16L * l * n,
       s"candidate volume $candPairs exceeds the linear envelope (n=$n, r=$r, L=$l)")
+  }
+
+  test("centered projections: thresholded LshBands == thresholded HOF, bit for bit") {
+    // The r15 sign test is dp > thr[plane] instead of dp > 0; the fused
+    // codegen compare must stay bit-equal to the compositional HOF at
+    // NON-ZERO thresholds too (the referenced-object array indexing is
+    // new code the zero-threshold parity tests never touch).
+    val e = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val r = 5
+    val bands = 4
+    val n = e.count()
+    val thr = VectorQueries.adaptiveThresholds(spark, e, n, r, 0, bands)
+    val hof = e.select(col("vec_id") +: (0 until bands).map(t =>
+      VectorOps.lshBandBucket(col("embedding"), t, r, 64,
+        thr.slice(t * r, (t + 1) * r).toSeq).as(s"b$t")): _*)
+      .collect().map(x => x.getLong(0) -> (1 to bands).map(x.getInt).toSeq).toMap
+    val fused = e.select(col("vec_id"),
+      LshBands.lshBands(col("embedding"), bands, r, 64, 0, thr.toSeq).as("sig"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Int](1).toSeq).toMap
+    assert(hof == fused,
+      "thresholded fused signature diverged from the thresholded HOF")
+    // and the thresholds genuinely moved off zero on the real corpus
+    assert(thr.exists(t => math.abs(t) > 1e-9),
+      "fixture corpus produced all-zero medians — centering test is vacuous")
+  }
+
+  test("centered projections: median split balances every plane (the clumping fix)") {
+    // The debiasing guarantee, exact by construction: at most half the
+    // sampled full-length rows can sit strictly above the LOWER median,
+    // so the per-plane bit-1 population q ≤ 0.5 — against sign-at-zero,
+    // whose measured q ≈ 0.6 on the r13 embedding corpus compounded to
+    // 2.07× over-Poisson bucket clumping at sf100 (BENCH_NOTES r14).
+    val e = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val r = VectorQueries.adaptiveRows(n)
+    val l = VectorQueries.adaptiveBands(r)
+    val thr = VectorQueries.adaptiveThresholds(spark, e, n, r, 0, l)
+    assert(thr.length == l * r)
+    val smod = VectorQueries.lshSampleMod(n)
+    assert(smod == 1L, s"fixture must sample every row, got mod $smod")
+    val dps = e.filter(size(col("embedding")) === 64)
+      .select(posexplode(graft.expressions.LshPlaneDots.planeDots(
+        col("embedding"), l, r, 64)).as(Seq("pos", "dp")))
+      .collect().map(x => (x.getInt(0), x.getDouble(1)))
+    val byPlane = dps.groupBy(_._1)
+    byPlane.foreach { case (pos, xs) =>
+      val above = xs.count(_._2 > thr(pos))
+      assert(above <= xs.size / 2,
+        s"plane $pos splits ${above}/${xs.size} above its median threshold")
+    }
+    // sanity on the fixture's anisotropy: sign-at-zero really is biased
+    // somewhere, so the centering is doing work (mean |q - 0.5| > 0)
+    val zeroBias = byPlane.values.map { xs =>
+      math.abs(xs.count(_._2 > 0.0).toDouble / xs.size - 0.5)
+    }
+    info(f"fixture sign-at-zero mean |q-0.5|: ${zeroBias.sum / zeroBias.size}%.3f")
+  }
+
+  test("centered projections: a band chunk's thresholds equal the full derivation's slice") {
+    // Planes are independent and the sample rule ignores the band range,
+    // so the chunked kNN's per-chunk derivation must reproduce the
+    // matching slice of the one-shot thresholds exactly — the threshold
+    // analogue of the bandOffset signature-slice contract above.
+    val e = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val r = 5
+    val full = VectorQueries.adaptiveThresholds(spark, e, n, r, 0, 5)
+    val chunk = VectorQueries.adaptiveThresholds(spark, e, n, r, 3, 5)
+    assert(chunk.toSeq == full.slice(3 * r, 5 * r).toSeq,
+      "chunked threshold derivation diverged from the full slice")
   }
 
   test("verify attach: both sides of the broadcast size gate, pinned") {
@@ -333,5 +414,45 @@ class AdaptiveLshSpec extends AnyFunSuite {
       s"above-cap attach must NOT broadcast corpus-scaled embeddings: $large")
     assert(large.count(_.toUpperCase.contains("SHUFFLE_HASH")) == 2,
       s"above-cap attach must hash-join both vector sides: $large")
+  }
+
+  test("verify attach: pairs-side broadcast — payload never in a broadcast build (r15)") {
+    // The LshJoin.verifyJoin endgame shape extended to vectors: while
+    // the designed pair volume fits the shared 64 MB pairs cap, the
+    // bare id pairs broadcast and BOTH embedding sides attach map-side
+    // over their own scans — the vector table is never collected
+    // (no single-threaded GB-scale hash-relation build at the fourth
+    // decade) and never shuffled, whatever vecBytes says. Above the
+    // pairs cap the payload-side gate decides as before (pinned above).
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val e = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val ids = e.select(col("vec_id")).filter(col("vec_id") < 20)
+    val cand = ids.select(col("vec_id").as("a_id"))
+      .crossJoin(ids.select(col("vec_id").as("b_id")))
+      .filter(col("a_id") < col("b_id"))
+    val attached = VectorQueries.attachVerify(
+      cand, e, BigInt(Long.MaxValue), nPart = 4, estPairBytes = 1024L)
+    val hinted = attached.queryExecution.analyzed.collect {
+      case h: ResolvedHint =>
+        (h.hints.strategy.map(_.toString).getOrElse(""),
+          h.child.output.map(_.name).toSet)
+    }
+    val bcasts = hinted.filter(_._1.toUpperCase.contains("BROADCAST"))
+    assert(bcasts.size == 2 &&
+      bcasts.forall { case (_, out) => out == Set("a_id", "b_id") },
+      s"in-cap pair estimate must broadcast the bare id pairs on both sides: $hinted")
+    assert(!hinted.exists { case (h, out) =>
+      h.toUpperCase.contains("BROADCAST") && out.exists(_.contains("emb")) },
+      s"no embedding payload may enter a broadcast build: $hinted")
+    assert(hinted.count(_._1.toUpperCase.contains("SHUFFLE_HASH")) == 1,
+      s"the pair-cardinality meet must be a SHUFFLE_HASH join: $hinted")
+    // value parity: the pairs-side shape scores the identical sims
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaAttach = VectorQueries.attachVerify(
+      cand, e, BigInt(Long.MaxValue), nPart = 4)
+    assert(rows(attached) == rows(viaAttach),
+      "pairs-side broadcast changed the verify result")
   }
 }

@@ -112,11 +112,11 @@ object ScaleUpGen {
     * r14) as candidate pairs growing 139×/1660× per decade against the
     * 10×/14× design, the corpus corruption behind the
     * dedup_fuzzy_minhash SUPERLINEAR verdicts of SCALING_r12/r13. */
-  private def blockChar(block: Int, letter: Int): Char =
+  private[graft] def blockChar(block: Int, letter: Int): Char =
     if (block == 0) ('a' + letter).toChar
     else (0x100 + 26 * (block - 1) + letter).toChar
 
-  private def blockAlphabet(blocks: Range): String =
+  private[graft] def blockAlphabet(blocks: Range): String =
     blocks.flatMap(b => (0 until 26).map(blockChar(b, _))).mkString
 
   /** chain/chain2 documents transform: translate copy c's letters from
@@ -129,7 +129,7 @@ object ScaleUpGen {
     * disjoint. Token lengths are untouched (char-level costs scale
     * exactly); letters above block 0 encode as 2-byte UTF-8, which
     * changes byte totals but no char-level semantics. */
-  private def blockShift(
+  private[graft] def blockShift(
       text: Column, copy: Column, copies: Int, srcBlocks: Int): Column = {
     require(0x100 + 26 * (copies * srcBlocks - 1) < 0xD800,
       "block alphabet would reach the surrogate range")
@@ -148,10 +148,35 @@ object ScaleUpGen {
     * the colliding copies — fine for the ≤10-copy scaling decades this
     * tool exists for; a 100-copy run would need a per-copy disambiguating
     * token transform instead. */
-  private def caesar(text: Column, copy: Column, copies: Int): Column =
+  private[graft] def caesar(text: Column, copy: Column, copies: Int): Column =
     (1 until copies).foldLeft(when(copy === 0, text)) { (acc, c) =>
       acc.when(copy === c,
         translate(text, Alphabet, Alphabet.drop(c % 26) + Alphabet.take(c % 26)))
+    }
+
+  /** The embedding transforms, factored out so the generator-honesty
+    * gate (GeneratorHonestySpec) can assert their invariants on tiny
+    * frames without running main(). All three are orthogonal maps
+    * applied uniformly within a copy, so within-copy dot products —
+    * hence all cosine/ANN neighborhood structure — are preserved. */
+  private[graft] def rotated(v: Column, k: Column, dims: Int): Column =
+    concat(slice(v, k % dims + 1, lit(dims)), slice(v, lit(1), k % dims))
+
+  /** chain (decade 3): dihedral permutation per copy — see the header. */
+  private[graft] def dihedral(
+      v: Column, copy: Column, copies: Int, dims: Int): Column = {
+    val half = (copies + 1) / 2
+    when(copy < half, rotated(v, copy * copies, dims))
+      .otherwise(rotated(reverse(v), (copy - half) * copies, dims))
+  }
+
+  /** chain2 (decade 4): per-copy sign-flip diagonal — copy 0 is
+    * identity; copy c negates coordinates at 0-based index i ≡ 0
+    * (mod c+1). Pairwise-distinct flip sets by density. */
+  private[graft] def signFlipped(v: Column, copy: Column, copies: Int): Column =
+    (1 until copies).foldLeft(when(copy === 0, v)) { (acc, c) =>
+      acc.when(copy === c,
+        transform(v, (x, i) => when(i % (c + 1) === 0, -x).otherwise(x)))
     }
 
   def main(args: Array[String]): Unit = {
@@ -239,8 +264,6 @@ object ScaleUpGen {
     val emb = read("embeddings")
     val vecStride = maxOf(emb, "vec_id")
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
-    def rotated(v: Column, k: Column): Column =
-      concat(slice(v, k % dims + 1, lit(dims)), slice(v, lit(1), k % dims))
     // chain mode: dihedral permutation per copy (see header) — composed
     // with the first decade's rotations, all copies² effective copies
     // carry pairwise-distinct permutations, so no cross-copy duplicate
@@ -259,23 +282,10 @@ object ScaleUpGen {
       s"chain mode needs copies*(ceil(copies/2)-1)+copies <= dims " +
         s"(${copies * (half - 1) + copies} > $dims): composed dihedral " +
         "exponents would wrap mod dims and alias copies")
-    // chain2 (decade 4): per-copy sign-flip diagonal — see header. Copy 0
-    // is identity; copy c negates coordinates at index i ≡ 0 (mod c+1).
-    // `transform`'s lambda index is 0-based.
-    def signFlipped(v: Column): Column =
-      (1 until copies).foldLeft(when(col("copy") === 0, v)) { (acc, c) =>
-        acc.when(col("copy") === c,
-          expr(s"transform(embedding, (x, i) -> " +
-            s"CASE WHEN i % ${c + 1} = 0 THEN -x ELSE x END)"))
-      }
     val permuted =
-      if (chain2) signFlipped(col("embedding"))
-      else if (chain)
-        when(col("copy") < half,
-          rotated(col("embedding"), col("copy") * copies))
-          .otherwise(rotated(reverse(col("embedding")),
-            (col("copy") - half) * copies))
-      else rotated(col("embedding"), col("copy"))
+      if (chain2) signFlipped(col("embedding"), col("copy"), copies)
+      else if (chain) dihedral(col("embedding"), col("copy"), copies, dims)
+      else rotated(col("embedding"), col("copy"), dims)
     write(explodeCopies(emb)
       .withColumn("vec_id", col("vec_id") + col("copy") * vecStride)
       .withColumn("embedding", permuted),

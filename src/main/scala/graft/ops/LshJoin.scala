@@ -241,7 +241,28 @@ object LshJoin {
         val pairs = plan.candidates
         val pa = ta.join(broadcast(pairs), "a_id")
         val pb = tb.join(broadcast(pairs), "b_id")
-        pa.join(pb.hint("SHUFFLE_HASH"), Seq("a_id", "b_id"))
+        // The meet's hash build holds an ENRICHED side — pairs × one
+        // payload each — so its width must scale with enriched bytes,
+        // not sit at the session constant: the r15 sf250 cell measured
+        // the failure (12.5M docs, ~2M pairs × ~8 KB UTF-8 text ≈
+        // 16 GB enriched over 32 partitions → skewed ~500 MB per-task
+        // hash builds → "Can't acquire memory to build hash relation").
+        // Per-pair bytes come from ONE narrow aggregate per payload
+        // side (measured octet lengths — the same arithmetic as the
+        // broadcast gate), paid only on this branch; the explicit
+        // (a_id, b_id) repartition satisfies the join's clustering, so
+        // it REPLACES the exchange the join would add, wider.
+        val (bytesA, rowsA) = graft.ops.SessionOps.payloadBytesRows(ta)
+        val (bytesB, rowsB) = graft.ops.SessionOps.payloadBytesRows(tb)
+        val perPair = bytesA.toDouble / math.max(1L, rowsA) +
+          bytesB.toDouble / math.max(1L, rowsB) + 32.0
+        val width = graft.ops.SessionOps.scaledPartitions(
+          s, (plan.estBucketPairs.get * perPair).toLong)
+        pa.repartition(width, col("a_id"), col("b_id"))
+          .join(
+            pb.repartition(width, col("a_id"), col("b_id"))
+              .hint("SHUFFLE_HASH"),
+            Seq("a_id", "b_id"))
       } else
         plan.candidates
           .join(attachSide(ta, measuredBytes(ta)), "a_id")

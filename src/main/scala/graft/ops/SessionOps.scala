@@ -283,6 +283,19 @@ object SessionOps {
     df.agg(coalesce(sum(perRow), lit(0L))).head().getLong(0)
   }
 
+  /** [[payloadBytes]] plus the frame's row count, in the SAME single
+    * narrow aggregate — for callers that need the average per-row
+    * payload (LshJoin's pairs-meet width sizing) without a second
+    * pass. */
+  def payloadBytesRows(df: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val perRow = df.schema.fields.map { f =>
+      colBytes(f).getOrElse(lit(8L))
+    }.reduceLeft(_ + _) + lit(32L)
+    val r = df.agg(coalesce(sum(perRow), lit(0L)), count(lit(1))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Collect-side byte expression for one column, or None when the type
     * has no cheap measurement (maps, structs, nested arrays) — callers
     * treat a None column as UNMEASURABLE and gate conservatively

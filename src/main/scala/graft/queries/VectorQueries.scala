@@ -332,6 +332,11 @@ object VectorQueries extends QueryPack {
       e.sparkSession, graft.ops.LshJoin.PAIRS_BROADCAST_CAP)) {
       val pa = ea.join(broadcast(cand), "a_id")
       val pb = eb.join(broadcast(cand), "b_id")
+      // Unlike the text twin (LshJoin.verifyJoin, whose meet width must
+      // scale with measured payload bytes — the r15 sf250 lesson), the
+      // vector meet is bounded BY THE GATE: ≤ 2M pairs × ~600 B of
+      // fixed-width embedding ≈ 1.2 GB enriched, ≈ 40 MB per-task hash
+      // builds at session width — inside task memory by construction.
       return pa.join(pb.hint("SHUFFLE_HASH"), Seq("a_id", "b_id"))
         .select(col("a_id"), col("b_id"),
           cosineSim(col("a_emb"), col("b_emb")).as("sim"))

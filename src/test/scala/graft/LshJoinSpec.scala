@@ -267,6 +267,32 @@ class LshJoinSpec extends AnyFunSuite {
       "map columns have no cheap measurement and must flag the frame")
   }
 
+  test("pairs-meet width scales with enriched payload bytes (r15 sf250 fix)") {
+    // The sf250 cell measured the failure this pins: the meet's
+    // SHUFFLE_HASH build holds pairs × text, and at the session width a
+    // 12.5M-doc corpus put ~500 MB skewed builds in one task's memory
+    // ("Can't acquire ... to build hash relation"). The width must come
+    // from measured per-pair payload bytes × the pair bound.
+    import org.apache.spark.sql.functions._
+    val big = "x" * 10000
+    val ta = spark.range(200).select(col("id").as("a_id"), lit(big).as("ta"))
+    val tb = spark.range(200).select(col("id").as("b_id"), lit(big).as("tb"))
+    val cand = spark.range(100).select(
+      col("id").as("a_id"), (col("id") + 100L).as("b_id"))
+    val plan = graft.ops.LshJoin.Plan(
+      cand, broadcastBuild = false, estBucketPairs = Some(1.5e6))
+    val joined = graft.ops.LshJoin.verifyJoin(plan, ta, tb)
+    val widths = joined.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+        r.optNumPartitions.getOrElse(-1)
+    }
+    val session = spark.sessionState.conf.numShufflePartitions
+    // 1.5M pairs x ~20 KB measured per-pair payload ~ 30 GB enriched ->
+    // a couple hundred 128 MB partitions, far above the session 32
+    assert(widths.size == 2 && widths.forall(_ > session),
+      s"meet width must scale past the session constant ($session): $widths")
+  }
+
   test("pairs-side broadcast honors the AB no-join-contracts arm (ADVICE r14)") {
     import org.apache.spark.sql.functions._
     val cand = spark.range(5).select(

@@ -95,6 +95,32 @@ object GraphOps {
     // dominated dedup_cluster_cc's wall time).
     val raw = SessionOps.truncate(edges.select(col("src"), col("dst")).coalesce(n))
     val edgeCount = raw.count()
+    // DRIVER fast path (r15 optimization round): a near-dup edge set whose
+    // bare (src, dst) longs fit the same collect budget class as the
+    // pairs-side broadcast verify (LshJoin.PAIRS_BROADCAST_CAP's 64 MB,
+    // clamped to the driver budget) is union-found in one collect instead
+    // of O(log d) propagate+jump rounds — at bench scale the loop's cost
+    // is pure per-round job dispatch (profiled: ~8 sub-second single-task
+    // checkpoint stages, ~2.5 s of the 4.5 s query), while the collect is
+    // the one the label table's own broadcast re-attach join would do
+    // anyway. The result is definitionally identical (comp = min vertex id
+    // reachable; GraphOpsSpec pins driver ≡ loop on fixture graphs).
+    // Above the gate — the 100 TB case, where the near-dup graph is
+    // terabyte-class — the distributed loop below is unchanged.
+    val driverMax = math.min(
+      try sess.conf.get(CC_DRIVER_MAX_KEY, CC_DRIVER_MAX_DEFAULT.toString).toLong
+      catch { case _: Throwable => CC_DRIVER_MAX_DEFAULT },
+      SessionOps.broadcastBudget(sess, CC_DRIVER_MAX_DEFAULT))
+    if (edgeCount * CC_EDGE_BYTES <= driverMax) {
+      val pairs = raw.collect().map(r => (r.getLong(0), r.getLong(1)))
+      release(raw)
+      val labels = driverComponents(pairs)
+      val labelDf = sess.createDataFrame(labels.toSeq)
+        .toDF("id", "edge_comp")
+      return vertices
+        .join(broadcast(labelDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("edge_comp"), col("id")).as("comp"))
+    }
     val comp =
       withLoopParallelism(sess, edgeCount) { nLoop =>
         // The edge table is loop-invariant and joined on `src` every
@@ -170,6 +196,56 @@ object GraphOps {
     // side when it fits, and degrades to a shuffle join when it doesn't.
     vertices.join(comp.select(col("id"), col("comp").as("edge_comp")), Seq("id"), "left")
       .select(col("id"), coalesce(col("edge_comp"), col("id")).as("comp"))
+  }
+
+  /** Conf key (dev/spec dial): max collected edge BYTES for the driver
+    * union-find fast path of [[connectedComponents]]; 0 forces the
+    * distributed loop (GraphOpsSpec uses this to pin driver ≡ loop). */
+  private[graft] val CC_DRIVER_MAX_KEY = "spark.graft.cc.driverMaxBytes"
+
+  /** Default gate: 64 MB of bare (src, dst) pairs — the same cap class as
+    * LshJoin.PAIRS_BROADCAST_CAP, clamped to the session driver budget. */
+  private[graft] val CC_DRIVER_MAX_DEFAULT: Long = 64L * 1024 * 1024
+
+  /** Collected bytes per symmetric edge row: two longs in an UnsafeRow. */
+  private[graft] val CC_EDGE_BYTES = 32L
+
+  /** Union-find (path-halving + union-by-min-root) over a collected
+    * symmetric edge list: returns id → component-min-id for every vertex
+    * incident to an edge — the same fixpoint the distributed loop
+    * converges to. Pure function, unit-tested directly. Rooting at the
+    * MIN id during union keeps find() results already-canonical, so no
+    * second min-resolution pass is needed. */
+  private[graft] def driverComponents(
+      pairs: Array[(Long, Long)]): scala.collection.Map[Long, Long] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        // union by MIN root: the canonical label is the component min,
+        // so pointing the larger root at the smaller keeps every root
+        // equal to its component's running min by induction.
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = scala.collection.mutable.HashMap.empty[Long, Long]
+    pairs.foreach { case (a, b) =>
+      if (!out.contains(a)) out(a) = find(a)
+      if (!out.contains(b)) out(b) = find(b)
+    }
+    out
   }
 
   /** Best-effort block release for a superseded local checkpoint. */

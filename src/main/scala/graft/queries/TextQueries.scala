@@ -99,7 +99,16 @@ object TextQueries extends QueryPack {
     val posts = t.select(col("doc_id"), col("lang"), col("n"),
       explode(col("th")).as("h"))
     val freq = posts.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    // Explicit doc_id repartition ahead of the rank window: satisfies the
+    // window's required distribution (no extra exchange vs the implicit
+    // one) but is exempt from AQE coalescing, which otherwise folds the
+    // ~MB token stream into ONE partition and runs the per-doc sort +
+    // row_number serially (profiled: the candidate stage's dominant cost
+    // at sf0.1). Width = the session setting, the same value the implicit
+    // exchange would use — scale-neutral.
+    val nShuf = s.sessionState.conf.numShufflePartitions
     val ranked = posts.join(freq, "h")
+      .repartition(nShuf, col("doc_id"))
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("f"), col("h"))))
     // prefix length p = n − ⌈(19/20)·n⌉ + 1; integer ceil: ⌈19n/20⌉ = ⌊(19n+19)/20⌋
@@ -109,10 +118,26 @@ object TextQueries extends QueryPack {
       col("n").as("a_n"), col("h"))
     val b = prefix.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
       col("n").as("b_n"), col("h"))
-    val cand = a.join(b, Seq("h"))
+    // Explicit pair-keyed repartition ahead of the distinct: it satisfies
+    // the dedup aggregate's clustering (so adds no exchange over the
+    // implicit one) but, being explicit, is exempt from AQE coalescing —
+    // without it the distinct's ~MB output coalesces to ONE post-shuffle
+    // partition (bytes are AQE's only proxy) and the merge-scan Jaccard
+    // verify below runs single-task: profiled at sf0.1 as 1.1-1.9 s of
+    // serial CPU, the dominant stage of dedup_ngram_jaccard AND
+    // dedup_cluster_cc. Width stays the session setting — the same value
+    // the implicit exchange would have used, scale-neutral by
+    // construction (the adaptivePairSimsBands pattern).
+    // Probe side only: the build side broadcasts at this scale (a wasted
+    // exchange under a BroadcastExchange otherwise), and above the
+    // broadcast threshold the join's own shuffle partitions BOTH sides.
+    val cand = a.repartition(nShuf, col("h"))
+      .join(b, Seq("h"))
       .filter(col("a_id") < col("b_id") && col("a_lang") === col("b_lang") &&
         col("a_n") * 20 >= col("b_n") * 19 && col("b_n") * 20 >= col("a_n") * 19)
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id")
+      .repartition(nShuf, col("a_id"), col("b_id"))
+      .distinct()
     val ta = t.select(col("doc_id").as("a_id"), col("th").as("a_th"))
     val tb = t.select(col("doc_id").as("b_id"), col("th").as("b_th"))
     cand.join(ta, "a_id").join(tb, "b_id")

@@ -46,13 +46,19 @@ class ReliableCheckpointSpec extends AnyFunSuite {
       .toDF("src", "dst")
     val sym = edges.union(edges.select(col("dst"), col("src")))
     val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("id")
-    val local = graft.ops.GraphOps.connectedComponents(vertices, sym)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val dir = java.nio.file.Files.createTempDirectory("graft-rck-cc").toString
-    val reliable = withReliable(dir) {
-      graft.ops.GraphOps.connectedComponents(vertices, sym)
+    // force the distributed loop: this spec proves the LOOP's reliable-
+    // checkpoint mode (the driver fast path writes no checkpoints)
+    spark.conf.set(graft.ops.GraphOps.CC_DRIVER_MAX_KEY, "0")
+    val (local, reliable, dir) = try {
+      val local = graft.ops.GraphOps.connectedComponents(vertices, sym)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
+      val dir = java.nio.file.Files.createTempDirectory("graft-rck-cc").toString
+      val reliable = withReliable(dir) {
+        graft.ops.GraphOps.connectedComponents(vertices, sym)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      (local, reliable, dir)
+    } finally spark.conf.unset(graft.ops.GraphOps.CC_DRIVER_MAX_KEY)
     assert(reliable == local, "CC labels diverged between checkpoint modes")
     assert(local == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 99L -> 99L))

@@ -16,15 +16,31 @@ class ScaleQueriesSpec extends AnyFunSuite {
 
   // ---- connected components --------------------------------------------
 
+  /** Run `body` with the CC driver fast path disabled (gate = 0 bytes)
+    * so the distributed loop is the code under test. */
+  private def forcingCcLoop[T](body: => T): T = {
+    spark.conf.set(graft.ops.GraphOps.CC_DRIVER_MAX_KEY, "0")
+    try body
+    finally spark.conf.unset(graft.ops.GraphOps.CC_DRIVER_MAX_KEY)
+  }
+
   test("connectedComponents: chain collapses transitively, singleton stays") {
     import spark.implicits._
     // 1-2, 2-3 (chain: 1~3 only transitively), 4-5, 6 isolated
     val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
     val edges = pairs.union(pairs.select($"dst", $"src"))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L)
+    // default gate: the driver union-find fast path
     val comp = GraphOps.connectedComponents(vertices, edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+    assert(comp == expected)
+    // gate forced to 0: the distributed loop, identical labels
+    val loop = forcingCcLoop {
+      GraphOps.connectedComponents(vertices, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(loop == expected, "driver fast path diverged from the loop")
   }
 
   test("connectedComponents: long path needs >1 round and still converges") {
@@ -33,8 +49,30 @@ class ScaleQueriesSpec extends AnyFunSuite {
     val vertices = (0L until n).toDF("id")
     val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
     val edges = pairs.union(pairs.select($"dst", $"src"))
-    val comp = GraphOps.connectedComponents(vertices, edges).collect()
+    val comp = forcingCcLoop {
+      GraphOps.connectedComponents(vertices, edges).collect()
+    }
     assert(comp.length == n && comp.forall(_.getLong(1) == 0L))
+  }
+
+  test("connectedComponents: driver fast path == loop on a mixed random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: chains, a clique, isolated ids
+    val rnd = new scala.util.Random(42)
+    val pairsSeq = (0 until 400).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    }.filter { case (a, b) => a != b }
+    val pairs = pairsSeq.toDF("src", "dst")
+    val edges = pairs.union(pairs.select($"dst", $"src"))
+    val vertices = (0L until 150L).toDF("id")
+    val fast = GraphOps.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = forcingCcLoop {
+      GraphOps.connectedComponents(vertices, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(fast == loop, "driver union-find diverged from the distributed loop")
+    assert(fast.size == 150, "every vertex labeled exactly once")
   }
 
   test("dedup_cluster_cc: every doc labeled, comp <= doc_id, comps are reps") {

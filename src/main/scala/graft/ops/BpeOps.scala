@@ -64,6 +64,97 @@ object BpeOps {
       .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
         r.getAs[Long]("cnt")))
 
+  /** Conf key (dev/spec dial): max measured corpus text BYTES for the
+    * driver fast path of `MiningQueries.bpeTrainOn`; 0 forces the
+    * distributed trainer (the delta/recount branch specs and the
+    * reliable-checkpoint spec pin the loop through this). */
+  private[graft] val BPE_DRIVER_MAX_KEY = "spark.graft.bpe.driverMaxBytes"
+
+  /** Default driver gate: 64 MB of measured corpus payload — the same
+    * collect-budget class as LshJoin.PAIRS_BROADCAST_CAP and the CC /
+    * k-core driver gates, clamped to the session driver budget by the
+    * caller. */
+  private[graft] val BPE_DRIVER_MAX_DEFAULT: Long = 64L * 1024 * 1024
+
+  /** Driver-side k-merge BPE train over a collected (doc_id, text,
+    * n_raw) corpus — bit-equal semantics to the distributed trainer by
+    * construction: the same whitespace tokens (`split(" ", -1)` ≡ Spark
+    * `split(text, " ")`), the same full bigram count, the same
+    * (cnt desc, w1, w2) winner with ties compared in UTF-8 BINARY order
+    * (Spark string sort order; Java's UTF-16 `compareTo` diverges on
+    * supplementary planes), and the same framed non-overlapping replace
+    * (Java `String.replace` is the same literal left-to-right
+    * single-pass scan as `UTF8String.replace`). Returns (merges, final
+    * corpus, final bigram counts) — the counts are a recount of the
+    * final corpus, which the delta-correctness specs prove equal to the
+    * distributed trainer's maintained table. Pure function, pinned
+    * against BpeTestOracle and the distributed trainer in
+    * BpeTrainerSpec/BpePropertySpec. */
+  private[graft] def driverTrain(rows: Array[(Long, String, Long)], k: Long)
+      : (Seq[(Long, String, String, Long)], Seq[(Long, String, Long)], Seq[(String, Long)]) = {
+    def bigramCounts(texts: Array[(Long, String, Long)]): java.util.HashMap[String, Long] = {
+      val m = new java.util.HashMap[String, Long]()
+      texts.foreach { case (_, t, _) =>
+        val toks = t.split(" ", -1)
+        var i = 0
+        while (i < toks.length - 1) {
+          m.merge(toks(i) + " " + toks(i + 1), 1L, (a, b) => a + b)
+          i += 1
+        }
+      }
+      m
+    }
+    var texts = rows
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var step = 1L
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val counts = bigramCounts(texts)
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bw1: String = null
+        var bw2: String = null
+        var bc = -1L
+        counts.forEach { (bg, c) =>
+          val sp = bg.indexOf(' ')
+          val w1 = bg.substring(0, sp)
+          val w2 = bg.substring(sp + 1)
+          val better = c > bc || (c == bc &&
+            (utf8Compare(w1, bw1) < 0 ||
+              (utf8Compare(w1, bw1) == 0 && utf8Compare(w2, bw2) < 0)))
+          if (better) { bw1 = w1; bw2 = w2; bc = c }
+        }
+        merges += ((step, bw1, bw2, bc))
+        texts = texts.map { case (id, t, n) => (id, applyMergeStr(t, bw1, bw2), n) }
+      }
+      step += 1
+    }
+    val fin = bigramCounts(texts)
+    val finB = Seq.newBuilder[(String, Long)]
+    fin.forEach((bg, c) => finB += ((bg, c)))
+    (merges.result(), texts.toSeq, finB.result())
+  }
+
+  /** Driver twin of [[applyMerge]] — identical framed single-pass
+    * literal replaces; trailing/leading trim strips SPACES only
+    * (Spark `trim` semantics; `String.trim` would also strip control
+    * chars). */
+  private[graft] def applyMergeStr(text: String, w1: String, w2: String): String = {
+    val framed = " " + text.replace(" ", "  ") + " "
+    val merged = framed.replace(needle(w1, w2), s" ${w1}_$w2 ").replace("  ", " ")
+    var b = 0
+    var e = merged.length
+    while (b < e && merged.charAt(b) == ' ') b += 1
+    while (e > b && merged.charAt(e - 1) == ' ') e -= 1
+    merged.substring(b, e)
+  }
+
+  /** Unsigned UTF-8 byte comparison — Spark's binary string collation. */
+  private[graft] def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Recount-vs-indexed trainer pick, wired to the MEASURED crossover
     * artifacts (BPE_CROSSOVER_r12{,_sf10}.json and
     * BPE_CROSSOVER_r13_{sf100,sf250}.json). The r12 story — indexed

@@ -198,9 +198,90 @@ object GraphOps {
       .select(col("id"), coalesce(col("edge_comp"), col("id")).as("comp"))
   }
 
+  /** k-core peel over near-dup PAIRS (`a_id`, `b_id`): exactly `rounds`
+    * rounds of "drop every vertex with fewer than `k` surviving
+    * neighbors", returning (`doc_id`, `deg`) for the vertices that keep
+    * an edge. Two physical strategies behind the one contract, the same
+    * split as [[connectedComponents]]:
+    *
+    *  - DRIVER peel (r15 optimization round) while the bare symmetric
+    *    (src, dst) longs fit the [[CC_DRIVER_MAX_KEY]] collect gate: the
+    *    distributed loop's cost at small edge counts is pure per-round
+    *    job dispatch — 3 stages × KCORE_ROUNDS rounds of sub-second
+    *    single-task checkpoints (profiled: ~1.2 s of graph_kcore's 1.5 s
+    *    sf0.1 wall) — while the peel itself is integer counting over an
+    *    edge array. Result identical by construction (same per-round
+    *    degree/keep/restrict algebra; DedupGraphSpec pins driver ≡ loop
+    *    on fixture graphs).
+    *  - the distributed peel loop above the gate — the 100 TB case —
+    *    byte-for-byte the shape shipped since r12 (per-round degree
+    *    aggregate + two semi-joins, truncate-released checkpoints,
+    *    edge-count-sized parallelism).
+    */
+  def kcoreDegrees(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val sess = pairs.sparkSession
+    val n = sess.sessionState.conf.numShufflePartitions
+    var sym = SessionOps.truncate(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .coalesce(n))
+    val edgeCount = sym.count()
+    val driverMax = math.min(
+      try sess.conf.get(CC_DRIVER_MAX_KEY, CC_DRIVER_MAX_DEFAULT.toString).toLong
+      catch { case _: Throwable => CC_DRIVER_MAX_DEFAULT },
+      SessionOps.broadcastBudget(sess, CC_DRIVER_MAX_DEFAULT))
+    if (edgeCount * CC_EDGE_BYTES <= driverMax) {
+      val edges = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      release(sym)
+      val degs = driverKcore(edges, k, rounds)
+      return sess.createDataFrame(degs).toDF("doc_id", "deg")
+    }
+    withLoopParallelism(sess, edgeCount) { nLoop =>
+      val unpart = sym
+      sym = SessionOps.truncate(sym.repartition(nLoop, col("src")))
+      release(unpart)
+      for (_ <- 1 to rounds) {
+        val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select("src")
+        val prev = sym
+        sym = SessionOps.truncate(sym
+          .join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")))
+        release(prev)
+      }
+    }
+    sym.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Driver-side k-core peel over a collected SYMMETRIC edge list — the
+    * same per-round algebra as the distributed loop (degree over `src`,
+    * keep = deg ≥ k, restrict both endpoints), run exactly `rounds`
+    * times (early exit on an empty edge set — every later round is a
+    * no-op there). Returns (vertex, surviving degree) for vertices that
+    * keep an edge. Pure function, unit-tested directly. */
+  private[graft] def driverKcore(
+      edges: Array[(Long, Long)], k: Int, rounds: Int): Seq[(Long, Long)] = {
+    var cur = edges
+    var i = 0
+    while (i < rounds && cur.length > 0) {
+      val deg = new java.util.HashMap[Long, Long]()
+      cur.foreach(e => deg.merge(e._1, 1L, (a, b) => a + b))
+      cur = cur.filter(e =>
+        deg.getOrDefault(e._1, 0L) >= k && deg.getOrDefault(e._2, 0L) >= k)
+      i += 1
+    }
+    val out = new java.util.LinkedHashMap[Long, Long]()
+    cur.foreach(e => out.merge(e._1, 1L, (a, b) => a + b))
+    val b = Seq.newBuilder[(Long, Long)]
+    out.forEach((v, d) => b += ((v, d)))
+    b.result()
+  }
+
   /** Conf key (dev/spec dial): max collected edge BYTES for the driver
-    * union-find fast path of [[connectedComponents]]; 0 forces the
-    * distributed loop (GraphOpsSpec uses this to pin driver ≡ loop). */
+    * fast paths of [[connectedComponents]] (union-find) and
+    * [[kcoreDegrees]] (driver peel); 0 forces the distributed loops
+    * (GraphOpsSpec / DedupGraphSpec use this to pin driver ≡ loop). */
   private[graft] val CC_DRIVER_MAX_KEY = "spark.graft.cc.driverMaxBytes"
 
   /** Default gate: 64 MB of bare (src, dst) pairs — the same cap class as

@@ -285,6 +285,40 @@ object MiningQueries extends QueryPack {
   private[graft] def bpeTrainOn(s: SparkSession, corpus0: DataFrame, k: Long)
       : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
+    // DRIVER fast path (r15 optimization round): a corpus whose measured
+    // payload fits the shared 64 MB collect-budget class (same as the CC
+    // union-find and k-core peel gates, clamped to the driver budget) is
+    // trained in-process — at bench scale the distributed trainer's cost
+    // is k rounds × (winner TakeOrdered job + corpus-rewrite checkpoint
+    // job + count maintenance job) of pure dispatch around sub-second
+    // work. Merges, final corpus and final counts are bit-equal by
+    // construction (BpeOps.driverTrain scaladoc; pinned against the
+    // distributed trainer AND BpeTestOracle in the BPE specs). Above the
+    // gate — the 100 TB trainer — nothing changes. Gate discipline is
+    // LshJoin.measuredBytes': trust the estimate only when even 8×
+    // expansion fits (or when the compressed floor is already over);
+    // only the boundary band pays the one-pass measurement.
+    val driverMax = math.min(
+      try s.conf.get(graft.ops.BpeOps.BPE_DRIVER_MAX_KEY,
+        graft.ops.BpeOps.BPE_DRIVER_MAX_DEFAULT.toString).toLong
+      catch { case _: Throwable => graft.ops.BpeOps.BPE_DRIVER_MAX_DEFAULT },
+      graft.ops.SessionOps.broadcastBudget(
+        s, graft.ops.BpeOps.BPE_DRIVER_MAX_DEFAULT))
+    if (driverMax > 0) {
+      val est = corpus0.queryExecution.optimizedPlan.stats.sizeInBytes
+      val fits =
+        if (est * graft.ops.LshJoin.PAYLOAD_EXPANSION_MAX <= BigInt(driverMax)) true
+        else if (est > BigInt(driverMax)) false
+        else graft.ops.SessionOps.payloadBytes(corpus0) <= driverMax
+      if (fits) {
+        val rows = corpus0.select(col("doc_id"), col("text"), col("n_raw"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        val (m, c, cnts) = graft.ops.BpeOps.driverTrain(rows, k)
+        return (m.toDF("step", "w1", "w2", "cnt"),
+          c.toDF("doc_id", "text", "n_raw"),
+          cnts.toDF("bg", "cnt"))
+      }
+    }
     def pairCounts(c: DataFrame): DataFrame = graft.ops.BpeOps.pairCounts(c)
     var corpus = graft.ops.SessionOps.truncate(corpus0)
     val nDocs = corpus.count()

@@ -608,41 +608,14 @@ object TextQueries extends QueryPack {
     // exact driver-side k-core. Integer-only arithmetic: no float parity
     // machinery needed. --------------------------------------------------
     "graph_kcore" -> ((s, dir) => {
+      // Loop mechanics (edge-count-sized parallelism, truncate-released
+      // per-round checkpoints) and the r15 driver peel fast path both
+      // live in GraphOps.kcoreDegrees — the CC-loop pattern: collect the
+      // bare symmetric edge longs under the shared 64 MB driver gate and
+      // peel in-process (the distributed loop's bench cost was pure
+      // per-round job dispatch), distributed loop unchanged above it.
       val pairs = jaccardPairsStore(s, dir).select(col("a_id"), col("b_id"))
-      val n = s.sessionState.conf.numShufflePartitions
-      // Loop sizing, same contract as GraphOps.connectedComponents: the
-      // peel rounds shuffle the near-dup edge set, not the corpus, so
-      // their parallelism comes from the MEASURED edge count (capped at
-      // the session setting) — without this every one of the 6 rounds'
-      // 3 stages pays the full session task count in pure dispatch.
-      // Loop checkpoints route through SessionOps.truncate (the CC-loop /
-      // BPE-trainer durability contract: localCheckpoint by default, the
-      // conf-switched reliable checkpoint on a real cluster), and every
-      // superseded round's blocks are RELEASED once its replacement is
-      // materialized — without the release the peel pins one edge-list
-      // copy per round for the loop's lifetime, the exact heap-pressure
-      // class the r11 sf10 probe hit in the CC loop.
-      var sym = graft.ops.SessionOps.truncate(
-        pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-          .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-          .coalesce(n))
-      val edgeCount = sym.count()
-      graft.ops.GraphOps.withLoopParallelism(s, edgeCount) { nLoop =>
-        val unpart = sym
-        sym = graft.ops.SessionOps.truncate(sym.repartition(nLoop, col("src")))
-        graft.ops.SessionOps.releaseQuiet(unpart)
-        for (_ <- 1 to KCORE_ROUNDS) {
-          val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-            .filter(col("deg") >= KCORE_K).select("src")
-          val prev = sym
-          sym = graft.ops.SessionOps.truncate(sym
-            .join(keep, Seq("src"), "left_semi")
-            .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-            .select(col("src"), col("dst")))
-          graft.ops.SessionOps.releaseQuiet(prev)
-        }
-      }
-      sym.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+      graft.ops.GraphOps.kcoreDegrees(pairs, KCORE_K, KCORE_ROUNDS)
     }),
 
     // -- leakage-safe split: train/valid/test at CLUSTER granularity -------
@@ -750,7 +723,13 @@ object TextQueries extends QueryPack {
     // truth join is jac-implied (jac ≥ 0.8 forces |A|,|B| within 4/5),
     // so the simpler oracle without it agrees exactly. ---------------------
     "lsh_recall_eval" -> ((s, dir) => {
-      val t = tokenSets(s, dir).cache()
+      // spreadIfNarrow (r15): the cached token-set frame otherwise
+      // inherits the local scan's single partition — the cache fill, the
+      // anchor TakeOrdered and every cache read serialize (profiled as a
+      // chain of ~0.2 s single-task stages), and the downstream spreadTo
+      // pays an extra exchange. Widening BEFORE the cache makes the fill
+      // and all consumers wide; no-op on a multi-split scan.
+      val t = graft.ops.SessionOps.spreadIfNarrow(tokenSets(s, dir)).cache()
       val anchors = t
         .select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
           col("th").as("a_th"), col("n").as("a_n"))
@@ -1056,7 +1035,12 @@ object TextQueries extends QueryPack {
       //     push-down barrier that keeps the O(|a|·|b|) DP in the evenly
       //     repartitioned stage instead of the salted join.
       val salts = 8
-      val d = docs(s, dir).select(
+      // spreadIfNarrow (r15): the salted join's map side — project both
+      // orientations + explode the build side ×salts and serialize ~9
+      // text copies into the shuffle — ran as ONE task on the local
+      // single-split scan (profiled 1.77 s serial at sf0.1, the query's
+      // second-largest stage). No-op on a multi-split production scan.
+      val d = graft.ops.SessionOps.spreadIfNarrow(docs(s, dir)).select(
         col("doc_id"), col("text"), col("lang"), col("n_chars"),
         (col("n_chars") / 8).cast("long").as("band"))
       val a = d.select(col("doc_id").as("doc_a"), col("text").as("ta"),
@@ -1165,7 +1149,18 @@ object TextQueries extends QueryPack {
     * candidate volume without building a single pair. */
   private[graft] def fuzzyBandsFrame(
       s: SparkSession, d0: DataFrame, r: Int, l: Int): DataFrame = {
-    val base = d0.select(
+    // spreadIfNarrow (r15): the L·r-minhash signature pass is the
+    // query's dominant CPU (60 hashes × every gram of every doc) and
+    // runs directly on the scan partitioning — a single-split local
+    // parquet file serializes it on ONE core, and the broadcast branch
+    // pays it twice (probe + build are both this frame). Profiled at
+    // sf0.1 as two concurrent 1.9 s single-task stages = the whole
+    // query floor. Round-robin to session width only when the scan is
+    // narrower (a multi-split production scan is untouched — no
+    // corpus-wide shuffle is ever added); the shuffle moved is the raw
+    // text once, ~MB at the scales where the gate fires.
+    val wide = graft.ops.SessionOps.spreadIfNarrow(d0)
+    val base = wide.select(
       col("doc_id"), col("lang"), col("n_chars"),
       array_sort(array_distinct(transform(
         expr("transform(sequence(1, greatest(length(text) - 3, 1))," +

@@ -52,6 +52,10 @@ object BpeCrossoverProbe {
       .select(col("doc_id"), col("text"),
         size(split(col("text"), " ")).cast("long").as("n_raw"))
     val nDocs = corpus0.count()
+    // this probe prices the DISTRIBUTED recount/delta trainer against the
+    // indexed trainer — force past the r15 driver fast path, which would
+    // otherwise capture the sub-64 MB cells and price the wrong engine
+    spark.conf.set(graft.ops.BpeOps.BPE_DRIVER_MAX_KEY, "0")
     // one untimed warmup (codegen + JIT for both trainers' plans)
     graft.queries.MiningQueries.bpeTrainOn(spark, corpus0, 1L)
     graft.ops.SessionOps.dropCachedBlocks(spark)

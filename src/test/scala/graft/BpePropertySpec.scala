@@ -49,8 +49,14 @@ object BpePropertySpec extends Properties("graft.bpe") {
       // same algebra with the gate flipped.
       val filler = (0 until (MiningQueries.DELTA_GATE.toInt * 60)).map(i => s"f$i")
       val padded = filler ++ texts
-      val (gotM, gotC, gotCounts) = MiningQueries.bpeTrainOn(
-        spark, BpeTestOracle.corpusDF(spark, padded), K)
+      // force the distributed trainer: this property pins the DELTA
+      // branch; the r15 driver fast path would otherwise capture the
+      // fixture-sized corpus (driver ≡ oracle is pinned in BpeTrainerSpec)
+      spark.conf.set(graft.ops.BpeOps.BPE_DRIVER_MAX_KEY, "0")
+      val (gotM, gotC, gotCounts) =
+        try MiningQueries.bpeTrainOn(
+          spark, BpeTestOracle.corpusDF(spark, padded), K)
+        finally spark.conf.unset(graft.ops.BpeOps.BPE_DRIVER_MAX_KEY)
       val (expM, expC) = BpeTestOracle.naiveTrain(
         BpeTestOracle.corpusDF(spark, padded), K)
       BpeTestOracle.collectMerges(gotM) == expM &&

@@ -19,8 +19,14 @@ class BpeTrainerSpec extends AnyFunSuite {
   import org.apache.spark.sql.functions._
 
   private def check(texts: Seq[String], k: Long): Unit = {
+    // force the DISTRIBUTED trainer: this suite pins the maintained-count
+    // algebra (delta vs recount branches); the r15 driver fast path would
+    // otherwise capture every fixture-sized corpus. The driver path is
+    // pinned against the same oracle in its own test below.
+    spark.conf.set(graft.ops.BpeOps.BPE_DRIVER_MAX_KEY, "0")
     val (gotM, gotC, gotCounts) =
-      MiningQueries.bpeTrainOn(spark, BpeTestOracle.corpusDF(spark, texts), k)
+      try MiningQueries.bpeTrainOn(spark, BpeTestOracle.corpusDF(spark, texts), k)
+      finally spark.conf.unset(graft.ops.BpeOps.BPE_DRIVER_MAX_KEY)
     val merges = BpeTestOracle.collectMerges(gotM)
     val corpus = BpeTestOracle.collectCorpus(gotC)
     val (expM, expC) = BpeTestOracle.naiveTrain(BpeTestOracle.corpusDF(spark, texts), k)
@@ -32,6 +38,18 @@ class BpeTrainerSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     val recount = BpeTestOracle.recount(gotC)
     assert(maintained == recount, s"maintained counts != recount for $texts")
+    // r15 driver fast path (the DEFAULT gate at fixture size): same
+    // oracle equalities, and counts equal to the same recount — so
+    // driver ≡ distributed ≡ oracle on every fixture this suite runs.
+    val (dM, dC, dCounts) =
+      MiningQueries.bpeTrainOn(spark, BpeTestOracle.corpusDF(spark, texts), k)
+    assert(BpeTestOracle.collectMerges(dM) == expM,
+      s"driver-path merge sequence diverged for $texts")
+    assert(BpeTestOracle.collectCorpus(dC) == expC,
+      s"driver-path final corpus diverged for $texts")
+    assert(dCounts.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      == BpeTestOracle.recount(dC),
+      s"driver-path counts != recount for $texts")
   }
 
   // Branch coverage: the trainer gates delta-vs-recount on

@@ -112,5 +112,15 @@ class DedupGraphSpec extends AnyFunSuite {
     assert(got == ref, "engine 3-core differs from the exact converged peel")
     // fixpoint: every surviving node genuinely keeps >= 3 core neighbors
     assert(got.values.forall(_ >= 3))
+
+    // driver fast path ≡ distributed loop (r15): the default gate takes
+    // the driver peel at this SF; forcing the gate to 0 bytes runs the
+    // distributed loop — identical (doc_id, deg) sets, same contract as
+    // the CC driver≡loop pins in ScaleQueriesSpec.
+    spark.conf.set(graft.ops.GraphOps.CC_DRIVER_MAX_KEY, "0")
+    val loop = try q("graph_kcore").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally spark.conf.unset(graft.ops.GraphOps.CC_DRIVER_MAX_KEY)
+    assert(loop == got, "kcore driver peel diverged from the distributed loop")
   }
 }

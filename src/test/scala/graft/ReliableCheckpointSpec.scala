@@ -81,13 +81,20 @@ class ReliableCheckpointSpec extends AnyFunSuite {
     // state (the bench warmup does the same staging)
     graft.queries.TextQueries.jaccardPairsStore(spark, "/root/testdata/sf0.001")
       .count()
-    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
-    val local = run()
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
-    assert(leaked.size <= 1,
-      s"k-core peel leaked ${leaked.size} persisted RDDs (release per round missing)")
-    val dir = java.nio.file.Files.createTempDirectory("graft-rck-kcore").toString
-    val reliable = withReliable(dir) { run() }
+    // force the distributed peel: this spec proves the LOOP's reliable-
+    // checkpoint + release discipline (the r15 driver fast path collects
+    // the edges and writes no checkpoints at all)
+    spark.conf.set(graft.ops.GraphOps.CC_DRIVER_MAX_KEY, "0")
+    val (local, reliable, dir) = try {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val local = run()
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      assert(leaked.size <= 1,
+        s"k-core peel leaked ${leaked.size} persisted RDDs (release per round missing)")
+      val dir = java.nio.file.Files.createTempDirectory("graft-rck-kcore").toString
+      val reliable = withReliable(dir) { run() }
+      (local, reliable, dir)
+    } finally spark.conf.unset(graft.ops.GraphOps.CC_DRIVER_MAX_KEY)
     assert(reliable == local, "k-core degrees diverged between checkpoint modes")
     assert(ckptFiles(dir) > 0, s"no reliable checkpoint files under $dir")
   }
@@ -98,7 +105,12 @@ class ReliableCheckpointSpec extends AnyFunSuite {
       (1L, "a b a b c", 5L), (2L, "a b a b", 4L), (3L, "c a b", 3L))
       .toDF("doc_id", "text", "n_raw")
     def merges(k: Long): Seq[(Long, String, String, Long)] = {
-      val (m, _, _) = graft.queries.MiningQueries.bpeTrainOn(spark, corpus, k)
+      // force the distributed trainer: this spec proves the LOOP's
+      // reliable-checkpoint mode (the r15 driver fast path writes none)
+      spark.conf.set(graft.ops.BpeOps.BPE_DRIVER_MAX_KEY, "0")
+      val (m, _, _) =
+        try graft.queries.MiningQueries.bpeTrainOn(spark, corpus, k)
+        finally spark.conf.unset(graft.ops.BpeOps.BPE_DRIVER_MAX_KEY)
       m.collect().map(r =>
         (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     }

@@ -90,16 +90,25 @@ object BpeOps {
     * distributed trainer's maintained table. Pure function, pinned
     * against BpeTestOracle and the distributed trainer in
     * BpeTrainerSpec/BpePropertySpec. */
-  private[graft] def driverTrain(rows: Array[(Long, String, Long)], k: Long)
-      : (Seq[(Long, String, String, Long)], Seq[(Long, String, Long)], Seq[(String, Long)]) = {
-    def bigramCounts(texts: Array[(Long, String, Long)]): java.util.HashMap[String, Long] = {
+  private[graft] def driverTrain(
+      rows: Array[(java.lang.Long, String, java.lang.Long)], k: Long)
+      : (Seq[(Long, String, String, Long)],
+         Seq[(java.lang.Long, String, java.lang.Long)], Seq[(String, Long)]) = {
+    // null text contributes no bigrams and rewrites to null — the same
+    // null algebra as the distributed trainer (explode of a null token
+    // array emits nothing; replace/trim of null stay null). Boxed
+    // doc_id/n_raw ride through untouched, nulls included.
+    def bigramCounts(
+        texts: Array[(java.lang.Long, String, java.lang.Long)]): java.util.HashMap[String, Long] = {
       val m = new java.util.HashMap[String, Long]()
       texts.foreach { case (_, t, _) =>
-        val toks = t.split(" ", -1)
-        var i = 0
-        while (i < toks.length - 1) {
-          m.merge(toks(i) + " " + toks(i + 1), 1L, (a, b) => a + b)
-          i += 1
+        if (t != null) {
+          val toks = t.split(" ", -1)
+          var i = 0
+          while (i < toks.length - 1) {
+            m.merge(toks(i) + " " + toks(i + 1), 1L, (a, b) => a + b)
+            i += 1
+          }
         }
       }
       m
@@ -125,7 +134,9 @@ object BpeOps {
           if (better) { bw1 = w1; bw2 = w2; bc = c }
         }
         merges += ((step, bw1, bw2, bc))
-        texts = texts.map { case (id, t, n) => (id, applyMergeStr(t, bw1, bw2), n) }
+        texts = texts.map { case (id, t, n) =>
+          (id, if (t == null) null else applyMergeStr(t, bw1, bw2), n)
+        }
       }
       step += 1
     }

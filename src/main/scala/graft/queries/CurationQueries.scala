@@ -340,44 +340,47 @@ object CurationQueries extends QueryPack {
         .select(col("doc_id"), col("source"), col("skey"))
     }),
 
-    // -- single-pass column profiler: the data-quality summary every
-    //    curation pipeline runs before training (row counts, null counts,
-    //    distinct cardinalities, min/max/mean per numeric column). ONE
-    //    scan produces every statistic as partial aggregates (map-side
-    //    combine), then stack() unpivots the single row into one row per
-    //    profiled column — at 100 TB this is one pass over the table, not
-    //    one pass per column. Means are decimal-accumulated sums divided
-    //    once (Num's parity rules); distincts are exact here, with
-    //    approx_count_distinct as the stated 100 TB swap-in. --------------
+    // -- column profiler: the data-quality summary every curation
+    //    pipeline runs before training (row counts, null counts, distinct
+    //    cardinalities, min/max/mean per numeric column). One aggregate
+    //    PER COLUMN, unioned (r15 — see the in-body rationale): the
+    //    single-pass three-distinct form planned an Expand (3× the rows)
+    //    with one combined dedup exchange, the shape that neither
+    //    parallelizes locally nor scales (every distinct set through one
+    //    exchange); per-column two-phase distincts dedup keyed by the
+    //    value at full width, and the scan is shared via exchange reuse.
+    //    Means are decimal-accumulated sums divided once (Num's parity
+    //    rules); distincts are exact here, with approx_count_distinct as
+    //    the stated 100 TB swap-in. ---------------------------------------
     "profile_columns" -> ((s, dir) => {
+      // One aggregate per profiled column, unioned — NOT one aggregate
+      // with three count_distincts (r15, guide §2.4): multiple distinct
+      // aggregates plan as an Expand (3× the scan's rows) whose one
+      // combined dedup exchange AQE byte-coalesces to a SINGLE partition
+      // — profiled at sf0.1 as a 2.9 s single-task stage holding every
+      // distinct set at once. Per-column aggregates each plan the
+      // expand-free two-phase distinct (dedup keyed BY THE VALUE at full
+      // width — the shape that scales), the three branches share the
+      // scan via reuse and run concurrently inside one job, and the
+      // result rows are identical (same stats, same casts — the oracle
+      // is itself a UNION ALL of per-column SELECTs).
       val ev = Tables.events(s, dir)
-      def nNull(c: String) =
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
-      val onerow = ev.agg(
-        count(lit(1)).as("n"),
-        nNull("value"), count_distinct(col("value")).as("value_distinct"),
-        min(col("value")).as("value_min"), max(col("value")).as("value_max"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(27, 2)))
-          .as("value_sum"),
-        nNull("user_id"), count_distinct(col("user_id")).as("user_id_distinct"),
-        min(col("user_id")).as("user_id_min"), max(col("user_id")).as("user_id_max"),
-        sum(col("user_id").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          .as("user_id_sum"),
-        nNull("event_id"), count_distinct(col("event_id")).as("event_id_distinct"),
-        min(col("event_id")).as("event_id_min"), max(col("event_id")).as("event_id_max"),
-        sum(col("event_id").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          .as("event_id_sum"))
-      def meanSql(c: String) =
-        s"CAST(${c}_sum AS DOUBLE) / CAST(n - ${c}_nulls AS DOUBLE)"
-      onerow.selectExpr(
-        s"""stack(3,
-           |  'value', n, value_nulls, value_distinct,
-           |     CAST(value_min AS DOUBLE), CAST(value_max AS DOUBLE), ${meanSql("value")},
-           |  'user_id', n, user_id_nulls, user_id_distinct,
-           |     CAST(user_id_min AS DOUBLE), CAST(user_id_max AS DOUBLE), ${meanSql("user_id")},
-           |  'event_id', n, event_id_nulls, event_id_distinct,
-           |     CAST(event_id_min AS DOUBLE), CAST(event_id_max AS DOUBLE), ${meanSql("event_id")}
-           |) AS (col_name, n, n_null, n_distinct, min_d, max_d, mean_d)""".stripMargin)
+      def prof(c: String, sumType: org.apache.spark.sql.types.DataType) =
+        ev.agg(
+          count(lit(1)).as("n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          count_distinct(col(c)).as("n_distinct"),
+          min(col(c)).as("mn"), max(col(c)).as("mx"),
+          sum(col(c).cast(sumType)).as("sm"))
+          .select(lit(c).as("col_name"), col("n"), col("n_null"),
+            col("n_distinct"),
+            col("mn").cast("double").as("min_d"),
+            col("mx").cast("double").as("max_d"),
+            (col("sm").cast("double") /
+              (col("n") - col("n_null")).cast("double")).as("mean_d"))
+      prof("value", org.apache.spark.sql.types.DecimalType(27, 2))
+        .unionByName(prof("user_id", org.apache.spark.sql.types.DecimalType(38, 0)))
+        .unionByName(prof("event_id", org.apache.spark.sql.types.DecimalType(38, 0)))
     }),
 
     // -- int8 embedding quantization: per-vector max-abs scale, symmetric

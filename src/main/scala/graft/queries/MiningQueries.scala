@@ -311,8 +311,15 @@ object MiningQueries extends QueryPack {
         else if (est > BigInt(driverMax)) false
         else graft.ops.SessionOps.payloadBytes(corpus0) <= driverMax
       if (fits) {
+        // boxed collect: nulled doc_id/text/n_raw must survive the round
+        // trip with the distributed trainer's null algebra (NullFuzzSpec)
         val rows = corpus0.select(col("doc_id"), col("text"), col("n_raw"))
-          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .collect().map(r => (
+            if (r.isNullAt(0)) null
+            else java.lang.Long.valueOf(r.getLong(0)),
+            r.getString(1),
+            if (r.isNullAt(2)) null
+            else java.lang.Long.valueOf(r.getLong(2))))
         val (m, c, cnts) = graft.ops.BpeOps.driverTrain(rows, k)
         return (m.toDF("step", "w1", "w2", "cnt"),
           c.toDF("doc_id", "text", "n_raw"),
@@ -697,6 +704,12 @@ object MiningQueries extends QueryPack {
     //    birthday-bound ~1e-9 event at 1e5 distinct grams per shuffle). -
     "quality_lm_score" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
+      // spreadIfNarrow (r15): the bigram explode + two xxhash64 per
+      // bigram is the query's per-doc CPU and the checkpoint BELOW it
+      // inherits the scan partitioning — on a single-split local scan
+      // the pass runs serially AND every consumer of the 1-partition
+      // checkpoint (c2 agg, probe joins, per-doc collect) starts narrow.
+      // No-op on a multi-split production scan.
       val bi = docs(s, dir)
         .select(col("doc_id"),
           posexplode(TextOps.bigrams(toks)).as(Seq("bpos", "bg")))
@@ -804,6 +817,9 @@ object MiningQueries extends QueryPack {
       // total stays its own scan — it is NOT derivable from toks
       // (zero-token docs have no rows there) and a count-only pass is
       // column-pruned and cheap.
+      // spreadIfNarrow (r15): the checkpointed token list otherwise pins
+      // the single-split scan's 1 partition, serializing the self-join's
+      // per-doc C(|tokens|,2) pair fan-out downstream.
       val toks = graft.ops.SessionOps.stage(
         docs(s, dir)
           .select(col("doc_id"),

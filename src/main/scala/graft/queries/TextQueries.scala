@@ -723,13 +723,17 @@ object TextQueries extends QueryPack {
     // truth join is jac-implied (jac ≥ 0.8 forces |A|,|B| within 4/5),
     // so the simpler oracle without it agrees exactly. ---------------------
     "lsh_recall_eval" -> ((s, dir) => {
-      // spreadIfNarrow (r15): the cached token-set frame otherwise
-      // inherits the local scan's single partition — the cache fill, the
-      // anchor TakeOrdered and every cache read serialize (profiled as a
-      // chain of ~0.2 s single-task stages), and the downstream spreadTo
-      // pays an extra exchange. Widening BEFORE the cache makes the fill
-      // and all consumers wide; no-op on a multi-split scan.
-      val t = graft.ops.SessionOps.spreadIfNarrow(tokenSets(s, dir)).cache()
+      // spreadIfNarrow + EAGER checkpoint, not .cache() (r15): the
+      // token-set frame feeds three concurrent consumers of the truth
+      // job (two anchor broadcast builds + the corpus probe), and a lazy
+      // cache made their first tasks RACE to compute the same cached
+      // partitions — profiled as ~0.2 s zero-CPU stages blocked on
+      // BlockManager compute locks ("Block rdd already exists"
+      // warnings). truncate materializes once, up front; every consumer
+      // then reads finished blocks. Widening first keeps the fill and
+      // all consumers at session width (no-op on a multi-split scan).
+      val t = graft.ops.SessionOps.truncate(
+        graft.ops.SessionOps.spreadIfNarrow(tokenSets(s, dir)))
       val anchors = t
         .select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
           col("th").as("a_th"), col("n").as("a_n"))
@@ -752,7 +756,7 @@ object TextQueries extends QueryPack {
         .select(least(col("a_id"), col("b_id")).as("a_id"),
           greatest(col("a_id"), col("b_id")).as("b_id"))
         .localCheckpoint()  // eager: truth is materialized here ...
-      t.unpersist()         // ... so the token-set cache can be released
+      graft.ops.SessionOps.releaseQuiet(t) // ... so t's blocks free now
       val hit = truth.join(minhashPairsStore(s, dir),
         Seq("a_id", "b_id"), "left_semi")
       truth.agg(count(lit(1)).as("n_truth"))

@@ -330,8 +330,15 @@ object VectorQueries extends QueryPack {
       e.sparkSession.sessionState.conf.autoBroadcastJoinThreshold > 0
     if (bcastOk && estPairBytes <= graft.ops.SessionOps.broadcastBudget(
       e.sparkSession, graft.ops.LshJoin.PAIRS_BROADCAST_CAP)) {
-      val pa = ea.join(broadcast(cand), "a_id")
-      val pb = eb.join(broadcast(cand), "b_id")
+      // Materialize the candidate set once (r15): the two pair-set
+      // broadcasts are keyed differently (a_id / b_id), so exchange
+      // reuse shares only the distinct's shuffle — each BroadcastExchange
+      // re-ran the final dedup aggregate (profiled as twin pair-exchange
+      // readers). The checkpoint is gate-bounded (≤ the 64 MB pairs cap)
+      // and both hash-relation builds read finished blocks.
+      val candCk = graft.ops.SessionOps.truncate(cand)
+      val pa = ea.join(broadcast(candCk), "a_id")
+      val pb = eb.join(broadcast(candCk), "b_id")
       // Unlike the text twin (LshJoin.verifyJoin, whose meet width must
       // scale with measured payload bytes — the r15 sf250 lesson), the
       // vector meet is bounded BY THE GATE: ≤ 2M pairs × ~600 B of
@@ -583,9 +590,15 @@ object VectorQueries extends QueryPack {
     "ann_bruteforce_topk" -> ((s, dir) => {
       val queries10 = emb(s, dir).filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // project to (q_id, vec_id, dist) BEFORE the top-k (r15, guide
+      // §2.3 "project before the exchange"): the partial sorted-prune
+      // otherwise sorts and the merge exchange otherwise carries two
+      // 520 B embedding arrays per candidate row that the output drops —
+      // at n·|Q| candidate rows that is ~all of the stage's bytes.
       val cands = emb(s, dir).crossJoin(broadcast(queries10))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("dist", lit(1.0) - cosineSim(col("embedding"), col("q_emb")))
+        .select(col("q_id"), col("vec_id"), col("dist"))
       VectorOps.topKPerQuery(
         cands, col("q_id"), Seq(col("dist"), col("vec_id")), k = 5)
         .select("q_id", "vec_id", "dist")
@@ -619,6 +632,9 @@ object VectorQueries extends QueryPack {
       val cands = emb(s, dir).crossJoin(broadcast(queries10))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("dist", lit(1.0) - cosineSim(col("embedding"), col("q_emb")))
+        // (q_id, vec_id, dist) is all the pool aggregate reads — drop
+        // both embedding arrays before the top-k prune/merge (r15)
+        .select(col("q_id"), col("vec_id"), col("dist"))
       val pool = VectorOps.topKPerQuery(
         cands, col("q_id"), Seq(col("dist"), col("vec_id")), k = 10)
       pool.groupBy(col("q_id")).agg(
@@ -640,16 +656,21 @@ object VectorQueries extends QueryPack {
       val e = emb(s, dir)
       val cents = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < IVF_SEED_CAP)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      // drop c_emb before each top-k (r15): the k=1 min_by otherwise
+      // builds a per-candidate-row struct carrying BOTH 520 B arrays —
+      // profiled on the kmeans twin as ~22 s CPU/round vs ~3 s slimmed
       val assign = VectorOps.topKPerQuery(
         e.crossJoin(broadcast(cents))
-          .withColumn("csim", cosineSim(col("embedding"), col("c_emb"))),
+          .withColumn("csim", cosineSim(col("embedding"), col("c_emb")))
+          .select(col("vec_id"), col("embedding"), col("c_id"), col("csim")),
         col("vec_id"), Seq(col("csim").desc, col("c_id")), k = 1)
         .select(col("vec_id"), col("embedding"), col("c_id"))
       val qprobe = VectorOps.topKPerQuery(
         e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
           .crossJoin(broadcast(cents))
-          .withColumn("csim", cosineSim(col("q_emb"), col("c_emb"))),
+          .withColumn("csim", cosineSim(col("q_emb"), col("c_emb")))
+          .select(col("q_id"), col("q_emb"), col("c_id"), col("csim")),
         col("q_id"), Seq(col("csim").desc, col("c_id")), k = 2)
         .select(col("q_id"), col("q_emb"), col("c_id"))
       val cands = qprobe.join(assign, "c_id")
@@ -677,7 +698,9 @@ object VectorQueries extends QueryPack {
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       val assign = VectorOps.topKPerQuery(
         e.crossJoin(broadcast(cents))
-          .withColumn("csim", cosineSim(col("embedding"), col("c_emb"))),
+          .withColumn("csim", cosineSim(col("embedding"), col("c_emb")))
+          // c_emb dropped before the min_by — see ann_ivf_probe (r15)
+          .select(col("vec_id"), col("embedding"), col("c_id"), col("csim")),
         col("vec_id"), Seq(col("csim").desc, col("c_id")), k = 1)
         .select(col("vec_id"), col("embedding"), col("c_id"))
       // r6-quantized terms + DECIMAL accumulation: order-free parity with
@@ -723,7 +746,14 @@ object VectorQueries extends QueryPack {
       def assign(cents: DataFrame): DataFrame =
         VectorOps.topKPerQuery(
           e.crossJoin(broadcast(cents))
-            .withColumn("csim", cosineSim(col("embedding"), col("c_emb"))),
+            .withColumn("csim", cosineSim(col("embedding"), col("c_emb")))
+            // c_emb dropped before the min_by (r15): the k=1 aggregate
+            // builds a per-candidate-row struct of every carried column,
+            // and the candidate frame is n·k_cents rows — profiled at
+            // sf0.1 as ~22 s CPU per assign round with both 520 B arrays
+            // in the struct vs ~3 s with the centroid array dropped.
+            // Same cut in the agg-state bytes the exchange shuffles.
+            .select(col("vec_id"), col("embedding"), col("c_id"), col("csim")),
           col("vec_id"), Seq(col("csim").desc, col("c_id")), k = 1)
           .select(col("vec_id"), col("embedding"), col("c_id"))
       // Per-dim sums are r6-quantized-then-DECIMAL-accumulated: order-free
@@ -1000,7 +1030,9 @@ object VectorQueries extends QueryPack {
         e.crossJoin(broadcast(qs))
           .filter(col("vec_id") =!= col("q_id"))
           .withColumn("dist",
-            lit(1.0) - cosineSim(col("embedding"), col("q_emb"))),
+            lit(1.0) - cosineSim(col("embedding"), col("q_emb")))
+          // both arrays dropped before the top-k prune/merge (r15)
+          .select(col("q_id"), col("vec_id"), col("dist")),
         col("q_id"), Seq(col("dist"), col("vec_id")), k = 3)
         .select(col("q_id"), col("vec_id"))
       val hits = exact.join(approx, Seq("q_id", "vec_id"))
@@ -1270,7 +1302,9 @@ object VectorQueries extends QueryPack {
     val e = graft.ops.SessionOps.spreadTo(emb(s, dir), 8)
     val assign = VectorOps.topKPerQuery(
       e.crossJoin(broadcast(centsOf(e)))
-        .withColumn("csim", cosineSim(col("embedding"), col("c_emb"))),
+        .withColumn("csim", cosineSim(col("embedding"), col("c_emb")))
+        // neither array is in the output — drop both pre-min_by (r15)
+        .select(col("vec_id"), col("c_id"), col("csim")),
       col("vec_id"), Seq(col("csim").desc, col("c_id")), k = 1)
       .select(col("vec_id"), col("c_id"))
     val codes = e.select(col("vec_id"), sIdx.as("s"), col("embedding"))
@@ -1290,7 +1324,9 @@ object VectorQueries extends QueryPack {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val qprobe = VectorOps.topKPerQuery(
       qs.crossJoin(broadcast(centsOf(e)))
-        .withColumn("csim", cosineSim(col("q_emb"), col("c_emb"))),
+        .withColumn("csim", cosineSim(col("q_emb"), col("c_emb")))
+        // neither array is in the output — drop both pre-min_by (r15)
+        .select(col("q_id"), col("c_id"), col("csim")),
       col("q_id"), Seq(col("csim").desc, col("c_id")), k = 2)
       .select(col("q_id"), col("c_id"))
     val dtab = qs.select(col("q_id"), sIdx.as("s"), col("q_emb"))

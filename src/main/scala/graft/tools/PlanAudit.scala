@@ -177,14 +177,20 @@ object PlanAudit {
     // spec-pinned (AdaptiveLshSpec). knn_join_lsh_adaptive reaches the
     // shared adaptivePairSims through its truncate, so its hints
     // surface on the sub-exec (checkpoint-segment) listener.
+    // r15: the pairs-side broadcast now reads the gate-bounded candidate
+    // CHECKPOINT (the two hash-relation builds are keyed differently, so
+    // each re-ran the dedup aggregate without it) — a localCheckpoint
+    // truncates lineage, so the hint's leaf surfaces as LogicalRDD
+    // instead of the embeddings scans it was built from. Same 2-hint
+    // budget, same gate.
     "ann_lsh_adaptive" -> ((2,
-      """UNBOUNDED hint \(leaves: embeddings\.parquet(,embeddings\.parquet)?\)""",
-      "verify attach size-gated (pairs cap -> pair-set broadcast x2; " +
-        "VERIFY_BROADCAST_CAP -> b-side; above = SHUFFLE_HASH)")),
+      """UNBOUNDED hint \(leaves: (embeddings\.parquet(,embeddings\.parquet)?|LogicalRDD)\)""",
+      "verify attach size-gated (pairs cap -> checkpointed pair-set " +
+        "broadcast x2; VERIFY_BROADCAST_CAP -> b-side; above = SHUFFLE_HASH)")),
     "knn_join_lsh_adaptive" -> ((2,
-      """UNBOUNDED hint \(leaves: embeddings\.parquet(,embeddings\.parquet)?\)""",
-      "verify attach size-gated (pairs cap -> pair-set broadcast x2; " +
-        "VERIFY_BROADCAST_CAP -> b-side; above = SHUFFLE_HASH)")))
+      """UNBOUNDED hint \(leaves: (embeddings\.parquet(,embeddings\.parquet)?|LogicalRDD)\)""",
+      "verify attach size-gated (pairs cap -> checkpointed pair-set " +
+        "broadcast x2; VERIFY_BROADCAST_CAP -> b-side; above = SHUFFLE_HASH)")))
 
   /** Queries with REVIEWED exceptions to the bounded-BNLJ rule
     * ([[BroadcastBound.nonEquiJoinAudit]]): non-equi joins where neither

@@ -161,6 +161,123 @@ case class JaccardSimilarity(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Thresholded Jaccard predicate over ascending-sorted long-array sets:
+  * returns exactly `jaccard_sim_sorted(a, b) >= t`, but EARLY-EXITS the
+  * merge scan the moment the remaining elements cannot reach the
+  * threshold — at t = 0.8 a non-matching pair aborts after ~10-20% of
+  * the merge steps, and verify filters evaluate this per CANDIDATE PAIR
+  * (the anchor-truth Jaccard of lsh_recall_eval was 13.7 s of CPU at
+  * sf0.1, almost all of it spent completing merges of pairs that fail
+  * the threshold).
+  *
+  * Exactness: `needed` is the smallest integer k with
+  * `(double) k / (union - k) >= t` — found with the SAME IEEE division
+  * the value expression uses, and k/(union-k) is monotone in k (exact
+  * value strictly increases; correctly-rounded division preserves
+  * order), so `inter >= needed` ⟺ `jaccard_sim_sorted(a,b) >= t`
+  * bit-for-bit. The abort fires only when
+  * `inter + min(remaining_a, remaining_b) < needed`, i.e. when even a
+  * full match of every remaining element of the shorter side cannot
+  * reach `needed` — no false aborts. Empty-union pairs take the scalar
+  * definition jac = 0.0 (so the predicate is `0.0 >= t`). */
+case class JaccardGeqSorted(left: Expression, right: Expression, t: Double)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"jaccard_geq_sorted expects array<bigint> inputs, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def prettyName: String = "jaccard_geq_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[ArrayData]
+    val xb = b.asInstanceOf[ArrayData]
+    val n = xa.numElements()
+    val m = xb.numElements()
+    val union = n + m
+    if (union == 0) return (0.0 >= t)
+    val needed = JaccardGeqSorted.neededInter(union, t)
+    if (needed > math.min(n, m)) return false
+    var ia = 0; var ib = 0; var inter = 0
+    while (ia < n && ib < m) {
+      if (inter + math.min(n - ia, m - ib) < needed) return false
+      val x = xa.getLong(ia); val y = xb.getLong(ib)
+      if (x == y) { inter += 1; ia += 1; ib += 1 }
+      else if (x < y) ia += 1
+      else ib += 1
+    }
+    inter >= needed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val union = ctx.freshName("union"); val needed = ctx.freshName("needed")
+      val ia = ctx.freshName("ia"); val ib = ctx.freshName("ib")
+      val inter = ctx.freshName("inter"); val rem = ctx.freshName("rem")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val aborted = ctx.freshName("aborted")
+      val helper = JaccardGeqSorted.getClass.getName.stripSuffix("$")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $union = $n + $m;
+         |if ($union == 0) { ${ev.value} = (0.0 >= $t); } else {
+         |  int $needed = $helper.neededInter($union, $t);
+         |  if ($needed > Math.min($n, $m)) { ${ev.value} = false; } else {
+         |    int $ia = 0; int $ib = 0; int $inter = 0;
+         |    boolean $aborted = false;
+         |    while ($ia < $n && $ib < $m) {
+         |      int $rem = ($n - $ia < $m - $ib) ? ($n - $ia) : ($m - $ib);
+         |      if ($inter + $rem < $needed) { $aborted = true; break; }
+         |      long $x = $a.getLong($ia); long $y = $b.getLong($ib);
+         |      if ($x == $y) { $inter++; $ia++; $ib++; }
+         |      else if ($x < $y) { $ia++; } else { $ib++; }
+         |    }
+         |    ${ev.value} = !$aborted && $inter >= $needed;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardGeqSorted {
+  /** Smallest integer k with `(double) k / (union - k) >= t` — computed
+    * with the exact IEEE comparison the value expression uses, adjusted
+    * from the algebraic estimate by at most a few steps. Public because
+    * the generated code calls it. */
+  def neededInter(union: Int, t: Double): Int = {
+    var k = math.ceil(t * union / (1.0 + t)).toInt
+    if (k < 0) k = 0
+    if (k > union) k = union
+    while (k > 0 && (k - 1).toDouble / (union - (k - 1)) >= t) k -= 1
+    while (k <= union && k.toDouble / (union - k) < t) k += 1
+    k
+  }
+
+  /** Column-API entry point: `jaccard_geq_sorted(a, b, t)` — exactly
+    * `jaccardSimSorted(a, b) >= t` over ascending-sorted array<bigint>
+    * sets, with the early-exit merge scan. */
+  def jaccardGeqSorted(a: Column, b: Column, t: Double): Column =
+    ColumnBridge.column(
+      JaccardGeqSorted(ColumnBridge.expression(a), ColumnBridge.expression(b), t))
+}
+
 object JaccardSimilarity {
   /** Debug flag: verify the sorted-input contract on the interpreted path. */
   private[expressions] val checkSorted: Boolean =

@@ -704,12 +704,10 @@ object MiningQueries extends QueryPack {
     //    birthday-bound ~1e-9 event at 1e5 distinct grams per shuffle). -
     "quality_lm_score" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
-      // spreadIfNarrow (r15): the bigram explode + two xxhash64 per
-      // bigram is the query's per-doc CPU and the checkpoint BELOW it
-      // inherits the scan partitioning — on a single-split local scan
-      // the pass runs serially AND every consumer of the 1-partition
-      // checkpoint (c2 agg, probe joins, per-doc collect) starts narrow.
-      // No-op on a multi-split production scan.
+      // NOT widened (r15 measured negative, reverted): spreadIfNarrow on
+      // the bigram explode/checkpoint regressed 0.81 → 1.41 s in a 6-rep
+      // A/B — the explode pass is only ~0.2 s serial, and the added text
+      // exchange + extra stage in the eager checkpoint job dominates.
       val bi = docs(s, dir)
         .select(col("doc_id"),
           posexplode(TextOps.bigrams(toks)).as(Seq("bpos", "bg")))
@@ -817,9 +815,9 @@ object MiningQueries extends QueryPack {
       // total stays its own scan — it is NOT derivable from toks
       // (zero-token docs have no rows there) and a count-only pass is
       // column-pruned and cheap.
-      // spreadIfNarrow (r15): the checkpointed token list otherwise pins
-      // the single-split scan's 1 partition, serializing the self-join's
-      // per-doc C(|tokens|,2) pair fan-out downstream.
+      // NOT widened (r15 measured negative, reverted): spreadIfNarrow on
+      // this token checkpoint regressed 0.60 → 1.04 s in a 6-rep A/B —
+      // same verdict as quality_lm_score's bigram checkpoint above.
       val toks = graft.ops.SessionOps.stage(
         docs(s, dir)
           .select(col("doc_id"),

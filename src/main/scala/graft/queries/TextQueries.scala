@@ -140,10 +140,17 @@ object TextQueries extends QueryPack {
       .distinct()
     val ta = t.select(col("doc_id").as("a_id"), col("th").as("a_th"))
     val tb = t.select(col("doc_id").as("b_id"), col("th").as("b_th"))
+    // r16: filter with the early-exit jaccardGeqSorted predicate (exactly
+    // jaccardSimSorted >= T — see the expression's monotonicity argument),
+    // then compute the exact jac only for SURVIVORS: at t = 0.95 a
+    // non-matching candidate aborts its merge scan after a handful of
+    // steps, and survivors (the output pairs) are orders of magnitude
+    // fewer than candidates.
     cand.join(ta, "a_id").join(tb, "b_id")
+      .filter(graft.expressions.JaccardGeqSorted.jaccardGeqSorted(
+        col("a_th"), col("b_th"), JACCARD_T))
       .withColumn("jac",
         graft.expressions.JaccardSimilarity.jaccardSimSorted(col("a_th"), col("b_th")))
-      .filter(col("jac") >= JACCARD_T)
       .select("a_id", "b_id", "jac")
   }
 
@@ -183,10 +190,13 @@ object TextQueries extends QueryPack {
       verifyCols = Seq("th"))
     val ta = base.select(col("doc_id").as("a_id"), col("th").as("a_th"))
     val tb = base.select(col("doc_id").as("b_id"), col("th").as("b_th"))
+    // r16: early-exit predicate filter, exact jac only for survivors
+    // (the jaccardPairs pattern — identical rows by construction).
     graft.ops.LshJoin.verifyJoin(plan, ta, tb)
+      .filter(graft.expressions.JaccardGeqSorted.jaccardGeqSorted(
+        col("a_th"), col("b_th"), MINHASH_VERIFY_T))
       .withColumn("jac",
         graft.expressions.JaccardSimilarity.jaccardSimSorted(col("a_th"), col("b_th")))
-      .filter(col("jac") >= MINHASH_VERIFY_T)
       .select("a_id", "b_id", "jac")
   }
 
@@ -747,20 +757,33 @@ object TextQueries extends QueryPack {
         s.sessionState.conf.numShufflePartitions)
         .join(broadcast(bFlag), Seq("b_id"), "left_outer")
         .withColumn("b_anchor", coalesce(col("b_anchor"), lit(false)))
+      // r16, two cuts to the truth pass (guide §3 pre-join reduction +
+      // §1.2 fewer passes):
+      //  - the verify filter is the early-exit jaccardGeqSorted predicate
+      //    (exactly jaccardSimSorted >= T by construction — see the
+      //    expression's monotonicity argument): the anchor-truth merge
+      //    scan was 13.7 s of CPU at sf0.1, almost all spent completing
+      //    merges of pairs that FAIL the 0.8 threshold; the abort fires
+      //    once the remaining elements cannot reach it.
+      //  - truth is consumed ONCE: the old shape localCheckpointed truth,
+      //    semi-joined the pair store and crossJoined two count aggs (3
+      //    sequential jobs); counting hits via a hit-flag left join inside
+      //    a single aggregate computes identical n_truth/n_hit (the pair
+      //    store holds DISTINCT (a_id, b_id) rows by construction — the
+      //    first-collision-band dedup — so the left join cannot fan out)
+      //    in one pass with no checkpoint barrier.
       val truth = corpus.join(broadcast(anchors),
         col("a_lang") === col("b_lang") && col("a_id") =!= col("b_id") &&
           (col("a_id") < col("b_id") || !col("b_anchor")) &&
           col("a_n") * 5 >= col("b_n") * 4 && col("b_n") * 5 >= col("a_n") * 4)
-        .filter(graft.expressions.JaccardSimilarity.jaccardSimSorted(
-          col("a_th"), col("b_th")) >= MINHASH_VERIFY_T)
+        .filter(graft.expressions.JaccardGeqSorted.jaccardGeqSorted(
+          col("a_th"), col("b_th"), MINHASH_VERIFY_T))
         .select(least(col("a_id"), col("b_id")).as("a_id"),
           greatest(col("a_id"), col("b_id")).as("b_id"))
-        .localCheckpoint()  // eager: truth is materialized here ...
-      graft.ops.SessionOps.releaseQuiet(t) // ... so t's blocks free now
-      val hit = truth.join(minhashPairsStore(s, dir),
-        Seq("a_id", "b_id"), "left_semi")
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      truth.join(
+        minhashPairsStore(s, dir).withColumn("hit", lit(1)),
+        Seq("a_id", "b_id"), "left_outer")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
         .select(col("n_truth"), col("n_hit"),
           when(col("n_truth") > 0,
             col("n_hit").cast("double") / col("n_truth").cast("double"))
@@ -822,10 +845,12 @@ object TextQueries extends QueryPack {
         verifyCols = Seq("sh"))
       val ta = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
       val tb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      // r16: early-exit predicate filter, exact jac only for survivors.
       graft.ops.LshJoin.verifyJoin(plan, ta, tb)
+        .filter(graft.expressions.JaccardGeqSorted.jaccardGeqSorted(
+          col("a_sh"), col("b_sh"), 0.5))
         .withColumn("jac",
           graft.expressions.JaccardSimilarity.jaccardSimSorted(col("a_sh"), col("b_sh")))
-        .filter(col("jac") >= 0.5)
         .select("a_id", "b_id", "jac")
     }),
 
@@ -913,11 +938,13 @@ object TextQueries extends QueryPack {
       val cand = batchB.join(corpusB, "bucket")
         .filter(col("bn") * 5 >= col("cn") * 4 && col("cn") * 5 >= col("bn") * 4)
         .select(col("new_id"), col("corpus_id")).distinct()
+      // r16: the verify is filter-only here — the early-exit predicate
+      // replaces the full merge scan outright.
       val verified = cand
         .join(base.select(col("doc_id").as("new_id"), col("th").as("a_th")), "new_id")
         .join(base.select(col("doc_id").as("corpus_id"), col("th").as("b_th")), "corpus_id")
-        .filter(graft.expressions.JaccardSimilarity.jaccardSimSorted(
-          col("a_th"), col("b_th")) >= MINHASH_VERIFY_T)
+        .filter(graft.expressions.JaccardGeqSorted.jaccardGeqSorted(
+          col("a_th"), col("b_th"), MINHASH_VERIFY_T))
       val dup = verified.groupBy(col("new_id")).agg(min(col("corpus_id")).as("dup_of"))
       docs(s, dir).filter(col("doc_id") % 10 === 0).select(col("doc_id"))
         .join(dup, col("doc_id") === col("new_id"), "left")

@@ -328,8 +328,27 @@ object VectorQueries extends QueryPack {
           cosineSim(col("a_emb"), col("b_emb")).as("sim"))
     val bcastOk =
       e.sparkSession.sessionState.conf.autoBroadcastJoinThreshold > 0
-    if (bcastOk && estPairBytes <= graft.ops.SessionOps.broadcastBudget(
-      e.sparkSession, graft.ops.LshJoin.PAIRS_BROADCAST_CAP)) {
+    val pairsFit = estPairBytes <= graft.ops.SessionOps.broadcastBudget(
+      e.sparkSession, graft.ops.LshJoin.PAIRS_BROADCAST_CAP)
+    val vecsFit = vecBytes <= BigInt(graft.ops.SessionOps.broadcastBudget(
+      e.sparkSession, VERIFY_BROADCAST_CAP))
+    if (bcastOk && pairsFit && vecsFit) {
+      // r16, the all-small case (both gates pass — every bench SF): the
+      // candidate set is consumed ONCE, so no checkpoint barrier is
+      // needed at all, and the enriched pair frames never shuffle: one
+      // map pass over the a-side embedding scan probes the broadcast
+      // pair set, then the b-side embedding attach is a second broadcast
+      // lookup — zero pair-cardinality exchanges (the r15 shape paid a
+      // truncate job + two 13 MB enriched-pair shuffles meeting in a
+      // SHUFFLE_HASH at sf0.1). Above either gate the r15 shapes below
+      // are unchanged — this branch only exists where both sides are
+      // provably broadcast-bounded.
+      return ea.join(broadcast(cand), "a_id")
+        .join(broadcast(eb), "b_id")
+        .select(col("a_id"), col("b_id"),
+          cosineSim(col("a_emb"), col("b_emb")).as("sim"))
+    }
+    if (bcastOk && pairsFit) {
       // Materialize the candidate set once (r15): the two pair-set
       // broadcasts are keyed differently (a_id / b_id), so exchange
       // reuse shares only the distinct's shuffle — each BroadcastExchange

@@ -210,6 +210,41 @@ class CustomExprSpec extends AnyFunSuite {
     assert(df.filter($"probe" =!= $"merge").count() == 0)
   }
 
+  test("JaccardGeqSorted: early-exit predicate == (jaccardSimSorted >= t) exactly") {
+    import graft.expressions.JaccardSimilarity.jaccardSimSorted
+    import graft.expressions.JaccardGeqSorted.jaccardGeqSorted
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(400) {
+      val a = Seq.fill(rng.nextInt(40))(rng.nextInt(50).toLong).distinct.sorted
+      val b = Seq.fill(rng.nextInt(40))(rng.nextInt(50).toLong).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq.empty[Long])) :+
+      ((Seq(1L, 2L), Seq.empty[Long])) :+
+      ((Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)))
+    // thresholds include the production 0.8, exact-ratio boundaries that
+    // small sets actually hit (1/2, 1/3, 2/3, 19/20), and the ends
+    val thresholds = Seq(0.0, 1.0 / 3, 0.5, 2.0 / 3, 0.8, 19.0 / 20, 1.0)
+    val df = rows.toDF("a", "b")
+    for (t <- thresholds) {
+      val bad = df.select(
+        (jaccardSimSorted($"a", $"b") >= t).as("ref"),
+        jaccardGeqSorted($"a", $"b", t).as("fast"))
+        .filter($"ref" =!= $"fast").count()
+      assert(bad == 0, s"jaccardGeqSorted diverges from >= at t=$t")
+    }
+    // interpreted path too (eval without codegen): same contract
+    val ge = graft.expressions.JaccardGeqSorted(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1L, 2L, 3L, 4L, 5L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1L, 2L, 3L, 4L, 9L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      0.8)
+    assert(ge.eval(null) == false) // jac = 4/6 < 0.8
+    assert(ge.copy(t = 0.5).eval(null) == true) // 4/6 >= 0.5
+  }
+
   test("VWAP aggregator matches the decimal closed form") {
     val df = Seq((1L, 10.00, 1L), (1L, 20.00, 3L), (2L, 5.50, 2L))
       .toDF("k", "price", "w")

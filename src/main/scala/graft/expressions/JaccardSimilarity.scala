@@ -278,6 +278,163 @@ object JaccardGeqSorted {
       JaccardGeqSorted(ColumnBridge.expression(a), ColumnBridge.expression(b), t))
 }
 
+/** Intersection COUNT of two ascending-sorted long-array sets — the
+  * merge-scan replacement for `size(array_intersect(a, b))` on inputs
+  * that are already sorted distinct: one fused loop per pair, no hash
+  * set, no output array, no boxing. Same value by construction (both
+  * forms count the common elements of two sets). */
+case class InterCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"inter_count_sorted expects array<bigint> inputs, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def prettyName: String = "inter_count_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[ArrayData]
+    val xb = b.asInstanceOf[ArrayData]
+    val n = xa.numElements(); val m = xb.numElements()
+    var ia = 0; var ib = 0; var inter = 0
+    while (ia < n && ib < m) {
+      val x = xa.getLong(ia); val y = xb.getLong(ib)
+      if (x == y) { inter += 1; ia += 1; ib += 1 }
+      else if (x < y) ia += 1
+      else ib += 1
+    }
+    inter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val ia = ctx.freshName("ia"); val ib = ctx.freshName("ib")
+      val inter = ctx.freshName("inter")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $ia = 0; int $ib = 0; int $inter = 0;
+         |while ($ia < $n && $ib < $m) {
+         |  long $x = $a.getLong($ia); long $y = $b.getLong($ib);
+         |  if ($x == $y) { $inter++; $ia++; $ib++; }
+         |  else if ($x < $y) { $ia++; } else { $ib++; }
+         |}
+         |${ev.value} = $inter;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object InterCountSorted {
+  /** Column-API entry point over ascending-sorted array<bigint> sets. */
+  def interCountSorted(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      InterCountSorted(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Early-exit CONTAINMENT predicate over ascending-sorted long-array
+  * sets: exactly `inter_count_sorted(a, b) * q >= size(a) * p` (integer
+  * arithmetic, no floats), but the merge scan aborts once
+  * `inter + min(remaining_a, remaining_b)` cannot reach the needed count
+  * `ceil(p·|a|/q)` — the dedup_containment verify evaluates this per
+  * candidate pair, and almost all candidates fail the 9/10 threshold
+  * early. No false aborts: the bound assumes every remaining element of
+  * the shorter remaining side matches. */
+case class ContainGeqSorted(left: Expression, right: Expression, p: Int, q: Int)
+    extends BinaryExpression {
+  require(p >= 0 && q > 0, "containment threshold p/q needs p >= 0, q > 0")
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"contain_geq_sorted expects array<bigint> inputs, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def prettyName: String = "contain_geq_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[ArrayData]
+    val xb = b.asInstanceOf[ArrayData]
+    val n = xa.numElements(); val m = xb.numElements()
+    // i*q >= n*p  ⟺  i >= ceil(n*p/q) — exact in longs
+    val needed = ((n.toLong * p + q - 1) / q).toInt
+    if (needed > math.min(n, m)) return false
+    var ia = 0; var ib = 0; var inter = 0
+    while (ia < n && ib < m) {
+      if (inter + math.min(n - ia, m - ib) < needed) return false
+      val x = xa.getLong(ia); val y = xb.getLong(ib)
+      if (x == y) { inter += 1; ia += 1; ib += 1 }
+      else if (x < y) ia += 1
+      else ib += 1
+    }
+    inter >= needed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val needed = ctx.freshName("needed")
+      val ia = ctx.freshName("ia"); val ib = ctx.freshName("ib")
+      val inter = ctx.freshName("inter"); val rem = ctx.freshName("rem")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val aborted = ctx.freshName("aborted")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $needed = (int) (((long) $n * $p + $q - 1) / $q);
+         |if ($needed > Math.min($n, $m)) { ${ev.value} = false; } else {
+         |  int $ia = 0; int $ib = 0; int $inter = 0;
+         |  boolean $aborted = false;
+         |  while ($ia < $n && $ib < $m) {
+         |    int $rem = ($n - $ia < $m - $ib) ? ($n - $ia) : ($m - $ib);
+         |    if ($inter + $rem < $needed) { $aborted = true; break; }
+         |    long $x = $a.getLong($ia); long $y = $b.getLong($ib);
+         |    if ($x == $y) { $inter++; $ia++; $ib++; }
+         |    else if ($x < $y) { $ia++; } else { $ib++; }
+         |  }
+         |  ${ev.value} = !$aborted && $inter >= $needed;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ContainGeqSorted {
+  /** Column-API entry point: `inter_count_sorted(a,b)·q >= |a|·p` with
+    * the early-exit merge scan. */
+  def containGeqSorted(a: Column, b: Column, p: Int, q: Int): Column =
+    ColumnBridge.column(
+      ContainGeqSorted(ColumnBridge.expression(a), ColumnBridge.expression(b), p, q))
+}
+
 object JaccardSimilarity {
   /** Debug flag: verify the sorted-input contract on the interpreted path. */
   private[expressions] val checkSorted: Boolean =

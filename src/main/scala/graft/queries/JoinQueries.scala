@@ -1188,17 +1188,29 @@ object JoinQueries extends QueryPack {
     // ~the same selectivity (parts above 1.2× the mean share) at every
     // scale instead of emptying as the catalog grows. --------------------
     "tpch_q11_important" -> ((s, dir) => {
-      val perPart = Tables.lineitem(s, dir)
+      // r16 (guide §1.2 — one pass, not two): the global threshold
+      // re-aggregates the per-part DECIMAL sums instead of re-scanning
+      // lineitem (profiled: two concurrent full fact scans, ~0.5 s
+      // each). Decimal addition is exact and associative, so
+      // sum(per-group decimal sums) == the old whole-column dsum to the
+      // bit, and its double cast — the threshold — is unchanged;
+      // count(l_partkey) over the grouped rows == countDistinct over the
+      // raw rows (groupBy dedups, count skips the null group). The two
+      // consumers share the groupBy exchange via reuse, so the fact is
+      // scanned and partially aggregated ONCE.
+      val perPartDec = Tables.lineitem(s, dir)
         .groupBy(col("l_partkey"))
-        .agg(graft.ops.Num.dsum(col("l_extendedprice")).as("part_value"))
+        .agg(sum(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(27, 2))).as("pv_dec"))
       // nullif on the divisor: a degraded input with every part key
       // nulled must yield a null threshold (empty result), not an ANSI
       // DIVIDE_BY_ZERO — the q20 null-fuzz lesson applied at authoring
       // time.
-      val total = Tables.lineitem(s, dir)
-        .agg((graft.ops.Num.dsum(col("l_extendedprice")) * lit(1.2) /
-          nullif(countDistinct(col("l_partkey")), lit(0))).as("threshold"))
-      perPart
+      val total = perPartDec
+        .agg((sum(col("pv_dec")).cast("double") * lit(1.2) /
+          nullif(count(col("l_partkey")), lit(0))).as("threshold"))
+      perPartDec
+        .select(col("l_partkey"), col("pv_dec").cast("double").as("part_value"))
         .join(broadcast(total))
         .filter(col("part_value") > col("threshold"))
         .select(col("l_partkey"), col("part_value"))

@@ -673,12 +673,31 @@ object MiningQueries extends QueryPack {
     //    model would actually train on), not raw lengths — and the whole
     //    chain optimizes as a single Catalyst DAG. ------------------------
     "mining_pipeline" -> ((s, dir) => {
-      val cut = tokensAfterCut(s, dir)
+      // r16 (guide §1.2 — don't compute what you throw away): admission
+      // needs only the COUNT of surviving tokens, never the surviving
+      // token stream. substringSpans emits merged DISJOINT islands with
+      // their lengths, so per doc
+      //   n_tokens_after = n_tokens − Σ n_span_tokens
+      // exactly (tokensAfterCut removes precisely the positions inside
+      // those islands; dedup_substring_apply still pays the full stream
+      // because its OUTPUT is the reassembled text). This drops the
+      // second doc scan + tokenize explode + span anti-join the old
+      // count-the-stream form paid (profiled: a 3.9 s-CPU stage), and
+      // folds the source re-attach into the same single doc pass. Docs
+      // whose every token is covered had no surviving rows before and
+      // are filtered at n_tokens_after = 0 now; null-text docs produced
+      // no exploded rows before and fail the null comparison now.
+      val covered = substringSpans(s, dir)
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens_after"))
-      admitByBudget(
-        cut.join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id"),
-        "n_tokens_after")
+        .agg(sum(col("n_span_tokens")).as("covered"))
+      val cut = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tot"))
+        .join(covered, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("source"),
+          (col("n_tot") - coalesce(col("covered"), lit(0L))).as("n_tokens_after"))
+        .filter(col("n_tokens_after") > 0)
+      admitByBudget(cut, "n_tokens_after")
         .select("doc_id", "source", "n_tokens_after", "cum_tokens")
     }),
 

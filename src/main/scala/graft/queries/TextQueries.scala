@@ -899,9 +899,17 @@ object TextQueries extends QueryPack {
         .select("a_id", "b_id").distinct()
       val ta = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
       val tb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      // r16: the verify was `size(array_intersect(...))` per candidate
+      // pair — a hash set + materialized output array per evaluation.
+      // The shingle arrays are sorted distinct, so the filter is the
+      // early-exit merge-scan containment predicate (identical integer
+      // decision i·10 >= |a|·9 by construction) and survivors recompute
+      // the exact count with the zero-allocation merge scan.
       cand.join(ta, "a_id").join(tb, "b_id")
-        .withColumn("i", size(array_intersect(col("a_sh"), col("b_sh"))))
-        .filter(col("i") * 10 >= size(col("a_sh")) * 9)
+        .filter(graft.expressions.ContainGeqSorted.containGeqSorted(
+          col("a_sh"), col("b_sh"), 9, 10))
+        .withColumn("i", graft.expressions.InterCountSorted.interCountSorted(
+          col("a_sh"), col("b_sh")))
         .select(col("a_id"), col("b_id"),
           (col("i").cast("double") / size(col("a_sh"))).as("cont"))
     }),

@@ -763,17 +763,23 @@ object VectorQueries extends QueryPack {
       val e = graft.ops.SessionOps.spreadTo(
         emb(s, dir), s.sessionState.conf.numShufflePartitions)
       def assign(cents: DataFrame): DataFrame =
+        // c_emb dropped before the min_by (r15); r16 drops the OWN
+        // embedding too: min_by's struct buffer forces a SortAggregate,
+        // and carrying the 520 B array meant sorting/copying n·k_cents
+        // ~600 B rows per round (profiled: the two assign stages were
+        // 18-19 s CPU each at sf0.1). The aggregate now carries only
+        // (vec_id, c_id, csim) — ~24 B/row — and the update pass
+        // re-attaches the embedding with one equi-join on the unique
+        // vec_id (AQE broadcasts it at bench scale; a keyed shuffle at
+        // cluster scale, the same class as the agg exchange it rides).
+        // Winner rows are identical: same min_by ordering, same ids.
         VectorOps.topKPerQuery(
           e.crossJoin(broadcast(cents))
-            .withColumn("csim", cosineSim(col("embedding"), col("c_emb")))
-            // c_emb dropped before the min_by (r15): the k=1 aggregate
-            // builds a per-candidate-row struct of every carried column,
-            // and the candidate frame is n·k_cents rows — profiled at
-            // sf0.1 as ~22 s CPU per assign round with both 520 B arrays
-            // in the struct vs ~3 s with the centroid array dropped.
-            // Same cut in the agg-state bytes the exchange shuffles.
-            .select(col("vec_id"), col("embedding"), col("c_id"), col("csim")),
+            .select(col("vec_id"), col("c_id"),
+              cosineSim(col("embedding"), col("c_emb")).as("csim")),
           col("vec_id"), Seq(col("csim").desc, col("c_id")), k = 1)
+          .select(col("vec_id"), col("c_id"))
+          .join(e, "vec_id")
           .select(col("vec_id"), col("embedding"), col("c_id"))
       // Per-dim sums are r6-quantized-then-DECIMAL-accumulated: order-free
       // cross-engine parity with O(1) aggregation state per (cell, dim) —

@@ -245,6 +245,30 @@ class CustomExprSpec extends AnyFunSuite {
     assert(ge.copy(t = 0.5).eval(null) == true) // 4/6 >= 0.5
   }
 
+  test("InterCountSorted/ContainGeqSorted: == composed array_intersect forms") {
+    import graft.expressions.InterCountSorted.interCountSorted
+    import graft.expressions.ContainGeqSorted.containGeqSorted
+    val rng = new scala.util.Random(11)
+    val rows = Seq.fill(400) {
+      val a = Seq.fill(rng.nextInt(40))(rng.nextInt(50).toLong).distinct.sorted
+      val b = Seq.fill(rng.nextInt(40))(rng.nextInt(50).toLong).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq.empty[Long])) :+
+      ((Seq(1L, 2L), Seq.empty[Long])) :+
+      ((Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)))
+    val df = rows.toDF("a", "b")
+      .withColumn("ref_i", size(array_intersect($"a", $"b")))
+      .withColumn("fast_i", interCountSorted($"a", $"b"))
+    assert(df.filter($"ref_i" =!= $"fast_i").count() == 0)
+    for ((p, q) <- Seq((9, 10), (1, 2), (0, 1), (1, 1))) {
+      val bad = df.select(
+        ($"ref_i" * q >= size($"a") * p).as("ref"),
+        containGeqSorted($"a", $"b", p, q).as("fast"))
+        .filter($"ref" =!= $"fast").count()
+      assert(bad == 0, s"containGeqSorted diverges at p/q=$p/$q")
+    }
+  }
+
   test("VWAP aggregator matches the decimal closed form") {
     val df = Seq((1L, 10.00, 1L), (1L, 20.00, 3L), (2L, 5.50, 2L))
       .toDF("k", "price", "w")

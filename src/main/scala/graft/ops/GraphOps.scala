@@ -82,11 +82,29 @@ object GraphOps {
     *     finally), which is safe in the engine's sequential driver
     *     contract.
     */
-  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame =
+    ccImpl(vertices, edges, symmetric = true)
+
+  /** [[connectedComponents]] over ONE-orientation pairs `(src, dst)` —
+    * the shape every near-dup caller actually has. Components are an
+    * undirected notion, so the symmetry the distributed loop needs is an
+    * internal concern: the pair set is checkpointed ONCE here and the
+    * union's two branches read those blocks, where callers previously
+    * had to checkpoint the pairs themselves (so the union would not
+    * re-run the whole enumeration+verify per branch) and this method
+    * then re-checkpointed the symmetric union — two materialization
+    * barriers for one edge set (r16; profiled as back-to-back
+    * localCheckpoint stages in dedup_cluster_cc). The driver union-find
+    * branch collects HALF the rows (it is orientation-agnostic). */
+  def connectedComponentsFromPairs(vertices: DataFrame, pairs: DataFrame): DataFrame =
+    ccImpl(vertices, pairs, symmetric = false)
+
+  private def ccImpl(
+      vertices: DataFrame, edges: DataFrame, symmetric: Boolean): DataFrame = {
     val sess = edges.sparkSession
     val n = sess.sessionState.conf.numShufflePartitions
-    // Materialize the (symmetric) edge list once, then size the loop from
-    // its measured count — both reuse the same checkpointed blocks. The
+    // Materialize the edge list once, then size the loop from its
+    // measured count — both reuse the same checkpointed blocks. A
     // symmetric union arrives with BOTH legs' partitions (2×session),
     // near-empty at small edge counts; the no-shuffle coalesce back to
     // the session count halves checkpoint/count/repartition task
@@ -94,7 +112,9 @@ object GraphOps {
     // parallelism (profiled: the 64-task pre-loop stages, not the loop,
     // dominated dedup_cluster_cc's wall time).
     val raw = SessionOps.truncate(edges.select(col("src"), col("dst")).coalesce(n))
-    val edgeCount = raw.count()
+    val rawCount = raw.count()
+    // The gate and the loop sizing are in SYMMETRIC edge rows either way.
+    val edgeCount = if (symmetric) rawCount else 2L * rawCount
     // DRIVER fast path (r15 optimization round): a near-dup edge set whose
     // bare (src, dst) longs fit the same collect budget class as the
     // pairs-side broadcast verify (LshJoin.PAIRS_BROADCAST_CAP's 64 MB,
@@ -112,6 +132,8 @@ object GraphOps {
       catch { case _: Throwable => CC_DRIVER_MAX_DEFAULT },
       SessionOps.broadcastBudget(sess, CC_DRIVER_MAX_DEFAULT))
     if (edgeCount * CC_EDGE_BYTES <= driverMax) {
+      // driverComponents is orientation-agnostic (union(a,b) == union(b,a)),
+      // so the one-orientation caller collects half the rows.
       val pairs = raw.collect().map(r => (r.getLong(0), r.getLong(1)))
       release(raw)
       val labels = driverComponents(pairs)
@@ -121,6 +143,12 @@ object GraphOps {
         .join(broadcast(labelDf), Seq("id"), "left")
         .select(col("id"), coalesce(col("edge_comp"), col("id")).as("comp"))
     }
+    // The distributed loop's propagate/convergence algebra assumes
+    // symmetry — symmetrize AFTER the checkpoint (both branches read the
+    // same materialized blocks, no recompute).
+    val sym =
+      if (symmetric) raw
+      else raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
     val comp =
       withLoopParallelism(sess, edgeCount) { nLoop =>
         // The edge table is loop-invariant and joined on `src` every
@@ -130,7 +158,7 @@ object GraphOps {
         // reshuffling the edges — at 100 TB the edge table is the
         // near-dup pair set, the largest input of the loop, and this
         // converts O(rounds) edge shuffles into one.
-        val e = SessionOps.truncate(raw.repartition(nLoop, col("src")))
+        val e = SessionOps.truncate(sym.repartition(nLoop, col("src")))
         // e supersedes the un-partitioned copy: release raw's blocks, or
         // the loop carries TWO materialized copies of its largest input.
         release(raw)

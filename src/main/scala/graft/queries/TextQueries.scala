@@ -211,12 +211,16 @@ object TextQueries extends QueryPack {
     * exchange reuse does not fuse the two SMJs) — profiled as the
     * dominant cost of this query, ~2× the CC loop itself. */
   private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.ops.SessionOps.truncate(
-      jaccardPairs(s, dir).select(col("a_id"), col("b_id")))
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // r16: symmetrization moved INSIDE GraphOps.connectedComponentsFromPairs
+    // — the pair set is checkpointed once there (the union's branches read
+    // those blocks), where this call site previously truncated the pairs
+    // itself AND connectedComponents re-truncated the symmetric union:
+    // two back-to-back materialization barriers for one edge set. The
+    // driver union-find branch now also collects half the rows.
     val vertices = docs(s, dir).select(col("doc_id").as("id"))
-    graft.ops.GraphOps.connectedComponents(vertices, edges)
+    graft.ops.GraphOps.connectedComponentsFromPairs(
+      vertices,
+      jaccardPairs(s, dir).select(col("a_id").as("src"), col("b_id").as("dst")))
       .select(col("id").as("doc_id"), col("comp"))
   }
 
@@ -351,7 +355,16 @@ object TextQueries extends QueryPack {
     * (whose n_tri columns a spec asserts agree); oracle twin:
     * [[TRI_CTES]]. */
   private def triangleCounts(pairs: DataFrame): DataFrame = {
-    val wedges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+    // r16 (SCALING_r16 flag): the wedge enumeration's fan-out is
+    // Σ deg⁺(v)² over the pair table, and the pair STORE is a compact
+    // single file — so with the small sides broadcast the whole
+    // enumeration ran on the scan's ONE partition (graph_triangle_count
+    // measured 16.5× at the sf0.1→sf1 decade while clustering_coeff's
+    // differently-planned copy of the same count stayed flat). Widen the
+    // probe leg: the usual gated single-split compensation, a no-op on
+    // any multi-split production store.
+    val wide = graft.ops.SessionOps.spreadIfNarrow(pairs)
+    val wedges = wide.select(col("a_id").as("x"), col("b_id").as("y"))
       .join(pairs.select(col("a_id").as("y2"), col("b_id").as("z")),
         col("y") === col("y2"))
       .select(col("x"), col("y"), col("z"))

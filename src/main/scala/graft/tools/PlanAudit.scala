@@ -93,7 +93,13 @@ object PlanAudit {
     // post-scan; nothing prunable is lost (no companion column exists to
     // carry an equivalent raw bound, unlike the nanos case).
     ("dedup_containment", "documents"),
-    ("dedup_shingle_jaccard", "documents"))
+    ("dedup_shingle_jaccard", "documents"),
+    // r16 arithmetic-count rewrite: the admission filter
+    // `n_tokens_after > 0` is over a COMPUTED column (token count minus
+    // the joined span coverage) — inherently post-join, untranslatable
+    // to a source filter; the doc scan itself has nothing prunable (the
+    // query reads every document by contract).
+    ("mining_pipeline", "documents"))
 
   /** Queries that legitimately read every column of a wide table:
     * row-level operators whose CONTRACT is whole rows (filter/TTL/limit
@@ -255,7 +261,10 @@ object PlanAudit {
     "quality_lm_score" -> Map("documents" -> 1),
     "dedup_cluster_cc" -> Map("documents" -> 1),
     "corpus_curation_pipeline" -> Map("documents" -> 4),
-    "mining_pipeline" -> Map("documents" -> 2),
+    // r16: ONE 3-col scan (doc_id, text, source) replaced the old TWO
+    // 2-col scans (doc_id+text for the count pass, doc_id+source for the
+    // re-attach) — strictly fewer column-bytes read overall.
+    "mining_pipeline" -> Map("documents" -> 3),
     "kmeans_lloyd_train" -> Map("embeddings" -> 3),
     "ann_ivf_pq_search" -> Map("embeddings" -> 3),
     "embedding_pca_project" -> Map("embeddings" -> 2),

@@ -75,6 +75,29 @@ class ScaleQueriesSpec extends AnyFunSuite {
     assert(fast.size == 150, "every vertex labeled exactly once")
   }
 
+  test("connectedComponentsFromPairs == connectedComponents(symmetric), both gate branches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairsSeq = (0 until 300).map { _ =>
+      (rnd.nextInt(90).toLong, rnd.nextInt(90).toLong)
+    }.filter { case (a, b) => a != b }
+    val pairs = pairsSeq.toDF("src", "dst")
+    val edges = pairs.union(pairs.select($"dst", $"src"))
+    val vertices = (0L until 100L).toDF("id")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = toMap(GraphOps.connectedComponents(vertices, edges))
+    // driver gate branch (default)
+    assert(toMap(GraphOps.connectedComponentsFromPairs(vertices, pairs)) == ref,
+      "FromPairs driver branch diverged from the symmetric-input reference")
+    // distributed-loop branch (gate forced to 0): symmetrization happens
+    // inside, after the single checkpoint
+    val loop = forcingCcLoop {
+      toMap(GraphOps.connectedComponentsFromPairs(vertices, pairs))
+    }
+    assert(loop == ref, "FromPairs loop branch diverged from the reference")
+  }
+
   test("dedup_cluster_cc: every doc labeled, comp <= doc_id, comps are reps") {
     // registered in TextQueries (it shares the Jaccard pair fragments);
     // reach it through the full registry
